@@ -1,0 +1,55 @@
+"""scann_tpu — a TPU-native approximate-nearest-neighbor index & query engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of the Rust
+ScaNN port (reference: sunbains/scann-rust). The design is arrays + pure
+functions: an *index* is a pytree of device arrays (database tiles, centroids,
+codebooks, packed PQ codes, CSR partition tables, norms) plus a small host-side
+metadata object; *searchers* are jit-compiled functions
+``(index, query_batch) -> (indices, distances)``; *builders* are jit-compiled
+training programs (k-means, PQ codebook training) that run on the TPU.
+
+Key departures from the reference (reference: src/lib.rs:1-135):
+  - Batched distance computation is an MXU matmul + fused ``lax.top_k``
+    instead of AVX2 one-to-many loops (reference: src/simd/x86.rs).
+  - LUT16 asymmetric-hash scoring is a one-hot-matmul / Pallas kernel with the
+    per-query tables resident in VMEM (reference: src/hashes/lut16_simd.rs).
+  - Thread-level parallelism (rayon) is replaced by the query-batch dimension
+    and ``shard_map`` database sharding over a TPU mesh
+    (reference: src/utils/parallel.rs).
+"""
+
+from scann_tpu.errors import ErrorCode, ScannError
+from scann_tpu.config import (
+    ScannConfig,
+    BruteForceConfig,
+    PartitioningConfig,
+    HashConfig,
+    ExactReorderingConfig,
+    QueryConfig,
+)
+from scann_tpu.ops.distances import DistanceMeasure
+from scann_tpu.data.dataset import DenseDataset, SparseDataset
+from scann_tpu.data.docid import DocIdCollection
+from scann_tpu.models.searcher import SearchParameters, SearchResult, NNResult
+from scann_tpu.models.brute_force import BruteForceSearcher
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ErrorCode",
+    "ScannError",
+    "ScannConfig",
+    "BruteForceConfig",
+    "PartitioningConfig",
+    "HashConfig",
+    "ExactReorderingConfig",
+    "QueryConfig",
+    "DistanceMeasure",
+    "DenseDataset",
+    "SparseDataset",
+    "DocIdCollection",
+    "SearchParameters",
+    "SearchResult",
+    "NNResult",
+    "BruteForceSearcher",
+]

@@ -1,0 +1,165 @@
+"""Common searcher interface.
+
+Mirrors the reference's ``Searcher`` trait / ``SearchParameters`` /
+``SearchResult`` surface (reference: src/searcher.rs:12-30,64-101,148-186).
+
+TPU twist: the canonical entry point is *batched* array-in/array-out search —
+``search_batched_arrays(queries [B,D], k) -> (indices [B,k], dists [B,k])`` —
+because a batch of queries is one MXU program. The per-query object API wraps
+it for parity with the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from scann_tpu.errors import ScannError
+
+
+@dataclasses.dataclass
+class SearchParameters:
+    """Per-query search knobs (reference: src/searcher.rs:12-30)."""
+
+    num_neighbors: Optional[int] = None
+    pre_reordering_num_neighbors: Optional[int] = None
+    pre_reordering_epsilon: Optional[float] = None
+    post_reordering_epsilon: Optional[float] = None
+    num_leaves_to_search: Optional[int] = None
+    crowding_enabled: Optional[bool] = None
+
+    def with_num_neighbors(self, k: int) -> "SearchParameters":
+        self.num_neighbors = k
+        return self
+
+    def with_pre_reordering_neighbors(self, k: int) -> "SearchParameters":
+        self.pre_reordering_num_neighbors = k
+        return self
+
+    def with_leaves_to_search(self, n: int) -> "SearchParameters":
+        self.num_leaves_to_search = n
+        return self
+
+    def with_epsilon(self, epsilon: float) -> "SearchParameters":
+        self.pre_reordering_epsilon = epsilon
+        return self
+
+
+@dataclasses.dataclass
+class NNResult:
+    """One neighbor (reference: src/searcher.rs:64-101)."""
+
+    index: int
+    distance: float
+    docid: Optional[object] = None
+
+
+class SearchResult:
+    """Sorted neighbor list (reference: src/searcher.rs:96-146)."""
+
+    def __init__(self, neighbors: Optional[List[NNResult]] = None):
+        self.neighbors: List[NNResult] = neighbors or []
+
+    def __len__(self) -> int:
+        return len(self.neighbors)
+
+    def __iter__(self):
+        return iter(self.neighbors)
+
+    def indices(self) -> List[int]:
+        return [n.index for n in self.neighbors]
+
+    def distances(self) -> List[float]:
+        return [n.distance for n in self.neighbors]
+
+
+class Searcher:
+    """Base searcher: subclasses implement ``search_batched_arrays``.
+
+    The reference's trait methods ``search_with_params`` /
+    ``search_batched_with_params`` / ``dataset_size`` / ``dimensionality``
+    (reference: src/searcher.rs:148-186) map onto the methods below.
+    """
+
+    # -- metadata (override) -------------------------------------------------
+    def dataset_size(self) -> int:
+        raise NotImplementedError
+
+    def dimensionality(self) -> int:
+        raise NotImplementedError
+
+    def _docids(self):
+        return None
+
+    # -- core batched array API (override) ------------------------------------
+    def search_batched_arrays(
+        self,
+        queries: np.ndarray,
+        k: int,
+        params: Optional[SearchParameters] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (indices [B, k] int32, distances [B, k] f32), sorted
+        ascending by distance. Indices may be -1 for missing results."""
+        raise NotImplementedError
+
+    # -- convenience object API -------------------------------------------------
+    def _validate_queries(self, queries: np.ndarray) -> np.ndarray:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.ndim != 2:
+            raise ScannError.invalid_argument(f"queries must be [B, D], got {queries.shape}")
+        if queries.shape[1] != self.dimensionality():
+            raise ScannError.invalid_argument(
+                f"query dimensionality {queries.shape[1]} != dataset {self.dimensionality()}"
+            )
+        if self.dataset_size() == 0:
+            raise ScannError.failed_precondition("dataset is empty")
+        return queries
+
+    def _to_results(self, indices: np.ndarray, dists: np.ndarray) -> List[SearchResult]:
+        docids = self._docids()
+        out = []
+        for row_idx, row_dist in zip(indices, dists):
+            neighbors = []
+            for i, d in zip(row_idx, row_dist):
+                i = int(i)
+                if i < 0:
+                    continue
+                docid = docids.get(i) if docids is not None else None
+                neighbors.append(NNResult(i, float(d), docid))
+            out.append(SearchResult(neighbors))
+        return out
+
+    def search(self, query, k: Optional[int] = None,
+               params: Optional[SearchParameters] = None) -> SearchResult:
+        params = params or SearchParameters()
+        k = k if k is not None else (params.num_neighbors or 10)
+        q = self._validate_queries(np.asarray(query))
+        idx, dist = self.search_batched_arrays(q, k, params)
+        return self._to_results(idx, dist)[0]
+
+    def search_with_params(self, query, params: SearchParameters) -> SearchResult:
+        return self.search(query, params.num_neighbors, params)
+
+    def search_batched(self, queries, k: Optional[int] = None,
+                       params: Optional[SearchParameters] = None) -> List[SearchResult]:
+        params = params or SearchParameters()
+        k = k if k is not None else (params.num_neighbors or 10)
+        q = self._validate_queries(np.asarray(queries))
+        idx, dist = self.search_batched_arrays(q, k, params)
+        return self._to_results(idx, dist)
+
+    def search_batched_with_params(
+        self, queries, params_list: Sequence[SearchParameters]
+    ) -> List[SearchResult]:
+        """Per-query parameter lists run as one batch when the parameters are
+        homogeneous; heterogeneous parameters fall back to per-query calls."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if len(params_list) != queries.shape[0]:
+            raise ScannError.invalid_argument("params_list length != batch size")
+        if all(p == params_list[0] for p in params_list):
+            return self.search_batched(queries, params_list[0].num_neighbors, params_list[0])
+        return [self.search(q, p.num_neighbors, p) for q, p in zip(queries, params_list)]

@@ -1,0 +1,67 @@
+"""Top-k selection.
+
+Replaces the reference's heap structures (reference: src/brute_force/top_k.rs:
+TopK BinaryHeap :20-27, FixedTopK :120-127, FastTopNeighbors :263-279) with
+``jax.lax.top_k`` — distances are negated so "smallest distance" becomes
+"largest score", which XLA lowers to an efficient on-device partial sort.
+
+Also provides the shard-merge used by the multi-chip searcher: each database
+shard computes a local top-k, the [n_shards, k] partials are all-gathered over
+ICI, and a final top-k over n_shards*k candidates yields the global result.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def top_k_smallest(dists: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest-k selection along the last axis.
+
+    Args:
+        dists: [..., N] distances (smaller = closer).
+        k: number of neighbors; must be static.
+
+    Returns:
+        (values [..., k] ascending, indices [..., k] int32).
+    """
+    neg, idx = jax.lax.top_k(-dists, k)
+    return -neg, idx.astype(jnp.int32)
+
+
+def top_k_with_threshold(
+    dists: jnp.ndarray, k: int, epsilon: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k with an epsilon distance threshold: entries with distance
+    > epsilon are reported with index -1 (reference: FastTopNeighbors epsilon,
+    src/brute_force/top_k.rs:263-279).
+    """
+    vals, idx = top_k_smallest(dists, k)
+    good = vals <= epsilon
+    return jnp.where(good, vals, jnp.inf), jnp.where(good, idx, -1)
+
+
+def merge_top_k(
+    dists: jnp.ndarray, indices: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge several sorted/unsorted candidate lists into one top-k.
+
+    Args:
+        dists: [..., M] candidate distances (e.g. concatenated shard partials).
+        indices: [..., M] global datapoint indices for each candidate.
+        k: final neighbor count.
+
+    Returns:
+        (values [..., k], global indices [..., k]).
+    """
+    vals, pos = top_k_smallest(dists, k)
+    return vals, jnp.take_along_axis(indices, pos, axis=-1)
+
+
+def radius_search_mask(dists: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Boolean mask of points within ``radius``
+    (reference: src/brute_force/searcher.rs:142-167)."""
+    return dists <= radius

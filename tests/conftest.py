@@ -1,0 +1,32 @@
+"""Test environment: force CPU backend with 8 virtual devices so sharding
+tests exercise a real (virtual) mesh without TPU hardware. Must run before
+jax is imported anywhere."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_clustered_data(rng, n=512, d=32, n_clusters=8, spread=0.1):
+    """Deterministic clustered synthetic data (the reference's fixture style:
+    seeded generators, reference: src/trees/kmeans.rs:434-519)."""
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 5.0
+    assign = rng.integers(0, n_clusters, size=n)
+    pts = centers[assign] + rng.normal(size=(n, d)).astype(np.float32) * spread
+    return pts.astype(np.float32), centers, assign
+
+
+@pytest.fixture
+def clustered_data(rng):
+    return make_clustered_data(rng)
