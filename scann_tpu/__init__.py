@@ -32,6 +32,10 @@ from scann_tpu.data.dataset import DenseDataset, SparseDataset
 from scann_tpu.data.docid import DocIdCollection
 from scann_tpu.models.searcher import SearchParameters, SearchResult, NNResult
 from scann_tpu.models.brute_force import BruteForceSearcher
+from scann_tpu.models.scalar_quantized import (
+    ScalarQuantizedBruteForceSearcher,
+    ScalarQuantizedConfig,
+)
 
 __version__ = "0.1.0"
 
@@ -52,4 +56,6 @@ __all__ = [
     "SearchResult",
     "NNResult",
     "BruteForceSearcher",
+    "ScalarQuantizedBruteForceSearcher",
+    "ScalarQuantizedConfig",
 ]
