@@ -197,6 +197,49 @@ def mask_padded_rows(dists: jnp.ndarray, n_valid, masked_value: float) -> jnp.nd
     return jnp.where(col < n_valid, dists, jnp.float32(masked_value))
 
 
+def gathered_distances(
+    measure: DistanceMeasure,
+    queries: jnp.ndarray,
+    rows: jnp.ndarray,
+    rows_sq_norms: Optional[jnp.ndarray] = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Per-query distances to per-query candidate rows.
+
+    Args:
+        queries: [B, D].
+        rows: [B, C, D] gathered candidate vectors (query b scores rows[b]).
+        rows_sq_norms: [B, C] optional precomputed squared norms.
+
+    Returns: [B, C] distances. Used by partitioned search and exact
+    re-ranking, replacing the reference's per-candidate scalar loops
+    (reference: src/utils/reordering.rs:22-94, src/scann.rs:237-252).
+    """
+    queries = queries.astype(jnp.float32)
+    rows = rows.astype(jnp.float32)
+    dots = jnp.einsum("bd,bcd->bc", queries, rows, precision=precision)
+
+    if measure in (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT):
+        return -dots
+
+    if rows_sq_norms is None:
+        rows_sq_norms = jnp.sum(rows * rows, axis=-1)
+    q_sq = squared_norms(queries)
+
+    if measure in (DistanceMeasure.SQUARED_L2, DistanceMeasure.JACCARD, DistanceMeasure.DICE):
+        return jnp.maximum(q_sq[:, None] + rows_sq_norms - 2.0 * dots, 0.0)
+    if measure == DistanceMeasure.L2:
+        return jnp.sqrt(jnp.maximum(q_sq[:, None] + rows_sq_norms - 2.0 * dots, 0.0))
+    if measure == DistanceMeasure.COSINE:
+        denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(rows_sq_norms)
+        sim = jnp.where(denom > 0.0, dots / jnp.maximum(denom, 1e-30), 0.0)
+        return 1.0 - sim
+    if measure == DistanceMeasure.L1:
+        return jnp.sum(jnp.abs(queries[:, None, :] - rows), axis=-1)
+
+    raise NotImplementedError(f"gathered_distances for {measure}")
+
+
 # ---------------------------------------------------------------------------
 # Sparse set distances (host-friendly, jit-compatible on padded index arrays)
 # (reference: src/distance_measures/sparse.rs)

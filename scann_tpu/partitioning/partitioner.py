@@ -1,0 +1,73 @@
+"""Partitioning data structures.
+
+The reference keeps per-partition point lists as ``Vec<Vec<u32>>``
+(reference: src/partitioning/partitioner.rs:133-177). Ragged vectors don't
+exist inside an XLA program, so the device layout is:
+
+  - CSR: ``offsets [K+1] int32`` + ``point_indices [N] int32`` (points sorted
+    by token) — compact, used for stats and host iteration;
+  - padded leaves: ``leaf_indices [K, L_max] int32`` with -1 padding — what
+    the fused search program gathers from (static shapes, masked scoring).
+
+``PartitionResult`` mirrors partitioner.rs:12-59.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PartitionResult:
+    """Query-side partition selection (reference: partitioner.rs:12-59)."""
+
+    tokens: np.ndarray      # [p] int32 selected partition ids, nearest first
+    distances: np.ndarray   # [p] f32 centroid distances
+
+    def top_token(self) -> int:
+        return int(self.tokens[0])
+
+
+class DatabaseTokenization:
+    """Token assignment tables (reference: partitioner.rs:133-177)."""
+
+    def __init__(self, tokens: np.ndarray, num_partitions: int):
+        tokens = np.asarray(tokens, dtype=np.int32)
+        self.tokens = tokens
+        self.num_partitions = int(num_partitions)
+        order = np.argsort(tokens, kind="stable")
+        counts = np.bincount(tokens, minlength=num_partitions).astype(np.int32)
+        self.offsets = np.zeros(num_partitions + 1, dtype=np.int32)
+        np.cumsum(counts, out=self.offsets[1:])
+        self.point_indices = order.astype(np.int32)
+        self.partition_sizes = counts
+        self._padded_cache = None
+
+    @property
+    def max_partition_size(self) -> int:
+        return int(self.partition_sizes.max()) if len(self.partition_sizes) else 0
+
+    def partition_indices(self, token: int) -> np.ndarray:
+        """Point indices in one partition (reference: tree_partitioner.rs:196-213)."""
+        return self.point_indices[self.offsets[token] : self.offsets[token + 1]]
+
+    def partition_lists(self) -> List[np.ndarray]:
+        return [self.partition_indices(t) for t in range(self.num_partitions)]
+
+    def padded_leaves(self, pad_multiple: int = 8):
+        """(leaf_indices [K, L_max] int32 device array, -1 padded). L_max is
+        rounded up to ``pad_multiple`` to stabilize compiled shapes across
+        small rebuilds."""
+        if self._padded_cache is None:
+            lmax = self.max_partition_size
+            lmax = max(((lmax + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+            out = np.full((self.num_partitions, lmax), -1, dtype=np.int32)
+            for t in range(self.num_partitions):
+                idx = self.partition_indices(t)
+                out[t, : len(idx)] = idx
+            self._padded_cache = jnp.asarray(out)
+        return self._padded_cache

@@ -1,0 +1,146 @@
+"""K-means tree partitioner.
+
+Build = on-device k-means over the dataset (reference:
+src/partitioning/tree_partitioner.rs:48-98, seed 42, 100 iterations); query =
+batched centroid-distance matmul + top-p (the reference scores centroids with
+a *scalar* loop and a full sort, tree_partitioner.rs:175-229 — here it's one
+[B, K] matmul and ``lax.top_k``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu.errors import ScannError
+from scann_tpu.ops.distances import DistanceMeasure, many_to_many
+from scann_tpu.ops.topk import top_k_smallest
+from scann_tpu.partitioning.partitioner import DatabaseTokenization, PartitionResult
+from scann_tpu.trees.kmeans import KMeans, KMeansConfig, KMeansInit
+
+
+@dataclasses.dataclass
+class TreePartitionerConfig:
+    """(reference: tree_partitioner.rs:18-45)."""
+
+    num_partitions: int = 100
+    max_iterations: int = 100
+    convergence_threshold: float = 1e-5
+    seed: int = 42
+    distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
+    # >1 builds a hierarchical tree (reference: tree_partitioner.rs:101-140);
+    # the production path is flat (num_levels=1).
+    num_levels: int = 1
+    training_sample_size: Optional[int] = None
+
+
+@functools.partial(jax.jit, static_argnames=("measure", "p"))
+def select_partitions_kernel(centers, queries, *, measure: DistanceMeasure, p: int):
+    """[B, K] centroid distances -> (top-p distances, top-p tokens)."""
+    dists = many_to_many(measure, queries, centers)
+    return top_k_smallest(dists, p)
+
+
+class TreePartitioner:
+    """Flat (or hierarchical-leaf) k-means partitioner."""
+
+    def __init__(self, config: Optional[TreePartitionerConfig] = None):
+        self.config = config or TreePartitionerConfig()
+        self.centers: Optional[np.ndarray] = None       # [K, D] leaf centroids
+        self.tokenization: Optional[DatabaseTokenization] = None
+        self._centers_dev = None
+
+    # -- build ---------------------------------------------------------------
+    def build(self, dataset) -> "TreePartitioner":
+        """Train centroids and tokenize the full dataset
+        (reference: tree_partitioner.rs:48-98)."""
+        data = dataset.numpy() if hasattr(dataset, "numpy") else np.asarray(dataset, np.float32)
+        cfg = self.config
+        n = data.shape[0]
+        if n == 0:
+            raise ScannError.invalid_argument("cannot partition empty dataset")
+        k = min(cfg.num_partitions, n)
+
+        train = data
+        if cfg.training_sample_size is not None and cfg.training_sample_size < n:
+            rng = np.random.default_rng(cfg.seed)
+            sel = rng.choice(n, size=cfg.training_sample_size, replace=False)
+            train = data[sel]
+
+        km = KMeans(KMeansConfig(
+            num_clusters=k,
+            max_iterations=cfg.max_iterations,
+            convergence_threshold=cfg.convergence_threshold,
+            init_method=KMeansInit.KMEANS_PLUS_PLUS,
+            seed=cfg.seed,
+        ))
+        result = km.fit(train)
+        self.centers = result.centers
+
+        if train is data:
+            tokens = result.assignments
+        else:
+            tokens = self.tokenize(data)
+        self.tokenization = DatabaseTokenization(tokens, k)
+        self._centers_dev = jnp.asarray(self.centers)
+        return self
+
+    def tokenize(self, data: np.ndarray) -> np.ndarray:
+        """Assign every row to its nearest centroid."""
+        _, tok = select_partitions_kernel(
+            jnp.asarray(self.centers), jnp.asarray(data, dtype=jnp.float32),
+            measure=self.config.distance_measure, p=1,
+        )
+        return np.asarray(tok)[:, 0].astype(np.int32)
+
+    # -- metadata --------------------------------------------------------------
+    @property
+    def num_partitions(self) -> int:
+        return 0 if self.centers is None else self.centers.shape[0]
+
+    def partition_centroid(self, token: int) -> np.ndarray:
+        self._check_built()
+        return self.centers[token]
+
+    def partition_indices(self, token: int) -> np.ndarray:
+        self._check_built()
+        return self.tokenization.partition_indices(token)
+
+    def partition_sizes(self) -> np.ndarray:
+        self._check_built()
+        return self.tokenization.partition_sizes
+
+    def _check_built(self):
+        if self.centers is None:
+            raise ScannError.failed_precondition("partitioner not built")
+
+    # -- query -----------------------------------------------------------------
+    def centers_device(self) -> jnp.ndarray:
+        self._check_built()
+        if self._centers_dev is None:
+            self._centers_dev = jnp.asarray(self.centers)
+        return self._centers_dev
+
+    def partition_batch(self, queries: np.ndarray, num_to_search: int) -> List[PartitionResult]:
+        self._check_built()
+        p = min(int(num_to_search), self.num_partitions)
+        if p <= 0:
+            raise ScannError.invalid_argument("num_to_search must be positive")
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        dists, toks = select_partitions_kernel(
+            self.centers_device(), jnp.asarray(q),
+            measure=self.config.distance_measure, p=p,
+        )
+        dists, toks = np.asarray(dists), np.asarray(toks)
+        return [PartitionResult(tokens=t, distances=d) for t, d in zip(toks, dists)]
+
+    def partition(self, query: np.ndarray, num_to_search: int) -> PartitionResult:
+        """(reference: tree_partitioner.rs:196-229)."""
+        return self.partition_batch(np.asarray(query)[None, :], num_to_search)[0]

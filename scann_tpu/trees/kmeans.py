@@ -1,0 +1,262 @@
+"""K-means clustering, fully on-device.
+
+Replaces the reference's rayon/SIMD Lloyd's loop
+(reference: src/trees/kmeans.rs:150-431) with one jit-compiled program:
+
+  - assignment: chunked distance matmul [chunk, K] + argmin on the MXU
+    (reference's per-point scalar/SIMD loop, kmeans.rs:352-379)
+  - update: ``segment_sum`` scatter-add + count division
+    (reference's f64 accumulation loop, kmeans.rs:381-414); empty cluster i
+    is reseeded deterministically to ``data[i % n]`` (kmeans.rs:405-410)
+  - k-means++: weighted categorical sampling on the running min-distance
+    vector with ``jax.random`` (kmeans.rs:294-349)
+  - convergence: relative inertia change < threshold, checked before the
+    update step exactly like the reference (kmeans.rs:233-239)
+  - restarts: host loop keeping the best-inertia run (kmeans.rs:196-204),
+    seed offset by restart index
+
+The whole Lloyd's loop runs inside ``lax.while_loop``; the host only sees the
+final result.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu.errors import ScannError
+
+
+class KMeansInit(enum.Enum):
+    RANDOM = "Random"
+    KMEANS_PLUS_PLUS = "KMeansPlusPlus"
+    PROVIDED = "Provided"
+
+
+@dataclasses.dataclass
+class KMeansConfig:
+    """(reference: src/trees/kmeans.rs:20-61)."""
+
+    num_clusters: int = 10
+    max_iterations: int = 100
+    convergence_threshold: float = 1e-5
+    init_method: KMeansInit = KMeansInit.KMEANS_PLUS_PLUS
+    seed: Optional[int] = None
+    num_restarts: int = 1
+
+
+@dataclasses.dataclass
+class KMeansResult:
+    """(reference: src/trees/kmeans.rs:121-147)."""
+
+    centers: np.ndarray        # [K, D] f32
+    assignments: np.ndarray    # [N] int32
+    cluster_sizes: np.ndarray  # [K] int64
+    inertia: float
+    num_iterations: int
+    converged: bool
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+
+def assign_clusters(
+    data: jnp.ndarray, centers: jnp.ndarray, chunk_size: int = 16384
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(assignments [N] int32, min squared distance [N] f32).
+
+    Distances via ||x||^2 + ||c||^2 - 2 x.c computed chunk-by-chunk over N so
+    the [chunk, K] matrix stays modest for million-point datasets.
+    """
+    n, d = data.shape
+    c_sq = jnp.sum(centers * centers, axis=1)
+
+    def one_chunk(x):
+        dots = jax.lax.dot_general(
+            x, centers,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        x_sq = jnp.sum(x * x, axis=1)
+        dist = x_sq[:, None] + c_sq[None, :] - 2.0 * dots
+        dist = jnp.maximum(dist, 0.0)
+        a = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        return a, jnp.min(dist, axis=1)
+
+    if n <= chunk_size:
+        return one_chunk(data)
+
+    n_chunks = -(-n // chunk_size)
+    n_pad = n_chunks * chunk_size
+    padded = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+    a, m = jax.lax.map(one_chunk, padded.reshape(n_chunks, chunk_size, d))
+    return a.reshape(n_pad)[:n], m.reshape(n_pad)[:n]
+
+
+def update_centers(
+    data: jnp.ndarray, assignments: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(new centers [K, D], counts [K]) with deterministic empty-cluster
+    reseed to data[i % n] (reference: kmeans.rs:381-414)."""
+    n = data.shape[0]
+    sums = jax.ops.segment_sum(data, assignments, num_segments=k)
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assignments, num_segments=k)
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    reseed_rows = jnp.arange(k, dtype=jnp.int32) % n
+    reseed = jnp.take(data, reseed_rows, axis=0)
+    centers = jnp.where((counts > 0)[:, None], means, reseed)
+    return centers, counts
+
+
+def _kmeans_pp_init(key, data: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-means++ seeding (reference: kmeans.rs:294-349): first center uniform,
+    then sample proportional to squared distance to the nearest chosen center;
+    uniform fallback when all distances are zero."""
+    n, d = data.shape
+
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    centers0 = jnp.zeros((k, d), data.dtype).at[0].set(data[first])
+
+    def dist_to(c):
+        diff = data - c[None, :]
+        return jnp.sum(diff * diff, axis=1)
+
+    min_d0 = dist_to(data[first])
+
+    def body(i, carry):
+        centers, min_d, key = carry
+        key, sub_cat, sub_unif = jax.random.split(key, 3)
+        total = jnp.sum(min_d)
+        # categorical ∝ min_d; all-zero -> uniform (duplicate points)
+        logits = jnp.where(min_d > 0.0, jnp.log(jnp.maximum(min_d, 1e-30)), -jnp.inf)
+        idx_cat = jax.random.categorical(sub_cat, logits)
+        idx_unif = jax.random.randint(sub_unif, (), 0, n)
+        idx = jnp.where(total > 0.0, idx_cat, idx_unif)
+        c = data[idx]
+        centers = centers.at[i].set(c)
+        min_d = jnp.minimum(min_d, dist_to(c))
+        return centers, min_d, key
+
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers0, min_d0, key))
+    return centers
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iterations", "convergence_threshold", "init_method")
+)
+def kmeans_fit_device(
+    data: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    k: int,
+    max_iterations: int,
+    convergence_threshold: float,
+    init_method: KMeansInit,
+    init_centers: Optional[jnp.ndarray] = None,
+):
+    """One k-means run, entirely on device. Returns
+    (centers [K,D], assignments [N], counts [K], inertia, num_iterations,
+    converged)."""
+    data = data.astype(jnp.float32)
+    n = data.shape[0]
+
+    if init_centers is not None:
+        centers0 = init_centers.astype(jnp.float32)
+    elif init_method == KMeansInit.RANDOM:
+        # sample k distinct rows (permutation prefix, like sample_indices)
+        perm = jax.random.permutation(key, n)[:k]
+        centers0 = jnp.take(data, perm, axis=0)
+    else:
+        centers0 = _kmeans_pp_init(key, data, k)
+
+    def cond(carry):
+        _, prev_inertia, inertia, it, converged = carry
+        return (~converged) & (it < max_iterations)
+
+    def body(carry):
+        centers, prev_inertia, _, it, _ = carry
+        assignments, min_d = assign_clusters(data, centers)
+        inertia = jnp.sum(min_d)
+        rel = jnp.abs(prev_inertia - inertia) / (prev_inertia + 1e-10)
+        converged = rel < convergence_threshold
+        new_centers, _ = update_centers(data, assignments, k)
+        # keep current centers when converged (reference breaks before update)
+        centers = jnp.where(converged, centers, new_centers)
+        return centers, inertia, inertia, it + 1, converged
+
+    init_inertia = jnp.float32(jnp.inf)
+    centers, _, inertia, iters, converged = jax.lax.while_loop(
+        cond, body, (centers0, init_inertia, jnp.float32(0.0), jnp.int32(0), jnp.bool_(False))
+    )
+
+    assignments, min_d = assign_clusters(data, centers)
+    final_inertia = jnp.sum(min_d)
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assignments, num_segments=k)
+    return centers, assignments, counts, final_inertia, iters, converged
+
+
+# ---------------------------------------------------------------------------
+# host API
+# ---------------------------------------------------------------------------
+
+
+class KMeans:
+    """Host wrapper running restarts and materializing the result
+    (reference: src/trees/kmeans.rs:150-207)."""
+
+    def __init__(self, config: Optional[KMeansConfig] = None):
+        self.config = config or KMeansConfig()
+
+    @classmethod
+    def with_clusters(cls, k: int) -> "KMeans":
+        return cls(KMeansConfig(num_clusters=k))
+
+    def fit(self, data, init_centers: Optional[np.ndarray] = None) -> KMeansResult:
+        arr = data.numpy() if hasattr(data, "numpy") else np.asarray(data, dtype=np.float32)
+        n = arr.shape[0]
+        if n == 0:
+            raise ScannError.invalid_argument("Cannot cluster empty dataset")
+        cfg = self.config
+        k = min(cfg.num_clusters, n)
+        if k <= 0:
+            raise ScannError.invalid_argument("Number of clusters must be > 0")
+        if cfg.init_method == KMeansInit.PROVIDED and init_centers is None:
+            raise ScannError.invalid_argument("Provided initialization requires initial centers")
+
+        data_dev = jnp.asarray(arr, dtype=jnp.float32)
+        seed = cfg.seed if cfg.seed is not None else np.random.SeedSequence().entropy % (2**31)
+
+        best = None
+        for restart in range(max(cfg.num_restarts, 1)):
+            key = jax.random.PRNGKey(int(seed) + restart)
+            out = kmeans_fit_device(
+                data_dev, key,
+                k=k,
+                max_iterations=cfg.max_iterations,
+                convergence_threshold=float(cfg.convergence_threshold),
+                init_method=cfg.init_method,
+                init_centers=None if init_centers is None else jnp.asarray(init_centers),
+            )
+            centers, assignments, counts, inertia, iters, converged = jax.tree.map(
+                np.asarray, out
+            )
+            if best is None or float(inertia) < best.inertia:
+                best = KMeansResult(
+                    centers=centers,
+                    assignments=assignments.astype(np.int32),
+                    cluster_sizes=counts.astype(np.int64),
+                    inertia=float(inertia),
+                    num_iterations=int(iters),
+                    converged=bool(converged),
+                )
+        return best

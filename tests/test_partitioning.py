@@ -1,0 +1,110 @@
+"""Tree partitioner + partitioned search: tokenization invariants, query-side
+selection, recall with enough leaves (reference test analog:
+tests/unit_tests.rs partitioning_tests)."""
+
+import numpy as np
+import pytest
+
+from scann_tpu import BruteForceSearcher, DenseDataset, SearchParameters
+from scann_tpu.models.partitioned import PartitionedSearcher
+from scann_tpu.partitioning import (
+    DatabaseTokenization,
+    TreePartitioner,
+    TreePartitionerConfig,
+)
+
+
+def test_tokenization_csr():
+    tokens = np.array([2, 0, 2, 1, 0, 2], dtype=np.int32)
+    tk = DatabaseTokenization(tokens, 3)
+    assert tk.partition_sizes.tolist() == [2, 1, 3]
+    assert set(tk.partition_indices(0).tolist()) == {1, 4}
+    assert set(tk.partition_indices(2).tolist()) == {0, 2, 5}
+    leaves = np.asarray(tk.padded_leaves())
+    assert leaves.shape[0] == 3
+    assert (np.sort(leaves[1])[-1:] == [3]).all()
+    # padding is -1
+    assert (leaves[1] == -1).sum() == leaves.shape[1] - 1
+
+
+def test_build_and_partition(clustered_data):
+    pts, centers, assign = clustered_data
+    tp = TreePartitioner(TreePartitionerConfig(num_partitions=8, seed=42)).build(
+        DenseDataset(pts)
+    )
+    assert tp.num_partitions == 8
+    assert tp.partition_sizes().sum() == len(pts)
+    # a query at a true center selects the partition holding its points
+    pr = tp.partition(centers[0], 1)
+    members = set(tp.partition_indices(pr.top_token()).tolist())
+    true_members = set(np.nonzero(assign == 0)[0].tolist())
+    assert len(members & true_members) / len(true_members) > 0.9
+
+
+def test_partition_distances_sorted(clustered_data):
+    pts, centers, _ = clustered_data
+    tp = TreePartitioner(TreePartitionerConfig(num_partitions=8, seed=42)).build(
+        DenseDataset(pts)
+    )
+    pr = tp.partition(centers[3], 5)
+    assert (np.diff(pr.distances) >= -1e-5).all()
+    assert len(set(pr.tokens.tolist())) == 5
+
+
+def test_partitioned_search_recall(rng):
+    db = rng.normal(size=(2000, 24)).astype(np.float32)
+    q = rng.normal(size=(20, 24)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    s = PartitionedSearcher(
+        ds, config=TreePartitionerConfig(num_partitions=20, seed=42),
+        num_partitions_to_search=8,
+    )
+    idx, dist = s.search_batched_arrays(q, 10)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
+    assert recall >= 0.85
+    assert (np.diff(dist, axis=1) >= -1e-5).all()
+
+
+def test_searching_all_partitions_is_exact(rng):
+    db = rng.normal(size=(500, 16)).astype(np.float32)
+    q = rng.normal(size=(10, 16)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt_idx, gt_dist = BruteForceSearcher(ds).search_batched_arrays(q, 5)
+    s = PartitionedSearcher(
+        ds, config=TreePartitionerConfig(num_partitions=10, seed=42),
+        num_partitions_to_search=10,
+    )
+    idx, dist = s.search_batched_arrays(q, 5)
+    np.testing.assert_allclose(dist, gt_dist, rtol=1e-3, atol=1e-3)
+
+
+def test_leaves_override_via_params(rng):
+    db = rng.normal(size=(400, 8)).astype(np.float32)
+    ds = DenseDataset(db)
+    s = PartitionedSearcher(
+        ds, config=TreePartitionerConfig(num_partitions=16, seed=42),
+        num_partitions_to_search=1,
+    )
+    q = db[:5]
+    # with all leaves searched results match brute force
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 3)
+    idx, _ = s.search_batched_arrays(q, 3, SearchParameters(num_leaves_to_search=16))
+    assert np.mean([len(set(a) & set(b)) / 3 for a, b in zip(idx, gt)]) == 1.0
+
+
+def test_missing_results_marked(rng):
+    """k larger than candidates in searched leaves -> -1 indices."""
+    db = rng.normal(size=(64, 8)).astype(np.float32)
+    ds = DenseDataset(db)
+    s = PartitionedSearcher(
+        ds, config=TreePartitionerConfig(num_partitions=16, seed=42),
+        num_partitions_to_search=1,
+    )
+    idx, dist = s.search_batched_arrays(db[:3], 30)
+    assert (idx == -1).any()
+    assert np.isinf(dist[idx == -1]).all()
+    # valid prefix is sorted and real
+    for row_i, row_d in zip(idx, dist):
+        m = row_i >= 0
+        assert (np.diff(row_d[m]) >= -1e-5).all()
