@@ -1,0 +1,191 @@
+"""Asymmetric hasher: PQ-encoded database + per-query LUT scoring.
+
+Replaces the reference's host loop (build LUT, scalar-score every point,
+heap) (reference: src/hashes/hasher.rs:75-229) with one device program:
+
+    LUT einsum ([B,S,C] tables) -> code scoring (one-hot matmul / gather)
+    -> masked top-k [-> gather raw rows -> exact re-rank -> top-k]
+
+The optional exact re-ranking stage (search_with_reordering,
+hasher.rs:188-229) runs inside the same jit program — no host round trip
+between approximate and exact stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.errors import ScannError
+from scann_tpu.hashes.codebook import Codebook, CodebookConfig, lut_kernel
+from scann_tpu.hashes.lut16 import PackedCodes4Bit
+from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.ops.distances import DistanceMeasure, gathered_distances
+from scann_tpu.ops.lut16_scoring import lut_score
+from scann_tpu.ops.topk import top_k_smallest
+from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
+
+
+@dataclasses.dataclass
+class AsymmetricHasherConfig:
+    """(reference: src/hashes/hasher.rs:30-70)."""
+
+    num_codes: int = 256
+    num_subspaces: int = 8
+    seed: Optional[int] = None
+    max_iterations: int = 25
+    training_sample_size: int = 100_000
+    store_dataset: bool = True  # needed for exact reordering
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int):
+    """Approximate-only search: LUT build + scoring + top-k."""
+    luts = lut_kernel(queries, centroids)
+    dists = lut_score(luts, codes)  # [B, N_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+    dists = jnp.where(col < n_valid, dists, MASKED_DISTANCE)
+    return top_k_smallest(dists, k)
+
+
+@functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure"))
+def ah_search_reorder_kernel(
+    centroids, codes, db, db_sq_norms, n_valid, queries, *, pre_k: int, k: int,
+    measure: DistanceMeasure,
+):
+    """Approximate top-pre_k then exact re-rank to top-k, one program."""
+    luts = lut_kernel(queries, centroids)
+    approx = lut_score(luts, codes)
+    col = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
+    approx = jnp.where(col < n_valid, approx, MASKED_DISTANCE)
+    _, cand = top_k_smallest(approx, pre_k)            # [B, pre_k]
+
+    rows = jnp.take(db, cand, axis=0)                  # [B, pre_k, D]
+    norms = jnp.take(db_sq_norms, cand, axis=0)
+    exact = gathered_distances(measure, queries, rows, norms)
+    valid = cand < n_valid
+    exact = jnp.where(valid, exact, MASKED_DISTANCE)
+    vals, pos = top_k_smallest(exact, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    missing = vals >= MASKED_DISTANCE / 2
+    return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+
+
+class AsymmetricHasher(Searcher):
+    """PQ hashing searcher (reference: src/hashes/hasher.rs:75-93)."""
+
+    def __init__(self, config: Optional[AsymmetricHasherConfig] = None):
+        self.config = config or AsymmetricHasherConfig()
+        self.codebook: Optional[Codebook] = None
+        self.codes: Optional[np.ndarray] = None          # [N, S] uint8
+        self.packed: Optional[PackedCodes4Bit] = None    # int4 layout when C<=16
+        self._dataset: Optional[DenseDataset] = None
+        self._codes_dev = None
+        self._n = 0
+        self._dim = 0
+
+    # -- build ----------------------------------------------------------------
+    def build(self, dataset: DenseDataset) -> "AsymmetricHasher":
+        if dataset.is_empty:
+            raise ScannError.invalid_argument("Cannot build from empty dataset")
+        cfg = self.config
+        self._dim = dataset.dimensionality
+        self._n = dataset.size
+
+        data = dataset.numpy()
+        train = data
+        if cfg.training_sample_size < len(data):
+            rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 42)
+            train = data[rng.choice(len(data), cfg.training_sample_size, replace=False)]
+
+        self.codebook = Codebook(CodebookConfig(
+            num_codes=cfg.num_codes,
+            num_subspaces=cfg.num_subspaces,
+            max_iterations=cfg.max_iterations,
+            seed=cfg.seed,
+        )).train(train)
+
+        self.codes = self.codebook.encode_dataset(data)
+        if self.codebook.num_codes <= 16:
+            self.packed = PackedCodes4Bit.from_codes(self.codes)
+        if cfg.store_dataset:
+            self._dataset = dataset
+        self._codes_dev = None
+        return self
+
+    def _device_codes(self):
+        if self._codes_dev is None:
+            n_pad = align_up(max(self._n, 1), SUBLANE_I8)
+            codes = self.codes
+            if n_pad != self._n:
+                codes = np.zeros((n_pad, codes.shape[1]), dtype=np.uint8)
+                codes[: self._n] = self.codes
+            self._codes_dev = jnp.asarray(codes)
+        return self._codes_dev
+
+    # -- metadata --------------------------------------------------------------
+    def dataset_size(self) -> int:
+        return self._n
+
+    def dimensionality(self) -> int:
+        return self._dim
+
+    def _docids(self):
+        return self._dataset.docids if self._dataset is not None else None
+
+    def memory_usage(self) -> int:
+        """Code bytes (packed when 4-bit)."""
+        if self.packed is not None:
+            return self.packed.data.nbytes
+        return 0 if self.codes is None else self.codes.nbytes
+
+    # -- search ----------------------------------------------------------------
+    def search_batched_arrays(self, queries: np.ndarray, k: int,
+                              params: Optional[SearchParameters] = None):
+        self._check_built()
+        queries = self._validate_queries(queries)
+        k = min(int(k), self._n)
+        if k <= 0:
+            raise ScannError.invalid_argument(f"k must be positive, got {k}")
+
+        pre_k = None
+        if params is not None and params.pre_reordering_num_neighbors is not None:
+            pre_k = min(int(params.pre_reordering_num_neighbors), self._n)
+
+        if pre_k is not None and pre_k > k:
+            return self._search_reorder(queries, k, pre_k)
+
+        dists, idx = ah_search_kernel(
+            self.codebook.centroids_device(), self._device_codes(),
+            jnp.int32(self._n), jnp.asarray(queries), k=k,
+        )
+        return np.asarray(idx), np.asarray(dists)
+
+    def search_with_reordering(self, query, k: int, pre_reorder_k: int):
+        """(reference: hasher.rs:188-229)."""
+        q = self._validate_queries(np.asarray(query))
+        idx, dist = self._search_reorder(q, min(k, self._n), min(pre_reorder_k, self._n))
+        return self._to_results(idx, dist)[0]
+
+    def _search_reorder(self, queries, k: int, pre_k: int):
+        if self._dataset is None:
+            raise ScannError.failed_precondition("Dataset not stored")
+        db, _ = self._dataset.device()
+        from scann_tpu.ops.distances import squared_norms
+        norms = jax.jit(squared_norms)(db)
+        dists, idx = ah_search_reorder_kernel(
+            self.codebook.centroids_device(), self._device_codes(), db, norms,
+            jnp.int32(self._n), jnp.asarray(queries), pre_k=pre_k, k=k,
+            measure=DistanceMeasure.SQUARED_L2,
+        )
+        return np.asarray(idx), np.asarray(dists)
+
+    def _check_built(self):
+        if self.codebook is None:
+            raise ScannError.failed_precondition("hasher not built")

@@ -1,0 +1,128 @@
+"""Tree-×-AH hybrid: recall with re-ranking, residuals on/off, restricts
+mask, self-query (reference test analog: tests/stress_tests.rs recall
+verification for tree-ah)."""
+
+import numpy as np
+import pytest
+
+from scann_tpu import BruteForceSearcher, DenseDataset, ScannError, SearchParameters
+from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+
+
+def _recall(idx, gt):
+    return np.mean([len(set(a) & set(b)) / len(b) for a, b in zip(idx, gt)])
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    rng = np.random.default_rng(42)
+    # clustered data: the realistic regime for partitioned search
+    centers = rng.normal(size=(32, 32)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 32, size=4000)
+    db = (centers[assign] + rng.normal(size=(4000, 32)) * 0.5).astype(np.float32)
+    q = (centers[rng.integers(0, 32, size=25)]
+         + rng.normal(size=(25, 32)) * 0.5).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    return db, q, ds, gt, s
+
+
+def test_recall_with_reranking(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    idx, dist = s.search_batched_arrays(q, 10,
+                                        SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.9
+    # distances are exact (re-ranked)
+    d_at = ((q[:, None, :] - db[np.maximum(idx, 0)]) ** 2).sum(-1)
+    m = idx >= 0
+    np.testing.assert_allclose(dist[m], d_at[m], rtol=1e-3, atol=1e-3)
+
+
+def test_self_query(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    idx, dist = s.search_batched_arrays(db[:10], 1)
+    assert (idx[:, 0] == np.arange(10)).mean() >= 0.9
+
+
+def test_more_partitions_searched_higher_recall(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    r = []
+    for p in (1, 8, 32):
+        idx, _ = s.search_batched_arrays(
+            q, 10, SearchParameters(num_leaves_to_search=p,
+                                    pre_reordering_num_neighbors=120))
+        r.append(_recall(idx, gt))
+    assert r[0] <= r[1] <= r[2] + 1e-9
+    assert r[2] >= 0.95
+
+
+def test_no_residuals_mode(hybrid_setup):
+    db, q, ds, gt, _ = hybrid_setup
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, use_residuals=False,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    idx, _ = s.search_batched_arrays(q, 10,
+                                     SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.8  # residuals usually help; raw PQ still decent
+
+
+def test_residuals_beat_raw_pq():
+    """Residual encoding should reduce quantization error (the whole point:
+    tree_x_hybrid/mod.rs:212-237)."""
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(16, 16)).astype(np.float32) * 5.0
+    assign = rng.integers(0, 16, size=2000)
+    db = (centers[assign] + rng.normal(size=(2000, 16)) * 0.3).astype(np.float32)
+    ds = DenseDataset(db)
+    cfgs = [TreeXHybridConfig(num_partitions=16, partitions_to_search=16,
+                              use_residuals=u,
+                              hash_config=AsymmetricHasherConfig(
+                                  num_codes=16, num_subspaces=4, seed=1))
+            for u in (True, False)]
+    errs = []
+    for cfg in cfgs:
+        s = TreeXHybridSearcher(cfg).build(ds)
+        tokens = s.partitioner.tokenization.tokens
+        base = s.partitioner.centers[tokens] if cfg.use_residuals else 0.0
+        rec = base + s.codebook.decode(s.codes)
+        errs.append(((rec - db) ** 2).sum(-1).mean())
+    assert errs[0] < errs[1]
+
+
+def test_allowlist_mask(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    allow = np.zeros(len(db), dtype=bool)
+    allow[: len(db) // 2] = True
+    idx, _ = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120), allow_mask=allow)
+    valid = idx[idx >= 0]
+    assert len(valid) > 0
+    assert (valid < len(db) // 2).all()
+
+
+def test_missing_marked_minus_one(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    allow = np.zeros(len(db), dtype=bool)
+    allow[:3] = True  # only 3 allowed points in the whole db
+    idx, dist = s.search_batched_arrays(q, 10, allow_mask=allow)
+    assert (idx == -1).any()
+    assert np.isinf(dist[idx == -1]).all()
+    assert ((idx >= 0) <= (idx < 3)).all() if (idx >= 0).any() else True
+
+
+def test_unbuilt_rejected():
+    with pytest.raises(ScannError):
+        TreeXHybridSearcher().search(np.zeros(8, np.float32), 1)
+
+
+def test_memory_usage(hybrid_setup):
+    _, _, _, _, s = hybrid_setup
+    # 8 subspaces, 4-bit codes -> 4 bytes/point plus centroids+codebook
+    assert s.memory_usage() >= 4000 * 4
+    assert s.memory_usage() < 4000 * 4 + 100_000
