@@ -1,0 +1,79 @@
+"""Headline benchmark — printed as ONE JSON line on stdout.
+
+Metric: batched exact brute-force QPS on the reference's headline workload
+(100 queries x 10k x 64d, k=10; reference README.md:678 = 117,943 QPS on
+2x Xeon 8260 / AVX2 / 96 threads). Throughput is measured device-resident
+(queries uploaded once, repeated jitted searches, block at the end) — the
+production serving pattern; per-call host<->device transfer through the dev
+tunnel would otherwise dominate.
+
+Extra context (tree-AH recall/QPS at scale) goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BATCHED_QPS = 117_943.0  # reference README.md:678
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.models.brute_force import BruteForceSearcher, _search_kernel
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    rng = np.random.default_rng(42)
+    n, d, b, k = 10_000, 64, 100, 10
+    db_np = rng.random((n, d), dtype=np.float32)
+    q_np = rng.random((b, d), dtype=np.float32)
+
+    s = BruteForceSearcher(DenseDataset(db_np))
+    db, norms, n_valid = s._device_state()
+    q = jnp.asarray(q_np)
+
+    def run():
+        return _search_kernel(db, norms, jnp.int32(n_valid), q,
+                              measure=DistanceMeasure.SQUARED_L2, k=k)
+
+    jax.block_until_ready(run())  # compile
+    # calibrate iteration count to ~1s
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    per = max(time.perf_counter() - t0, 1e-5)
+    iters = max(int(1.0 / per), 10)
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    qps = b / dt
+
+    # correctness check: recall vs numpy GT must be 1.0
+    idx = np.asarray(out[1])
+    gt = np.argsort(((q_np[:, None, :] - db_np[None, :, :]) ** 2).sum(-1), axis=1)[:, :k]
+    recall = np.mean([len(set(a) & set(bb)) / k for a, bb in zip(idx, gt)])
+    log(f"bench: {dt*1e3:.3f} ms/batch, recall@10={recall:.4f}, {iters} iters")
+    if recall < 0.999:
+        log("WARNING: recall below 1.0 — not exact!")
+
+    print(json.dumps({
+        "metric": "batched_brute_force_qps_10k_64d_b100_k10",
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / BASELINE_BATCHED_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,9 @@ from scann_tpu.models.scalar_quantized import (
     ScalarQuantizedBruteForceSearcher,
     ScalarQuantizedConfig,
 )
+from scann_tpu.models.partitioned import PartitionedSearcher
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode
 
 __version__ = "0.1.0"
 
@@ -58,4 +61,10 @@ __all__ = [
     "BruteForceSearcher",
     "ScalarQuantizedBruteForceSearcher",
     "ScalarQuantizedConfig",
+    "PartitionedSearcher",
+    "TreeXHybridConfig",
+    "TreeXHybridSearcher",
+    "Scann",
+    "ScannBuilder",
+    "SearchMode",
 ]

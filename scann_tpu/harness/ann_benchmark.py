@@ -1,0 +1,257 @@
+"""ANN-Benchmarks-style evaluation harness.
+
+Mirror of the reference's ``ann_benchmark`` binary
+(reference: src/bin/ann_benchmark.rs:119-227): loads an ANN-Benchmarks JSON
+dataset (``{"train": [[..]], "test": [[..]], "neighbors": [[..]]}``) or
+generates a seeded synthetic one with exactly-computed ground truth, builds
+the configured index, times the search phase, and emits a JSON report with
+build seconds, search seconds, QPS, recall@k and memory.
+
+TPU-specific departures:
+  - queries run in batches (the production serving shape); ``--batch-size``
+    controls it. The reference loops per query over rayon threads.
+  - memory is reported as host RSS delta plus device index bytes.
+
+Run: ``python -m scann_tpu.harness.ann_benchmark --algorithm tree-ah ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchmarkData:
+    train: np.ndarray   # [N, D] f32
+    test: np.ndarray    # [Q, D] f32
+    gt: np.ndarray      # [Q, k] int32
+    source: str
+    dimension: int
+
+
+@dataclasses.dataclass
+class BenchmarkReport:
+    """(reference: ann_benchmark.rs:119-133)."""
+
+    dataset: str
+    algorithm: str
+    distance: str
+    k: int
+    train_size: int
+    test_size: int
+    dimension: int
+    build_seconds: float
+    search_seconds: float
+    qps: float
+    recall_at_k: float
+    index_rss_delta_bytes: Optional[int] = None
+    index_device_bytes: Optional[int] = None
+    batch_size: Optional[int] = None
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def current_rss_bytes() -> Optional[int]:
+    """(reference: ann_benchmark.rs:473-479 reads /proc/self/statm)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        import resource  # page size via sysconf
+        import os
+        return pages * os.sysconf("SC_PAGE_SIZE")
+    except Exception:
+        return None
+
+
+def exact_ground_truth(train: np.ndarray, queries: np.ndarray, k: int,
+                       batch: int = 256) -> np.ndarray:
+    """Exact GT via the TPU brute-force searcher
+    (reference: ann_benchmark.rs:427-450 computes it scalar on host)."""
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.models.brute_force import BruteForceSearcher
+
+    s = BruteForceSearcher(DenseDataset(train))
+    out = []
+    for i in range(0, len(queries), batch):
+        idx, _ = s.search_batched_arrays(queries[i : i + batch], k)
+        out.append(idx)
+    return np.concatenate(out, axis=0).astype(np.int32)
+
+
+def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
+                               dim: int = 64, k: int = 10, seed: int = 42,
+                               clustered: bool = False) -> BenchmarkData:
+    """Seeded synthetic data; uniform [0,1) like the reference
+    (ann_benchmark.rs:402-425), or clustered for partition-friendly regimes."""
+    rng = np.random.default_rng(seed)
+    if clustered:
+        n_clusters = max(train_size // 500, 8)
+        centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 3.0
+        a = rng.integers(0, n_clusters, size=train_size)
+        train = (centers[a] + rng.normal(size=(train_size, dim))).astype(np.float32)
+        aq = rng.integers(0, n_clusters, size=test_size)
+        test = (centers[aq] + rng.normal(size=(test_size, dim))).astype(np.float32)
+        source = f"synthetic_clustered_n{train_size}_q{test_size}_d{dim}"
+    else:
+        train = rng.random(size=(train_size, dim), dtype=np.float32)
+        test = rng.random(size=(test_size, dim), dtype=np.float32)
+        source = f"synthetic_n{train_size}_q{test_size}_d{dim}"
+    gt = exact_ground_truth(train, test, k)
+    return BenchmarkData(train, test, gt, source, dim)
+
+
+def load_json_dataset(path: str, k: int, limit_train: Optional[int] = None,
+                      limit_test: Optional[int] = None) -> BenchmarkData:
+    """(reference: ann_benchmark.rs:357-400)."""
+    with open(path) as f:
+        raw = json.load(f)
+    train = np.asarray(raw["train"], dtype=np.float32)
+    test = np.asarray(raw["test"], dtype=np.float32)
+    neighbors = [list(map(int, row)) for row in raw["neighbors"]]
+    if limit_train:
+        train = train[:limit_train]
+    if limit_test:
+        test = test[:limit_test]
+        neighbors = neighbors[:limit_test]
+    if len(train) == 0 or len(test) == 0 or len(neighbors) == 0:
+        raise ValueError("dataset JSON must include non-empty train/test/neighbors")
+    if any(len(r) < k for r in neighbors):
+        raise ValueError(f"neighbors rows must have at least {k} entries")
+    gt = np.asarray([r[:k] for r in neighbors[: len(test)]], dtype=np.int32)
+    return BenchmarkData(train, test, gt, path, train.shape[1])
+
+
+def average_recall_at_k(results: np.ndarray, gt: np.ndarray) -> float:
+    """(reference: ann_benchmark.rs:452-471)."""
+    recs = []
+    for found, want in zip(results, gt):
+        want_set = set(int(w) for w in want)
+        found_set = set(int(f) for f in found if f >= 0)
+        recs.append(len(found_set & want_set) / max(len(want_set), 1))
+    return float(np.mean(recs))
+
+
+def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
+    """(reference: ann_benchmark.rs:329-355)."""
+    from scann_tpu.config import (
+        ExactReorderingConfig,
+        HashConfig,
+        PartitioningConfig,
+        ScannConfig,
+    )
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.models.scann import Scann
+
+    cfg = ScannConfig(num_neighbors=args.k)
+    if algorithm == "brute-force":
+        cfg.with_brute_force()
+    elif algorithm == "partitioned":
+        cfg.with_partitioning(PartitioningConfig(
+            num_partitions=args.num_partitions,
+            num_partitions_to_search=args.partitions_to_search,
+        ))
+    elif algorithm == "hashed":
+        cfg.with_hashing(HashConfig(num_blocks=args.num_blocks,
+                                    num_buckets=args.num_buckets))
+        if args.reorder:
+            cfg.with_reordering(ExactReorderingConfig(num_candidates=args.reorder))
+    elif algorithm == "tree-ah":
+        cfg.with_partitioning(PartitioningConfig(
+            num_partitions=args.num_partitions,
+            num_partitions_to_search=args.partitions_to_search,
+        ))
+        cfg.with_hashing(HashConfig(num_blocks=args.num_blocks, num_buckets=16))
+        cfg.with_reordering(ExactReorderingConfig(
+            num_candidates=args.reorder or args.k * 3))
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return Scann(DenseDataset(data.train), cfg)
+
+
+def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
+    rss0 = current_rss_bytes()
+    t0 = time.perf_counter()
+    index = build_index(algorithm, data, args)
+    build_s = time.perf_counter() - t0
+    rss1 = current_rss_bytes()
+
+    batch = args.batch_size
+    # warm-up compile (excluded from timing, like criterion's warm-up)
+    index.search_batched_arrays(data.test[:batch], args.k)
+
+    results = np.full((len(data.test), args.k), -1, dtype=np.int64)
+    t0 = time.perf_counter()
+    for i in range(0, len(data.test), batch):
+        idx, _ = index.search_batched_arrays(data.test[i : i + batch], args.k)
+        results[i : i + idx.shape[0], : idx.shape[1]] = idx
+    search_s = time.perf_counter() - t0
+
+    recall = average_recall_at_k(results, data.gt)
+    dev_bytes = None
+    if hasattr(index.impl, "memory_usage"):
+        dev_bytes = int(index.impl.memory_usage())
+
+    return BenchmarkReport(
+        dataset=data.source,
+        algorithm=algorithm,
+        distance="squared_l2",
+        k=args.k,
+        train_size=len(data.train),
+        test_size=len(data.test),
+        dimension=data.dimension,
+        build_seconds=build_s,
+        search_seconds=search_s,
+        qps=len(data.test) / search_s if search_s > 0 else 0.0,
+        recall_at_k=recall,
+        index_rss_delta_bytes=(rss1 - rss0) if rss0 is not None and rss1 is not None else None,
+        index_device_bytes=dev_bytes,
+        batch_size=batch,
+    )
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="scann_tpu ANN benchmark harness")
+    p.add_argument("--algorithm", default="brute-force",
+                   choices=["brute-force", "partitioned", "hashed", "tree-ah"])
+    p.add_argument("--dataset", default=None, help="ANN-Benchmarks JSON path")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--num-partitions", type=int, default=100)
+    p.add_argument("--partitions-to-search", type=int, default=10)
+    p.add_argument("--num-blocks", type=int, default=16)
+    p.add_argument("--num-buckets", type=int, default=256)
+    p.add_argument("--reorder", type=int, default=0)
+    p.add_argument("--limit-train", type=int, default=None)
+    p.add_argument("--limit-test", type=int, default=None)
+    p.add_argument("--synthetic-train", type=int, default=10_000)
+    p.add_argument("--synthetic-test", type=int, default=200)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--clustered", action="store_true")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = make_parser().parse_args(argv)
+    if args.dataset:
+        data = load_json_dataset(args.dataset, args.k, args.limit_train, args.limit_test)
+    else:
+        data = generate_synthetic_dataset(
+            args.synthetic_train, args.synthetic_test, args.dim, args.k, args.seed,
+            clustered=args.clustered,
+        )
+    report = run_benchmark(args.algorithm, data, args)
+    print(report.to_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,210 @@
+"""Unified Scann facade + builder.
+
+Mirrors the reference's top-level entry point
+(reference: src/scann.rs:19-56 SearchMode, :60-172 config-driven init,
+:364-432 ScannBuilder): the config selects among BruteForce / Partitioned /
+Hashed / TreeAH, each backed by the corresponding fused TPU searcher.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from scann_tpu.config import HashConfig, ScannConfig
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.errors import ScannError
+from scann_tpu.hashes.hasher import AsymmetricHasher, AsymmetricHasherConfig
+from scann_tpu.models.brute_force import BruteForceSearcher
+from scann_tpu.models.partitioned import PartitionedSearcher
+from scann_tpu.models.scalar_quantized import (
+    ScalarQuantizedBruteForceSearcher,
+    ScalarQuantizedConfig,
+)
+from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+from scann_tpu.ops.distances import DistanceMeasure
+from scann_tpu.partitioning.tree_partitioner import TreePartitionerConfig
+
+
+class SearchMode(enum.Enum):
+    """(reference: src/scann.rs:19-30)."""
+
+    BRUTE_FORCE = "BruteForce"
+    PARTITIONED = "Partitioned"
+    HASHED = "Hashed"
+    TREE_AH = "TreeAH"
+
+
+def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool) -> AsymmetricHasherConfig:
+    """HashConfig(num_buckets, num_blocks) -> AH(num_codes, num_subspaces).
+
+    For tree-AH the reference's production setting is 16-code (LUT16) blocks;
+    standalone hashing defaults to 256 codes (reference: config.rs:221-230,
+    hasher.rs:30-40)."""
+    return AsymmetricHasherConfig(
+        num_codes=int(hc.num_buckets),
+        num_subspaces=int(hc.num_blocks),
+        training_sample_size=int(hc.training_sample_size),
+        seed=42,
+    )
+
+
+class Scann(Searcher):
+    """Config-driven searcher facade."""
+
+    def __init__(self, dataset: DenseDataset, config: Optional[ScannConfig] = None):
+        config = config or ScannConfig()
+        if dataset.is_empty:
+            raise ScannError.invalid_argument("Dataset cannot be empty")
+        self._dataset = dataset
+        self._config = config
+        measure = config.distance_measure
+
+        if config.brute_force is not None and config.brute_force.scalar_quantization:
+            self._impl: Searcher = ScalarQuantizedBruteForceSearcher(
+                dataset,
+                ScalarQuantizedConfig(
+                    distance_measure=measure,
+                    storage="int4" if config.brute_force.quantization_bits == 4 else "int8",
+                ),
+            )
+            self.search_mode = SearchMode.BRUTE_FORCE
+        elif config.partitioning is not None and config.hash is not None:
+            p = config.partitioning
+            cfg = TreeXHybridConfig(
+                num_partitions=int(p.num_partitions),
+                partitions_to_search=int(p.num_partitions_to_search),
+                hash_config=_hash_to_ah_config(config.hash, for_tree_ah=True),
+                distance_measure=measure,
+            )
+            if config.exact_reordering is not None:
+                cfg.pre_reorder_multiplier = max(
+                    float(config.exact_reordering.num_candidates)
+                    / max(config.num_neighbors, 1),
+                    1.0,
+                )
+            self._impl = TreeXHybridSearcher(cfg).build(dataset)
+            self.search_mode = SearchMode.TREE_AH
+        elif config.partitioning is not None:
+            p = config.partitioning
+            self._impl = PartitionedSearcher(
+                dataset,
+                config=TreePartitionerConfig(
+                    num_partitions=int(p.num_partitions),
+                    max_iterations=int(p.max_training_iterations),
+                    convergence_threshold=float(p.convergence_threshold),
+                    num_levels=int(p.num_levels),
+                    distance_measure=measure,
+                    training_sample_size=p.training_sample_size,
+                ),
+                num_partitions_to_search=int(p.num_partitions_to_search),
+                distance_measure=measure,
+            )
+            self.search_mode = SearchMode.PARTITIONED
+        elif config.hash is not None:
+            self._impl = AsymmetricHasher(
+                _hash_to_ah_config(config.hash, for_tree_ah=False)
+            ).build(dataset)
+            self.search_mode = SearchMode.HASHED
+        else:
+            self._impl = BruteForceSearcher(dataset, measure)
+            self.search_mode = SearchMode.BRUTE_FORCE
+
+    # -- constructors matching the reference (scann.rs:106-172) -------------
+    @classmethod
+    def brute_force(cls, dataset: DenseDataset,
+                    measure: DistanceMeasure = DistanceMeasure.SQUARED_L2) -> "Scann":
+        return cls(dataset, ScannConfig(distance_measure=measure).with_brute_force())
+
+    @classmethod
+    def partitioned(cls, dataset: DenseDataset, num_partitions: int,
+                    partitions_to_search: int) -> "Scann":
+        cfg = ScannConfig()
+        cfg.with_partitioning()
+        cfg.partitioning.num_partitions = num_partitions
+        cfg.partitioning.num_partitions_to_search = partitions_to_search
+        return cls(dataset, cfg)
+
+    @classmethod
+    def hashed(cls, dataset: DenseDataset, num_blocks: int) -> "Scann":
+        cfg = ScannConfig().with_hashing()
+        cfg.hash.num_blocks = num_blocks
+        return cls(dataset, cfg)
+
+    # -- delegation -----------------------------------------------------------
+    @property
+    def config(self) -> ScannConfig:
+        return self._config
+
+    @property
+    def impl(self) -> Searcher:
+        return self._impl
+
+    def distance_measure(self) -> DistanceMeasure:
+        return self._config.distance_measure
+
+    def dataset_size(self) -> int:
+        return self._dataset.size
+
+    @property
+    def size(self) -> int:
+        return self._dataset.size
+
+    def dimensionality(self) -> int:
+        return self._dataset.dimensionality
+
+    def _docids(self):
+        return self._dataset.docids
+
+    def search_batched_arrays(self, queries: np.ndarray, k: Optional[int] = None,
+                              params: Optional[SearchParameters] = None):
+        k = k if k is not None else self._config.num_neighbors
+        # default reordering depth from the config for approximate modes
+        if (params is None and self._config.exact_reordering is not None
+                and self.search_mode == SearchMode.HASHED):
+            params = SearchParameters(
+                pre_reordering_num_neighbors=self._config.exact_reordering.num_candidates
+            )
+        return self._impl.search_batched_arrays(queries, k, params)
+
+
+class ScannBuilder:
+    """Fluent builder (reference: src/scann.rs:364-432)."""
+
+    def __init__(self):
+        self._config = ScannConfig()
+
+    def num_neighbors(self, k: int) -> "ScannBuilder":
+        self._config.num_neighbors = k
+        return self
+
+    def distance_measure(self, measure: DistanceMeasure) -> "ScannBuilder":
+        self._config.distance_measure = measure
+        return self
+
+    def brute_force(self) -> "ScannBuilder":
+        self._config.with_brute_force()
+        return self
+
+    def tree(self, num_partitions: int, partitions_to_search: int) -> "ScannBuilder":
+        self._config.with_partitioning()
+        self._config.partitioning.num_partitions = num_partitions
+        self._config.partitioning.num_partitions_to_search = partitions_to_search
+        return self
+
+    def hash(self, num_blocks: int, num_buckets: int = 256) -> "ScannBuilder":
+        self._config.with_hashing()
+        self._config.hash.num_blocks = num_blocks
+        self._config.hash.num_buckets = num_buckets
+        return self
+
+    def reorder(self, num_candidates: int) -> "ScannBuilder":
+        self._config.with_reordering()
+        self._config.exact_reordering.num_candidates = num_candidates
+        return self
+
+    def build(self, dataset: DenseDataset) -> Scann:
+        return Scann(dataset, self._config)

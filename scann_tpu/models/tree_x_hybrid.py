@@ -73,11 +73,7 @@ class TreeXHybridConfig:
         return self
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("p", "pre_k", "k", "use_residuals", "measure", "reorder"),
-)
-def tree_ah_kernel(
+def tree_ah_search(
     db, db_sq_norms, centers, leaf_idx, codes, codebook, queries, n_valid, allow_mask,
     *, p: int, pre_k: int, k: int, use_residuals: bool,
     measure: DistanceMeasure, reorder: bool,
@@ -147,6 +143,12 @@ def tree_ah_kernel(
     idx = jnp.take_along_axis(pre_cand, pos, axis=1)
     missing = vals >= MASKED_DISTANCE / 2
     return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+
+
+tree_ah_kernel = jax.jit(
+    tree_ah_search,
+    static_argnames=("p", "pre_k", "k", "use_residuals", "measure", "reorder"),
+)
 
 
 class TreeXHybridSearcher(Searcher):

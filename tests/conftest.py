@@ -1,13 +1,21 @@
-"""Test environment: force CPU backend with 8 virtual devices so sharding
-tests exercise a real (virtual) mesh without TPU hardware. Must run before
-jax is imported anywhere."""
+"""Test environment: force the CPU backend with 8 virtual devices so sharding
+tests exercise a real (virtual) mesh without TPU hardware.
+
+The container's sitecustomize registers the axon TPU plugin and initializes
+JAX backends before pytest starts, so env vars alone are too late — we
+update jax's config and clear the already-created backends.
+"""
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+from jax._src import xla_bridge
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+xla_bridge._clear_backends()
 
 import numpy as np
 import pytest

@@ -1,0 +1,114 @@
+"""Unified Scann facade + builder + harness (reference test analog:
+tests/unit_tests.rs scann_tests, ann_benchmark.rs:481-492)."""
+
+import numpy as np
+import pytest
+
+from scann_tpu import DenseDataset, ScannConfig, ScannError
+from scann_tpu.config import HashConfig, PartitioningConfig
+from scann_tpu.harness.ann_benchmark import (
+    average_recall_at_k,
+    generate_synthetic_dataset,
+    load_json_dataset,
+    make_parser,
+    run_benchmark,
+)
+from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode
+
+
+@pytest.fixture(scope="module")
+def small_db():
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(600, 16)).astype(np.float32)
+
+
+def test_default_is_brute_force(small_db):
+    s = Scann(DenseDataset(small_db))
+    assert s.search_mode == SearchMode.BRUTE_FORCE
+    res = s.search(small_db[5], 3)
+    assert res.neighbors[0].index == 5
+
+
+def test_mode_selection(small_db):
+    ds = DenseDataset(small_db)
+    assert Scann(ds, ScannConfig().with_partitioning(
+        PartitioningConfig(num_partitions=8))).search_mode == SearchMode.PARTITIONED
+    assert Scann(ds, ScannConfig().with_hashing(
+        HashConfig(num_blocks=4, num_buckets=16))).search_mode == SearchMode.HASHED
+    cfg = (ScannConfig()
+           .with_partitioning(PartitioningConfig(num_partitions=8))
+           .with_hashing(HashConfig(num_blocks=4, num_buckets=16)))
+    assert Scann(ds, cfg).search_mode == SearchMode.TREE_AH
+
+
+def test_builder(small_db):
+    s = (ScannBuilder()
+         .num_neighbors(5)
+         .tree(num_partitions=8, partitions_to_search=4)
+         .hash(num_blocks=4, num_buckets=16)
+         .reorder(50)
+         .build(DenseDataset(small_db)))
+    assert s.search_mode == SearchMode.TREE_AH
+    idx, dist = s.search_batched_arrays(small_db[:4])
+    assert idx.shape == (4, 5)
+    assert (idx[:, 0] == np.arange(4)).all()
+
+
+def test_scalar_quantized_mode(small_db):
+    from scann_tpu.config import BruteForceConfig
+    s = Scann(DenseDataset(small_db),
+              ScannConfig().with_brute_force(BruteForceConfig().with_scalar_quantization(8)))
+    res = s.search(small_db[10], 1)
+    assert res.neighbors[0].index == 10
+
+
+def test_empty_dataset_rejected():
+    with pytest.raises(ScannError):
+        Scann(DenseDataset.empty(8))
+
+
+# -------------------------------------------------------------- harness
+
+
+def test_recall_math():
+    got = np.array([[0, 1, 2], [3, 4, 5]])
+    gt = np.array([[0, 1, 9], [3, 4, 5]])
+    assert average_recall_at_k(got, gt) == pytest.approx((2 / 3 + 1.0) / 2)
+
+
+def test_harness_brute_force_end_to_end():
+    args = make_parser().parse_args(
+        ["--algorithm", "brute-force", "--synthetic-train", "500",
+         "--synthetic-test", "20", "--dim", "8", "--batch-size", "20"])
+    data = generate_synthetic_dataset(500, 20, 8, 10, 42)
+    report = run_benchmark("brute-force", data, args)
+    assert report.recall_at_k == pytest.approx(1.0)
+    assert report.qps > 0
+    assert report.train_size == 500
+
+
+def test_harness_tree_ah_end_to_end():
+    args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "10",
+         "--partitions-to-search", "10", "--num-blocks", "4",
+         "--reorder", "50", "--batch-size", "20"])
+    data = generate_synthetic_dataset(400, 20, 16, 10, 42)
+    report = run_benchmark("tree-ah", data, args)
+    assert report.recall_at_k >= 0.9  # all partitions searched + reorder
+    assert report.index_device_bytes is not None
+
+
+def test_harness_json_round_trip(tmp_path):
+    import json
+    data = generate_synthetic_dataset(100, 5, 4, 3, 1)
+    p = tmp_path / "ds.json"
+    p.write_text(json.dumps({
+        "train": data.train.tolist(),
+        "test": data.test.tolist(),
+        "neighbors": data.gt.tolist(),
+    }))
+    loaded = load_json_dataset(str(p), 3)
+    np.testing.assert_allclose(loaded.train, data.train)
+    np.testing.assert_array_equal(loaded.gt, data.gt)
+    with pytest.raises(ValueError):
+        load_json_dataset(str(p), 10)  # k larger than provided neighbors
