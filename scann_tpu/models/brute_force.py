@@ -31,10 +31,15 @@ from scann_tpu.types import MASKED_DISTANCE
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "k"))
-def _search_kernel(db, db_sq_norms, n_valid, queries, *, measure: DistanceMeasure, k: int):
+def _search_kernel(db, db_sq_norms, n_valid, queries, allow_mask=None, *,
+                   measure: DistanceMeasure, k: int):
     dists = many_to_many(measure, queries, db, db_sq_norms)
     dists = mask_padded_rows(dists, n_valid, MASKED_DISTANCE)
-    return top_k_smallest(dists, k)
+    if allow_mask is not None:
+        dists = jnp.where(allow_mask[None, :], dists, MASKED_DISTANCE)
+    vals, idx = top_k_smallest(dists, k)
+    missing = vals >= MASKED_DISTANCE / 2
+    return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
 
 @functools.partial(jax.jit, static_argnames=("measure",))
@@ -80,14 +85,20 @@ class BruteForceSearcher(Searcher):
 
     # -- core API ----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              allow_mask: Optional[np.ndarray] = None):
         queries = self._validate_queries(queries)
         k = min(int(k), self.dataset_size())
         if k <= 0:
             raise ScannError.invalid_argument(f"k must be positive, got {k}")
         db, norms, n = self._device_state()
+        mask_dev = None
+        if allow_mask is not None:
+            m = np.zeros(db.shape[0], dtype=bool)
+            m[:n] = np.asarray(allow_mask, dtype=bool)[:n]
+            mask_dev = jnp.asarray(m)
         dists, idx = _search_kernel(
-            db, norms, jnp.int32(n), jnp.asarray(queries),
+            db, norms, jnp.int32(n), jnp.asarray(queries), mask_dev,
             measure=self._measure, k=k,
         )
         return np.asarray(idx), np.asarray(dists)

@@ -152,6 +152,60 @@ class Searcher:
         idx, dist = self.search_batched_arrays(q, k, params)
         return self._to_results(idx, dist)
 
+    def supports_allow_mask(self) -> bool:
+        import inspect
+
+        try:
+            return "allow_mask" in inspect.signature(self.search_batched_arrays).parameters
+        except (TypeError, ValueError):
+            return False
+
+    def search_with_filter(self, query, k: int, restrict_filter,
+                           params: Optional[SearchParameters] = None) -> SearchResult:
+        """Filtered search (reference: tree_x_hybrid/mod.rs:245-294
+        search_with_filter). Filters lower to a device mask fused into
+        scoring when the searcher supports it; otherwise the searcher
+        over-fetches and post-filters on host."""
+        return self.search_batched_with_filter(
+            np.asarray(query)[None, :], k, restrict_filter, params)[0]
+
+    def search_batched_with_filter(self, queries, k: int, restrict_filter,
+                                   params: Optional[SearchParameters] = None
+                                   ) -> List[SearchResult]:
+        q = self._validate_queries(np.asarray(queries))
+        n = self.dataset_size()
+        mask = restrict_filter.to_mask(n)
+        if self.supports_allow_mask():
+            idx, dist = self.search_batched_arrays(q, k, params, allow_mask=mask)
+            return self._to_results(idx, dist)
+        # host fallback: over-fetch then filter
+        fetch = min(max(4 * k, k + 32), n)
+        idx, dist = self.search_batched_arrays(q, fetch, params)
+        out_i = np.full((len(q), k), -1, dtype=np.int64)
+        out_d = np.full((len(q), k), np.inf, dtype=np.float32)
+        for bi in range(len(q)):
+            w = 0
+            for j in range(fetch):
+                i = int(idx[bi, j])
+                if i >= 0 and mask[i]:
+                    out_i[bi, w], out_d[bi, w] = i, dist[bi, j]
+                    w += 1
+                    if w >= k:
+                        break
+        return self._to_results(out_i, out_d)
+
+    def search_with_crowding(self, queries, k: int, crowding,
+                             params: Optional[SearchParameters] = None,
+                             over_fetch: int = 4):
+        """Crowding-constrained batched search: over-fetch k*over_fetch
+        candidates, then the per-group cap post-pass
+        (reference: crowding.rs:81-104 applied in scann.rs)."""
+        q = self._validate_queries(np.asarray(queries))
+        fetch = min(k * over_fetch, self.dataset_size())
+        idx, dist = self.search_batched_arrays(q, fetch, params)
+        out_i, out_d = crowding.apply_batch(idx.astype(np.int64), dist, k)
+        return self._to_results(out_i, out_d)
+
     def search_batched_with_params(
         self, queries, params_list: Sequence[SearchParameters]
     ) -> List[SearchResult]:

@@ -1,0 +1,487 @@
+"""Dynamic index mutations.
+
+Host-side mutable state (the C++ core in scann_tpu/native, pure-Python
+fallback) + snapshot-swap searching:
+
+  - ``MutationBuffer`` — bounded concurrent mutation queue
+    (reference: src/mutator/mod.rs:76-150).
+  - ``MutableDataset`` — concurrent add/update/remove over an append-only
+    slab with a deleted bitset (reference: mod.rs:233-491). Where the
+    reference uses RCU/ArcSwap snapshots, device arrays *are* immutable
+    snapshots: ``snapshot()`` hands (rows, deleted) to the device uploader.
+  - ``IncrementalUpdater`` — atomic index swap + rebuild threshold
+    (reference: mod.rs:494-546).
+  - ``DynamicSearcher`` — serving wrapper: a main index built from the last
+    snapshot plus an exact brute-force delta over rows added since, deleted
+    rows masked out of both; rebuilds when the delta exceeds the threshold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import threading
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.errors import ScannError
+from scann_tpu.native import load_native
+
+
+class MutationKind(enum.IntEnum):
+    ADD = 0
+    REMOVE = 1
+    UPDATE = 2
+
+
+@dataclasses.dataclass
+class Mutation:
+    """(reference: src/mutator/mod.rs:20-72)."""
+
+    kind: MutationKind
+    index: int
+    data: Optional[np.ndarray] = None
+    timestamp: int = 0
+
+    @classmethod
+    def add(cls, index: int, data, timestamp: int = 0) -> "Mutation":
+        return cls(MutationKind.ADD, index, np.asarray(data, np.float32), timestamp)
+
+    @classmethod
+    def remove(cls, index: int, timestamp: int = 0) -> "Mutation":
+        return cls(MutationKind.REMOVE, index, None, timestamp)
+
+    @classmethod
+    def update(cls, index: int, data, timestamp: int = 0) -> "Mutation":
+        return cls(MutationKind.UPDATE, index, np.asarray(data, np.float32), timestamp)
+
+
+class MutationBuffer:
+    """Bounded concurrent mutation queue; native-backed when available."""
+
+    def __init__(self, max_buffer_size: int = 1024, dim: int = 0):
+        self.max_buffer_size = int(max_buffer_size)
+        self._dim = int(dim)
+        self._lib = load_native()
+        if self._lib is not None:
+            self._h = self._lib.mbuf_create(self.max_buffer_size)
+        else:
+            self._h = None
+            self._q: List[Mutation] = []
+            self._lock = threading.Lock()
+            self._ts = 0
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._h:
+            self._lib.mbuf_destroy(self._h)
+            self._h = None
+
+    def push(self, m: Mutation) -> bool:
+        if self._lib is not None:
+            import ctypes
+            data_ptr = None
+            dim = 0
+            if m.data is not None:
+                arr = np.ascontiguousarray(m.data, dtype=np.float32)
+                data_ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                dim = arr.size
+            return self._lib.mbuf_push(self._h, int(m.kind), m.index, data_ptr, dim) == 0
+        with self._lock:
+            if len(self._q) >= self.max_buffer_size:
+                return False
+            m.timestamp = self._ts
+            self._ts += 1
+            self._q.append(m)
+            return True
+
+    def add(self, index: int, data) -> bool:
+        return self.push(Mutation.add(index, data))
+
+    def remove(self, index: int) -> bool:
+        return self.push(Mutation.remove(index))
+
+    def update(self, index: int, data) -> bool:
+        return self.push(Mutation.update(index, data))
+
+    def __len__(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.mbuf_len(self._h))
+        with self._lock:
+            return len(self._q)
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def should_flush(self) -> bool:
+        return len(self) >= self.max_buffer_size
+
+    def flush(self, dim: Optional[int] = None) -> List[Mutation]:
+        """Drain all queued mutations in order."""
+        if self._lib is not None:
+            import ctypes
+            dim = dim if dim is not None else self._dim
+            out = []
+            kind = ctypes.c_int32()
+            idx = ctypes.c_uint64()
+            ts = ctypes.c_uint64()
+            buf = np.zeros(max(dim, 1), dtype=np.float32)
+            ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            while self._lib.mbuf_pop(self._h, ctypes.byref(kind), ctypes.byref(idx),
+                                     ctypes.byref(ts), ptr, dim) == 0:
+                k = MutationKind(kind.value)
+                data = buf[:dim].copy() if k != MutationKind.REMOVE else None
+                out.append(Mutation(k, idx.value, data, ts.value))
+            return out
+        with self._lock:
+            out, self._q = self._q, []
+            return out
+
+
+class _PyDatasetCore:
+    """Pure-Python fallback matching the native core's semantics."""
+
+    def __init__(self, dim: int, capacity: int = 64):
+        self.dim = dim
+        self._lock = threading.RLock()
+        self._data = np.zeros((capacity, dim), dtype=np.float32)
+        self._deleted = np.zeros(capacity, dtype=np.uint8)
+        self._rows = 0
+        self._live = 0
+
+    def add(self, v: np.ndarray) -> int:
+        with self._lock:
+            if self._rows >= len(self._data):
+                self._data = np.concatenate([self._data, np.zeros_like(self._data)])
+                self._deleted = np.concatenate([self._deleted, np.zeros_like(self._deleted)])
+            self._data[self._rows] = v
+            self._deleted[self._rows] = 0
+            self._rows += 1
+            self._live += 1
+            return self._rows - 1
+
+    def remove(self, i: int) -> bool:
+        with self._lock:
+            if 0 <= i < self._rows and not self._deleted[i]:
+                self._deleted[i] = 1
+                self._live -= 1
+                return True
+            return False
+
+    def update(self, i: int, v: np.ndarray) -> bool:
+        with self._lock:
+            if 0 <= i < self._rows and not self._deleted[i]:
+                self._data[i] = v
+                return True
+            return False
+
+    def get(self, i: int) -> Optional[np.ndarray]:
+        with self._lock:
+            if 0 <= i < self._rows and not self._deleted[i]:
+                return self._data[i].copy()
+            return None
+
+    def exists(self, i: int) -> bool:
+        with self._lock:
+            return 0 <= i < self._rows and not self._deleted[i]
+
+    def size(self) -> int:
+        with self._lock:
+            return self._live
+
+    def rows(self) -> int:
+        with self._lock:
+            return self._rows
+
+    def snapshot(self) -> Tuple[np.ndarray, np.ndarray]:
+        with self._lock:
+            return self._data[: self._rows].copy(), self._deleted[: self._rows].copy()
+
+    def compact(self) -> int:
+        with self._lock:
+            keep = self._deleted[: self._rows] == 0
+            kept = self._data[: self._rows][keep]
+            self._data[: len(kept)] = kept
+            self._deleted[: self._rows] = 0
+            self._rows = len(kept)
+            self._live = len(kept)
+            return self._rows
+
+
+class _NativeDatasetCore:
+    """ctypes wrapper over the C++ MDS."""
+
+    def __init__(self, lib, dim: int, capacity: int = 64):
+        self._lib = lib
+        self.dim = dim
+        self._h = lib.mds_create(dim, capacity)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mds_destroy(self._h)
+            self._h = None
+
+    def _fptr(self, arr):
+        import ctypes
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def add(self, v: np.ndarray) -> int:
+        arr = np.ascontiguousarray(v, dtype=np.float32)
+        return int(self._lib.mds_add(self._h, self._fptr(arr)))
+
+    def remove(self, i: int) -> bool:
+        return self._lib.mds_remove(self._h, i) == 0
+
+    def update(self, i: int, v: np.ndarray) -> bool:
+        arr = np.ascontiguousarray(v, dtype=np.float32)
+        return self._lib.mds_update(self._h, i, self._fptr(arr)) == 0
+
+    def get(self, i: int) -> Optional[np.ndarray]:
+        out = np.zeros(self.dim, dtype=np.float32)
+        if self._lib.mds_get(self._h, i, self._fptr(out)) == 0:
+            return out
+        return None
+
+    def exists(self, i: int) -> bool:
+        return bool(self._lib.mds_exists(self._h, i))
+
+    def size(self) -> int:
+        return int(self._lib.mds_size(self._h))
+
+    def rows(self) -> int:
+        return int(self._lib.mds_rows(self._h))
+
+    def snapshot(self) -> Tuple[np.ndarray, np.ndarray]:
+        import ctypes
+        r = self.rows()
+        data = np.zeros((max(r, 1), self.dim), dtype=np.float32)
+        deleted = np.zeros(max(r, 1), dtype=np.uint8)
+        got = self._lib.mds_snapshot(
+            self._h, self._fptr(data),
+            deleted.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), r)
+        return data[:got], deleted[:got]
+
+    def compact(self) -> int:
+        return int(self._lib.mds_compact(self._h))
+
+
+class MutableDataset:
+    """Concurrent mutable dataset (reference: src/mutator/mod.rs:233-491)."""
+
+    def __init__(self, dimensionality: int, use_native: bool = True):
+        self.dim = int(dimensionality)
+        lib = load_native() if use_native else None
+        if lib is not None:
+            self._core = _NativeDatasetCore(lib, self.dim)
+            self.native = True
+        else:
+            self._core = _PyDatasetCore(self.dim)
+            self.native = False
+        self._mutations = MutationBuffer(1 << 20, dim=self.dim)
+
+    @classmethod
+    def from_dataset(cls, dataset: DenseDataset, use_native: bool = True) -> "MutableDataset":
+        m = cls(dataset.dimensionality, use_native)
+        for row in dataset.numpy():
+            m._core.add(row)
+        return m
+
+    # -- mutations ---------------------------------------------------------
+    def add(self, data) -> int:
+        v = np.asarray(data, dtype=np.float32)
+        if v.shape != (self.dim,):
+            raise ScannError.invalid_argument(f"point shape {v.shape} != ({self.dim},)")
+        idx = self._core.add(v)
+        self._mutations.push(Mutation.add(idx, v))
+        return idx
+
+    def remove(self, index: int) -> None:
+        if not self._core.remove(index):
+            raise ScannError.not_found(f"index {index} not found or already removed")
+        self._mutations.push(Mutation.remove(index))
+
+    def update(self, index: int, data) -> None:
+        v = np.asarray(data, dtype=np.float32)
+        if v.shape != (self.dim,):
+            raise ScannError.invalid_argument(f"point shape {v.shape} != ({self.dim},)")
+        if not self._core.update(index, v):
+            raise ScannError.not_found(f"index {index} not found")
+        self._mutations.push(Mutation.update(index, v))
+
+    # -- reads -------------------------------------------------------------
+    def get(self, index: int) -> Optional[np.ndarray]:
+        return self._core.get(index)
+
+    get_fast = get
+
+    def get_batch(self, indices) -> List[Optional[np.ndarray]]:
+        return [self._core.get(int(i)) for i in indices]
+
+    def exists(self, index: int) -> bool:
+        return self._core.exists(index)
+
+    @property
+    def size(self) -> int:
+        return self._core.size()
+
+    @property
+    def total_rows(self) -> int:
+        return self._core.rows()
+
+    @property
+    def dimensionality(self) -> int:
+        return self.dim
+
+    def snapshot(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows [R, D] f32, deleted [R] u8) immutable copy for device upload."""
+        return self._core.snapshot()
+
+    def flush_mutations(self) -> List[Mutation]:
+        return self._mutations.flush(self.dim)
+
+    def compact(self) -> int:
+        self._mutations.flush(self.dim)
+        return self._core.compact()
+
+    def to_dense_dataset(self) -> DenseDataset:
+        data, deleted = self.snapshot()
+        return DenseDataset(data[deleted == 0])
+
+
+class IncrementalUpdater:
+    """Atomic index swap + rebuild threshold (reference: mod.rs:494-546)."""
+
+    def __init__(self, index, rebuild_threshold: int = 1000):
+        self._index = index
+        self._lock = threading.Lock()
+        self.rebuild_threshold = int(rebuild_threshold)
+        self._pending: List[Mutation] = []
+
+    def load_index(self):
+        with self._lock:
+            return self._index
+
+    def store_index(self, new_index) -> None:
+        with self._lock:
+            self._index = new_index
+
+    def queue_mutation(self, m: Mutation) -> None:
+        with self._lock:
+            self._pending.append(m)
+
+    def needs_rebuild(self) -> bool:
+        with self._lock:
+            return len(self._pending) >= self.rebuild_threshold
+
+    def get_pending_mutations(self) -> List[Mutation]:
+        with self._lock:
+            return list(self._pending)
+
+    def reset_rebuild_counter(self) -> None:
+        with self._lock:
+            self._pending.clear()
+
+
+class DynamicSearcher:
+    """Serving wrapper: main index over the last snapshot + exact delta.
+
+    ``searcher_factory(DenseDataset) -> Searcher`` builds the main index.
+    Adds since the last rebuild are searched exactly (brute force over the
+    delta block); removes/updates mask or override snapshot rows. A rebuild
+    folds the delta in. This realizes the reference's
+    snapshot-swap + amortized-rebuild design on immutable device arrays.
+    """
+
+    def __init__(self, dataset: DenseDataset,
+                 searcher_factory: Callable[[DenseDataset], "object"],
+                 rebuild_threshold: int = 1000):
+        self._factory = searcher_factory
+        self._mutable = MutableDataset.from_dataset(dataset)
+        self.rebuild_threshold = int(rebuild_threshold)
+        self._lock = threading.Lock()
+        self._rebuild()
+
+    def _rebuild(self):
+        data, deleted = self._mutable.snapshot()
+        self._snapshot_rows = len(data)
+        self._deleted_at_build = deleted.copy()
+        self._main = self._factory(DenseDataset(data))
+        self._mutable.flush_mutations()
+        # rows updated since build: the main index ranks them by their stale
+        # snapshot vector, so they are rescored as explicit delta candidates
+        self._updated_since_build = set()
+
+    # -- mutations ----------------------------------------------------------
+    def add(self, data) -> int:
+        with self._lock:
+            idx = self._mutable.add(data)
+            self._maybe_rebuild()
+            return idx
+
+    def remove(self, index: int) -> None:
+        with self._lock:
+            self._mutable.remove(index)
+            self._maybe_rebuild()
+
+    def update(self, index: int, data) -> None:
+        with self._lock:
+            self._mutable.update(index, data)
+            if index < self._snapshot_rows:
+                self._updated_since_build.add(int(index))
+            self._maybe_rebuild()
+
+    def _maybe_rebuild(self):
+        if len(self._mutable._mutations) >= self.rebuild_threshold:
+            self._rebuild()
+
+    @property
+    def size(self) -> int:
+        return self._mutable.size
+
+    def force_rebuild(self) -> None:
+        with self._lock:
+            self._rebuild()
+
+    # -- search -------------------------------------------------------------
+    def search_batched_arrays(self, queries: np.ndarray, k: int):
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        with self._lock:
+            data, deleted = self._mutable.snapshot()
+            snap_rows = self._snapshot_rows
+            # 1. main index candidates (over-fetch to survive masking)
+            fetch = min(max(2 * k, k + 8), snap_rows) if snap_rows else 0
+            cand_i, cand_d = (np.zeros((len(queries), 0), np.int64),
+                              np.zeros((len(queries), 0), np.float32))
+            if fetch > 0:
+                cand_i, cand_d = self._main.search_batched_arrays(queries, fetch)
+            # rows mutated since build -> rescore exactly from current data
+            delta = data[snap_rows:]
+            out_i = np.full((len(queries), k), -1, dtype=np.int64)
+            out_d = np.full((len(queries), k), np.inf, dtype=np.float32)
+            for bi, q in enumerate(queries):
+                pairs = []
+                for j in range(cand_i.shape[1]):
+                    i = int(cand_i[bi, j])
+                    if i < 0 or i >= len(deleted) or deleted[i]:
+                        continue
+                    # row may have been updated since build: rescore exactly
+                    d = float(((q - data[i]) ** 2).sum())
+                    pairs.append((d, i))
+                if len(delta):
+                    dd = ((q[None, :] - delta) ** 2).sum(-1)
+                    for j in range(len(delta)):
+                        gi = snap_rows + j
+                        if not deleted[gi]:
+                            pairs.append((float(dd[j]), gi))
+                seen = {i for _, i in pairs}
+                for i in self._updated_since_build:
+                    if i not in seen and i < len(deleted) and not deleted[i]:
+                        pairs.append((float(((q - data[i]) ** 2).sum()), i))
+                pairs.sort()
+                for w, (d, i) in enumerate(pairs[:k]):
+                    out_i[bi, w], out_d[bi, w] = i, d
+            return out_i, out_d

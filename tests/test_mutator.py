@@ -1,0 +1,193 @@
+"""Mutator: native C++ core, mutation buffer, concurrent hammering,
+DynamicSearcher correctness (reference test analog: src/mutator/mod.rs
+tests :572-598 concurrent add/read, :649-748 mixed workloads)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from scann_tpu import BruteForceSearcher, DenseDataset, ScannError
+from scann_tpu.mutator import (
+    DynamicSearcher,
+    IncrementalUpdater,
+    MutableDataset,
+    Mutation,
+    MutationBuffer,
+    MutationKind,
+)
+from scann_tpu.native import load_native
+
+
+def test_native_library_builds():
+    """The C++ host runtime must compile and load in this image."""
+    assert load_native() is not None
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_mutable_dataset_basic(use_native):
+    m = MutableDataset(4, use_native=use_native)
+    assert m.native == (use_native and load_native() is not None)
+    i0 = m.add([1, 2, 3, 4])
+    i1 = m.add([5, 6, 7, 8])
+    assert (i0, i1) == (0, 1)
+    assert m.size == 2
+    np.testing.assert_array_equal(m.get(0), [1, 2, 3, 4])
+    m.update(0, [9, 9, 9, 9])
+    np.testing.assert_array_equal(m.get(0), [9, 9, 9, 9])
+    m.remove(1)
+    assert m.get(1) is None
+    assert not m.exists(1) and m.exists(0)
+    assert m.size == 1
+    with pytest.raises(ScannError):
+        m.remove(1)  # double remove
+    with pytest.raises(ScannError):
+        m.update(5, [0, 0, 0, 0])  # missing
+    with pytest.raises(ScannError):
+        m.add([1.0])  # wrong dim
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_snapshot_and_compact(use_native):
+    m = MutableDataset(2, use_native=use_native)
+    for i in range(10):
+        m.add([i, i])
+    for i in range(0, 10, 2):
+        m.remove(i)
+    data, deleted = m.snapshot()
+    assert len(data) == 10 and deleted.sum() == 5
+    rows = m.compact()
+    assert rows == 5 and m.size == 5
+    data2, deleted2 = m.snapshot()
+    np.testing.assert_array_equal(data2[:, 0], [1, 3, 5, 7, 9])
+    assert deleted2.sum() == 0
+
+
+def test_growth_past_initial_capacity():
+    m = MutableDataset(3)
+    for i in range(500):  # native initial capacity is 64
+        m.add([i, i, i])
+    assert m.size == 500
+    np.testing.assert_array_equal(m.get(499), [499, 499, 499])
+
+
+def test_mutation_buffer():
+    b = MutationBuffer(4, dim=2)
+    assert b.add(0, [1.0, 2.0])
+    assert b.remove(0)
+    assert b.update(1, [3.0, 4.0])
+    assert len(b) == 3
+    assert not b.should_flush()
+    assert b.add(2, [0.0, 0.0])
+    assert b.should_flush()
+    assert not b.add(3, [0.0, 0.0])  # full
+    out = b.flush(2)
+    assert [m.kind for m in out] == [MutationKind.ADD, MutationKind.REMOVE,
+                                     MutationKind.UPDATE, MutationKind.ADD]
+    np.testing.assert_array_equal(out[0].data, [1.0, 2.0])
+    assert out[1].data is None
+    assert [m.timestamp for m in out] == sorted(m.timestamp for m in out)
+    assert b.is_empty
+
+
+def test_concurrent_hammer():
+    """8-thread mixed add/read/update workload (reference: mod.rs:649-748)."""
+    m = MutableDataset(8)
+    base = [m.add(np.full(8, i, np.float32)) for i in range(100)]
+    errors = []
+
+    def worker(tid):
+        rng = np.random.default_rng(tid)
+        try:
+            for _ in range(200):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    m.add(rng.normal(size=8).astype(np.float32))
+                elif op == 1:
+                    i = int(rng.integers(0, 100))
+                    v = m.get(i)  # may be None if another thread removed
+                    if v is not None:
+                        assert v.shape == (8,)
+                else:
+                    i = int(rng.integers(0, 100))
+                    try:
+                        m.update(i, rng.normal(size=8).astype(np.float32))
+                    except ScannError:
+                        pass
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert m.size >= 100
+
+
+def test_from_dataset_round_trip(rng):
+    db = rng.normal(size=(20, 4)).astype(np.float32)
+    m = MutableDataset.from_dataset(DenseDataset(db))
+    assert m.size == 20
+    dd = m.to_dense_dataset()
+    np.testing.assert_allclose(dd.numpy(), db)
+
+
+def test_incremental_updater():
+    u = IncrementalUpdater("index-v1", rebuild_threshold=2)
+    assert u.load_index() == "index-v1"
+    u.queue_mutation(Mutation.add(0, [1.0]))
+    assert not u.needs_rebuild()
+    u.queue_mutation(Mutation.remove(0))
+    assert u.needs_rebuild()
+    assert len(u.get_pending_mutations()) == 2
+    u.store_index("index-v2")
+    u.reset_rebuild_counter()
+    assert u.load_index() == "index-v2"
+    assert not u.needs_rebuild()
+
+
+def test_dynamic_searcher(rng):
+    db = rng.normal(size=(200, 8)).astype(np.float32)
+    ds = DynamicSearcher(DenseDataset(db), lambda d: BruteForceSearcher(d),
+                         rebuild_threshold=1000)
+    q = db[7]
+    idx, dist = ds.search_batched_arrays(q, 3)
+    assert idx[0, 0] == 7
+
+    # add a closer point without rebuild -> found via delta path
+    new_idx = ds.add(q + 1e-4)
+    idx, dist = ds.search_batched_arrays(q, 2)
+    assert set(idx[0]) == {7, new_idx}
+
+    # remove the original -> masked out
+    ds.remove(7)
+    idx, _ = ds.search_batched_arrays(q, 1)
+    assert idx[0, 0] == new_idx
+
+    # update a snapshot row to be the best match -> rescored exactly
+    ds.update(3, q + 5e-5)
+    idx, dist = ds.search_batched_arrays(q, 1)
+    assert idx[0, 0] == 3
+
+    # rebuild folds everything in
+    ds.force_rebuild()
+    idx2, _ = ds.search_batched_arrays(q, 2)
+    assert set(idx2[0]) == {3, new_idx}
+    assert ds.size == 200  # 200 original + 1 add - 1 remove ... = 200
+
+
+def test_dynamic_searcher_auto_rebuild(rng):
+    db = rng.normal(size=(50, 4)).astype(np.float32)
+    ds = DynamicSearcher(DenseDataset(db), lambda d: BruteForceSearcher(d),
+                         rebuild_threshold=10)
+    for i in range(25):
+        ds.add(rng.normal(size=4).astype(np.float32))
+    assert ds.size == 75
+    # after auto-rebuilds the delta is small; search still exact
+    q = rng.normal(size=4).astype(np.float32)
+    idx, dist = ds.search_batched_arrays(q, 5)
+    data, deleted = ds._mutable.snapshot()
+    gt = np.argsort(((q[None] - data) ** 2).sum(-1))[:5]
+    assert set(idx[0]) == set(gt.tolist())
