@@ -66,6 +66,9 @@ class TreePartitioner:
             raise ScannError.invalid_argument("cannot partition empty dataset")
         k = min(cfg.num_partitions, n)
 
+        if cfg.num_levels > 1:
+            return self._build_hierarchical(data, k)
+
         train = data
         if cfg.training_sample_size is not None and cfg.training_sample_size < n:
             rng = np.random.default_rng(cfg.seed)
@@ -87,6 +90,25 @@ class TreePartitioner:
         else:
             tokens = self.tokenize(data)
         self.tokenization = DatabaseTokenization(tokens, k)
+        self._centers_dev = jnp.asarray(self.centers)
+        return self
+
+    def _build_hierarchical(self, data: np.ndarray, k: int) -> "TreePartitioner":
+        """num_levels > 1: hierarchical k-means, leaves become partitions
+        (reference: tree_partitioner.rs:101-140)."""
+        from scann_tpu.trees.kmeans_tree import KMeansTree, KMeansTreeConfig
+
+        cfg = self.config
+        # fan-out per level so that children^levels ~ num_partitions
+        fan = max(int(np.ceil(k ** (1.0 / cfg.num_levels))), 2)
+        tree = KMeansTree(KMeansTreeConfig(
+            num_children=fan, max_depth=cfg.num_levels,
+            max_iterations=cfg.max_iterations, seed=cfg.seed,
+        )).build(data)
+        self.tree = tree
+        self.centers = tree.leaf_centers().astype(np.float32)
+        tokens = tree.leaf_assignments(len(data))
+        self.tokenization = DatabaseTokenization(tokens, tree.num_leaves)
         self._centers_dev = jnp.asarray(self.centers)
         return self
 
