@@ -44,11 +44,17 @@ class AsymmetricHasherConfig:
     store_dataset: bool = True  # needed for exact reordering
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "codes_transposed"))
+def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int,
+                     codes_transposed: bool = False):
     """Approximate-only search: LUT build + scoring + top-k."""
     luts = lut_kernel(queries, centroids)
-    dists = lut_score(luts, codes)  # [B, N_pad]
+    if codes_transposed:
+        from scann_tpu.ops.pallas_kernels import lut16_score_auto
+
+        dists = lut16_score_auto(luts, codes)  # codes [S, N_pad]
+    else:
+        dists = lut_score(luts, codes)  # [B, N_pad]
     col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     dists = jnp.where(col < n_valid, dists, MASKED_DISTANCE)
     return top_k_smallest(dists, k)
@@ -117,6 +123,7 @@ class AsymmetricHasher(Searcher):
         if cfg.store_dataset:
             self._dataset = dataset
         self._codes_dev = None
+        self._codes_t_dev = None
         return self
 
     def _device_codes(self):
@@ -128,6 +135,22 @@ class AsymmetricHasher(Searcher):
                 codes[: self._n] = self.codes
             self._codes_dev = jnp.asarray(codes)
         return self._codes_dev
+
+    def _use_pallas(self) -> bool:
+        """LUT16 Pallas sweep: C<=16 on a real TPU (4-5x the XLA one-hot)."""
+        try:
+            return (self.codebook.num_codes <= 16
+                    and jax.devices()[0].platform == "tpu")
+        except Exception:  # pragma: no cover
+            return False
+
+    def _device_codes_t(self):
+        if getattr(self, "_codes_t_dev", None) is None:
+            n_pad = align_up(max(self._n, 1), 2048)
+            codes = np.zeros((n_pad, self.codes.shape[1]), dtype=np.uint8)
+            codes[: self._n] = self.codes
+            self._codes_t_dev = jnp.asarray(codes.T.copy())
+        return self._codes_t_dev
 
     # -- metadata --------------------------------------------------------------
     def dataset_size(self) -> int:
@@ -161,9 +184,12 @@ class AsymmetricHasher(Searcher):
         if pre_k is not None and pre_k > k:
             return self._search_reorder(queries, k, pre_k)
 
+        transposed = self._use_pallas()
+        codes = self._device_codes_t() if transposed else self._device_codes()
         dists, idx = ah_search_kernel(
-            self.codebook.centroids_device(), self._device_codes(),
+            self.codebook.centroids_device(), codes,
             jnp.int32(self._n), jnp.asarray(queries), k=k,
+            codes_transposed=transposed,
         )
         return np.asarray(idx), np.asarray(dists)
 

@@ -1,0 +1,217 @@
+"""Index serialization: save/load trained artifacts.
+
+The reference never serializes trained artifacts (codebooks, trees,
+quantizers are not Serialize — SURVEY §5 flags this as a capability gap;
+only configs round-trip). Since BASELINE measures build wall-clock, loading
+a prebuilt index is a first-class capability here.
+
+Format: one ``.npz`` per index holding every array + a JSON header with the
+config and index kind. Loaders reconstruct the searcher without retraining.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Union
+
+import numpy as np
+
+from scann_tpu.config import ScannConfig
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.errors import ScannError
+
+_FORMAT_VERSION = 1
+
+
+def _cfg_json(obj) -> str:
+    if hasattr(obj, "to_json"):
+        return obj.to_json()
+    return json.dumps(dataclasses.asdict(obj), default=str)
+
+
+# ---------------------------------------------------------------------------
+# per-searcher serializers
+# ---------------------------------------------------------------------------
+
+
+def save_index(path: str, searcher) -> None:
+    """Save a trained searcher (BruteForce / ScalarQuantized / Partitioned /
+    AsymmetricHasher / TreeXHybrid / Scann facade) to ``path`` (.npz)."""
+    from scann_tpu.hashes.hasher import AsymmetricHasher
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    from scann_tpu.models.scalar_quantized import ScalarQuantizedBruteForceSearcher
+    from scann_tpu.models.scann import Scann
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridSearcher
+
+    if isinstance(searcher, Scann):
+        inner = searcher.impl
+        arrays, meta = _serialize(inner)
+        meta["scann_config"] = searcher.config.to_dict()
+        meta["facade"] = True
+    else:
+        arrays, meta = _serialize(searcher)
+        meta["facade"] = False
+    meta["format_version"] = _FORMAT_VERSION
+    np.savez_compressed(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def _serialize(searcher):
+    from scann_tpu.hashes.hasher import AsymmetricHasher
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    from scann_tpu.models.scalar_quantized import ScalarQuantizedBruteForceSearcher
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridSearcher
+
+    if isinstance(searcher, BruteForceSearcher):
+        return (
+            {"data": searcher.dataset.numpy()},
+            {"kind": "brute_force", "measure": searcher.distance_measure.value},
+        )
+    if isinstance(searcher, ScalarQuantizedBruteForceSearcher):
+        q = searcher.quantized_dataset
+        meta = {"kind": "scalar_quantized",
+                "measure": searcher._measure.value,
+                "storage": searcher._config.storage}
+        if hasattr(q, "codes"):
+            meta.update(scale=float(q.quantizer.scale),
+                        min_value=float(q.quantizer.min_value),
+                        bits=q.quantizer.config.bits)
+            return {"codes": q.codes}, meta
+        return {"data": q.to_f32()}, meta
+    if isinstance(searcher, PartitionedSearcher):
+        tp = searcher.partitioner
+        return (
+            {"data": searcher._dataset.numpy(),
+             "centers": tp.centers,
+             "tokens": tp.tokenization.tokens},
+            {"kind": "partitioned", "measure": searcher._measure.value,
+             "p": searcher._p_default},
+        )
+    if isinstance(searcher, AsymmetricHasher):
+        arrays = {"codes": searcher.codes,
+                  "codebook": searcher.codebook.centroids}
+        if searcher._dataset is not None:
+            arrays["data"] = searcher._dataset.numpy()
+        return arrays, {"kind": "hashed", "dim": searcher._dim,
+                        "config": dataclasses.asdict(searcher.config)}
+    if isinstance(searcher, TreeXHybridSearcher):
+        return (
+            {"data": searcher._dataset.numpy(),
+             "centers": searcher.partitioner.centers,
+             "tokens": searcher.partitioner.tokenization.tokens,
+             "codes": searcher.codes,
+             "codebook": searcher.codebook.centroids},
+            {"kind": "tree_ah",
+             "num_partitions": searcher.config.num_partitions,
+             "partitions_to_search": searcher.config.partitions_to_search,
+             "use_residuals": searcher.config.use_residuals,
+             "pre_reorder_multiplier": searcher.config.pre_reorder_multiplier,
+             "hash_config": dataclasses.asdict(searcher.config.hash_config),
+             "measure": searcher.config.distance_measure.value},
+        )
+    raise ScannError.unimplemented(f"cannot serialize {type(searcher).__name__}")
+
+
+def load_index(path: str):
+    """Load a searcher saved with :func:`save_index` (no retraining)."""
+    from scann_tpu.hashes.codebook import Codebook, CodebookConfig
+    from scann_tpu.hashes.hasher import AsymmetricHasher, AsymmetricHasherConfig
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    from scann_tpu.models.scalar_quantized import (
+        ScalarQuantizedBruteForceSearcher,
+        ScalarQuantizedConfig,
+    )
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+    from scann_tpu.ops.distances import DistanceMeasure
+    from scann_tpu.partitioning.partitioner import DatabaseTokenization
+    from scann_tpu.partitioning.tree_partitioner import (
+        TreePartitioner,
+        TreePartitionerConfig,
+    )
+    from scann_tpu.quantization.scalar import (
+        QuantizedDataset,
+        ScalarQuantizer,
+        ScalarQuantizerConfig,
+    )
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ScannError.failed_precondition(
+                f"unsupported index format {meta.get('format_version')}")
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+    kind = meta["kind"]
+    if kind == "brute_force":
+        return BruteForceSearcher(DenseDataset(arrays["data"]),
+                                  DistanceMeasure(meta["measure"]))
+    if kind == "scalar_quantized":
+        if "codes" in arrays:
+            quant = ScalarQuantizer(ScalarQuantizerConfig(bits=meta["bits"]))
+            quant.min_value = meta["min_value"]
+            quant.scale = meta["scale"]
+            quant.max_value = meta["min_value"] + meta["scale"] * quant.num_levels
+            quant.inv_scale = 1.0 / meta["scale"] if meta["scale"] else 1.0
+            qd = QuantizedDataset(arrays["codes"], quant)
+            return ScalarQuantizedBruteForceSearcher.from_quantized(
+                qd, DistanceMeasure(meta["measure"]))
+        return ScalarQuantizedBruteForceSearcher(
+            DenseDataset(arrays["data"]),
+            ScalarQuantizedConfig(distance_measure=DistanceMeasure(meta["measure"]),
+                                  storage=meta["storage"]))
+    if kind == "partitioned":
+        tp = TreePartitioner(TreePartitionerConfig(
+            num_partitions=len(arrays["centers"]),
+            distance_measure=DistanceMeasure(meta["measure"])))
+        tp.centers = arrays["centers"]
+        tp.tokenization = DatabaseTokenization(arrays["tokens"], len(arrays["centers"]))
+        return PartitionedSearcher(
+            DenseDataset(arrays["data"]), partitioner=tp,
+            num_partitions_to_search=meta["p"],
+            distance_measure=DistanceMeasure(meta["measure"]))
+    if kind == "hashed":
+        cfgd = dict(meta["config"])
+        h = AsymmetricHasher(AsymmetricHasherConfig(**cfgd))
+        cb = Codebook(CodebookConfig(num_codes=arrays["codebook"].shape[1],
+                                     num_subspaces=arrays["codebook"].shape[0]))
+        cb.centroids = arrays["codebook"]
+        cb.dimensionality = arrays["codebook"].shape[0] * arrays["codebook"].shape[2]
+        cb.dims_per_subspace = arrays["codebook"].shape[2]
+        h.codebook = cb
+        h.codes = arrays["codes"]
+        h._n = len(arrays["codes"])
+        h._dim = meta["dim"]
+        if "data" in arrays:
+            h._dataset = DenseDataset(arrays["data"])
+        h._codes_dev = None
+        h._codes_t_dev = None
+        return h
+    if kind == "tree_ah":
+        hc = AsymmetricHasherConfig(**dict(meta["hash_config"]))
+        cfg = TreeXHybridConfig(
+            num_partitions=meta["num_partitions"],
+            partitions_to_search=meta["partitions_to_search"],
+            hash_config=hc,
+            use_residuals=meta["use_residuals"],
+            pre_reorder_multiplier=meta["pre_reorder_multiplier"],
+            distance_measure=DistanceMeasure(meta["measure"]),
+        )
+        s = TreeXHybridSearcher(cfg)
+        s._dataset = DenseDataset(arrays["data"])
+        tp = TreePartitioner(TreePartitionerConfig(num_partitions=meta["num_partitions"]))
+        tp.centers = arrays["centers"]
+        tp.tokenization = DatabaseTokenization(arrays["tokens"], len(arrays["centers"]))
+        s.partitioner = tp
+        cb = Codebook(CodebookConfig(num_codes=arrays["codebook"].shape[1],
+                                     num_subspaces=arrays["codebook"].shape[0]))
+        cb.centroids = arrays["codebook"]
+        cb.dimensionality = arrays["codebook"].shape[0] * arrays["codebook"].shape[2]
+        cb.dims_per_subspace = arrays["codebook"].shape[2]
+        s.codebook = cb
+        s.codes = arrays["codes"]
+        return s
+    raise ScannError.unimplemented(f"unknown index kind {kind!r}")

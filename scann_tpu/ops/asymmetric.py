@@ -37,6 +37,7 @@ def asymmetric_many_to_many(
     scale: float = 1.0,
     offset: float = 0.0,
     precision=jax.lax.Precision.HIGHEST,
+    codes_transposed: bool = False,
 ) -> jnp.ndarray:
     """[B, N] distances between f32 queries and an affine-quantized database.
 
@@ -44,18 +45,25 @@ def asymmetric_many_to_many(
         measure: SQUARED_L2 / L2 / DOT_PRODUCT / COSINE /
             GENERAL_INNER_PRODUCT.
         queries: [B, D] f32.
-        db_codes: [N, D] uint8 / bf16 / fp8 stored codes.
+        db_codes: [N, D] uint8 / bf16 / fp8 stored codes — or [D, N] when
+            ``codes_transposed`` (the Pallas fast path: u8 tiles stream
+            HBM->VMEM and convert on-chip, no f32 database copy in HBM).
         db_sq_norms: [N] f32 squared norms of the *dequantized* rows.
         scale, offset: codec affine parameters (dequant = code*scale+offset).
     """
     queries = queries.astype(jnp.float32)
-    c = db_codes.astype(jnp.float32)
-    raw_dots = jax.lax.dot_general(
-        queries, c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if codes_transposed:
+        from scann_tpu.ops.pallas_kernels import int8_dots_auto
+
+        raw_dots = int8_dots_auto(queries, db_codes)
+    else:
+        c = db_codes.astype(jnp.float32)
+        raw_dots = jax.lax.dot_general(
+            queries, c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
     # offset/scale may be traced scalars; keep the math branch-free.
     dots = scale * raw_dots + offset * jnp.sum(queries, axis=1, keepdims=True)
 

@@ -178,3 +178,17 @@ class QuantizedDataset:
             norms = (deq * deq).sum(axis=1).astype(np.float32)
             self._device_cache = (jnp.asarray(codes), jnp.asarray(norms))
         return self._device_cache[0], self._device_cache[1], self.size
+
+    def device_transposed(self) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+        """([D, N_pad] uint8 transposed codes for the Pallas streaming path,
+        dequantized sq-norms [N_pad] f32, n). N padded to the lane width."""
+        if getattr(self, "_device_cache_t", None) is None:
+            # pad N to the Pallas tile width so the grid divides evenly
+            n = max(self.size, 1)
+            n_pad = align_up(n, 2048)
+            codes = np.zeros((n_pad, self.dimensionality), dtype=np.uint8)
+            codes[: self.size] = self.codes
+            deq = self.quantizer.dequantize(codes).astype(np.float64)
+            norms = (deq * deq).sum(axis=1).astype(np.float32)
+            self._device_cache_t = (jnp.asarray(codes.T.copy()), jnp.asarray(norms))
+        return self._device_cache_t[0], self._device_cache_t[1], self.size
