@@ -187,12 +187,22 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     # warm-up compile (excluded from timing, like criterion's warm-up)
     index.search_batched_arrays(data.test[:batch], args.k)
 
+    profile_ctx = None
+    if getattr(args, "profile_dir", None):
+        import contextlib
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
     results = np.full((len(data.test), args.k), -1, dtype=np.int64)
     t0 = time.perf_counter()
     for i in range(0, len(data.test), batch):
         idx, _ = index.search_batched_arrays(data.test[i : i + batch], args.k)
         results[i : i + idx.shape[0], : idx.shape[1]] = idx
     search_s = time.perf_counter() - t0
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     recall = average_recall_at_k(results, data.gt)
     dev_bytes = None
@@ -236,6 +246,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--clustered", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the search phase here")
     return p
 
 

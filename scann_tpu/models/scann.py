@@ -99,6 +99,8 @@ class Scann(Searcher):
                     num_levels=int(p.num_levels),
                     distance_measure=measure,
                     training_sample_size=p.training_sample_size,
+                    spilling=bool(p.spilling),
+                    spilling_threshold=float(p.spilling_threshold),
                 ),
                 num_partitions_to_search=int(p.num_partitions_to_search),
                 distance_measure=measure,

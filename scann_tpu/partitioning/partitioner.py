@@ -33,17 +33,31 @@ class PartitionResult:
 
 
 class DatabaseTokenization:
-    """Token assignment tables (reference: partitioner.rs:133-177)."""
+    """Token assignment tables (reference: partitioner.rs:133-177).
 
-    def __init__(self, tokens: np.ndarray, num_partitions: int):
+    Supports *spilling* (multi-assignment): pass ``extra_pairs`` as
+    (point_index, token) rows to duplicate points into additional
+    partitions — the reference declares spilling in its config but never
+    implements it in the search path (SURVEY §2.3); here spilled points
+    genuinely appear in several leaves.
+    """
+
+    def __init__(self, tokens: np.ndarray, num_partitions: int,
+                 extra_pairs: "np.ndarray | None" = None):
         tokens = np.asarray(tokens, dtype=np.int32)
         self.tokens = tokens
         self.num_partitions = int(num_partitions)
-        order = np.argsort(tokens, kind="stable")
-        counts = np.bincount(tokens, minlength=num_partitions).astype(np.int32)
+        pts = np.arange(len(tokens), dtype=np.int32)
+        toks = tokens
+        if extra_pairs is not None and len(extra_pairs):
+            extra_pairs = np.asarray(extra_pairs, dtype=np.int32)
+            pts = np.concatenate([pts, extra_pairs[:, 0]])
+            toks = np.concatenate([toks, extra_pairs[:, 1]])
+        order = np.argsort(toks, kind="stable")
+        counts = np.bincount(toks, minlength=num_partitions).astype(np.int32)
         self.offsets = np.zeros(num_partitions + 1, dtype=np.int32)
         np.cumsum(counts, out=self.offsets[1:])
-        self.point_indices = order.astype(np.int32)
+        self.point_indices = pts[order].astype(np.int32)
         self.partition_sizes = counts
         self._padded_cache = None
 

@@ -37,6 +37,11 @@ class TreePartitionerConfig:
     # the production path is flat (num_levels=1).
     num_levels: int = 1
     training_sample_size: Optional[int] = None
+    # spilling: also assign a point to its 2nd-nearest partition when
+    # d2 <= d1 * (1 + spilling_threshold) (reference declares this in
+    # PartitioningConfig, config.rs:151-155, but never implements it)
+    spilling: bool = False
+    spilling_threshold: float = 0.1
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -89,9 +94,29 @@ class TreePartitioner:
             tokens = result.assignments
         else:
             tokens = self.tokenize(data)
-        self.tokenization = DatabaseTokenization(tokens, k)
+
+        extra = None
+        if cfg.spilling:
+            extra = self._spill_pairs(data, tokens, cfg.spilling_threshold)
+        self.tokenization = DatabaseTokenization(tokens, k, extra_pairs=extra)
         self._centers_dev = jnp.asarray(self.centers)
         return self
+
+    def _spill_pairs(self, data: np.ndarray, tokens: np.ndarray,
+                     threshold: float, chunk: int = 65536) -> np.ndarray:
+        """(point, token) rows for 2nd-nearest partitions within the
+        distance ratio threshold."""
+        out = []
+        centers = jnp.asarray(self.centers)
+        for lo in range(0, len(data), chunk):
+            blk = jnp.asarray(data[lo : lo + chunk])
+            d2, t2 = select_partitions_kernel(
+                centers, blk, measure=self.config.distance_measure, p=2)
+            d2, t2 = np.asarray(d2), np.asarray(t2)
+            ok = d2[:, 1] <= d2[:, 0] * (1.0 + threshold)
+            pts = np.nonzero(ok)[0] + lo
+            out.append(np.stack([pts, t2[ok, 1]], axis=1))
+        return np.concatenate(out, axis=0) if out else None
 
     def _build_hierarchical(self, data: np.ndarray, k: int) -> "TreePartitioner":
         """num_levels > 1: hierarchical k-means, leaves become partitions

@@ -151,9 +151,37 @@ def _kmeans_pp_init(key, data: jnp.ndarray, k: int) -> jnp.ndarray:
     return centers
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "max_iterations", "convergence_threshold", "init_method")
-)
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int):
+    """One Lloyd's iteration: (new_centers, inertia)."""
+    assignments, min_d = assign_clusters(data, centers)
+    new_centers, _ = update_centers(data, assignments, k)
+    return new_centers, jnp.sum(min_d)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _finalize(data: jnp.ndarray, centers: jnp.ndarray, *, k: int):
+    assignments, min_d = assign_clusters(data, centers)
+    counts = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), jnp.float32), assignments, num_segments=k)
+    return assignments, counts, jnp.sum(min_d)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _random_init(data: jnp.ndarray, key, *, k: int):
+    perm = jax.random.permutation(key, data.shape[0])[:k]
+    return jnp.take(data, perm, axis=0)
+
+
+_kmeans_pp_init_jit = jax.jit(_kmeans_pp_init, static_argnames=("k",))
+
+# k-means++ is a sequential fori_loop over k steps; its compile time grows
+# with nothing but its run time grows with k * N. Above this k we fall back
+# to random init + extra Lloyd refinement (same quality regime at far lower
+# build cost for partition-count-scale k).
+KMEANS_PP_MAX_K = 256
+
+
 def kmeans_fit_device(
     data: jnp.ndarray,
     key: jnp.ndarray,
@@ -164,45 +192,43 @@ def kmeans_fit_device(
     init_method: KMeansInit,
     init_centers: Optional[jnp.ndarray] = None,
 ):
-    """One k-means run, entirely on device. Returns
-    (centers [K,D], assignments [N], counts [K], inertia, num_iterations,
-    converged)."""
+    """One k-means run. The Lloyd's loop is host-driven over small jitted
+    steps (assign+update fused per call) rather than one device while_loop —
+    the step programs compile once and are shared across every k-means
+    instance with the same shapes (subspace codebooks, restarts, tree
+    nodes), which matters enormously for build time. Convergence is checked
+    on host exactly like the reference (break before update,
+    kmeans.rs:233-239).
+
+    Returns (centers [K,D], assignments [N], counts [K], inertia,
+    num_iterations, converged) — device arrays/scalars.
+    """
     data = data.astype(jnp.float32)
-    n = data.shape[0]
 
     if init_centers is not None:
-        centers0 = init_centers.astype(jnp.float32)
-    elif init_method == KMeansInit.RANDOM:
-        # sample k distinct rows (permutation prefix, like sample_indices)
-        perm = jax.random.permutation(key, n)[:k]
-        centers0 = jnp.take(data, perm, axis=0)
+        centers = init_centers.astype(jnp.float32)
+    elif init_method == KMeansInit.RANDOM or k > KMEANS_PP_MAX_K:
+        centers = _random_init(data, key, k=k)
     else:
-        centers0 = _kmeans_pp_init(key, data, k)
+        centers = _kmeans_pp_init_jit(key, data, k=k)
 
-    def cond(carry):
-        _, prev_inertia, inertia, it, converged = carry
-        return (~converged) & (it < max_iterations)
+    prev_inertia = float("inf")
+    converged = False
+    iters = 0
+    for it in range(max_iterations):
+        iters = it + 1
+        new_centers, inertia_dev = _lloyd_step(data, centers, k=k)
+        inertia = float(inertia_dev)
+        rel = abs(prev_inertia - inertia) / (prev_inertia + 1e-10) \
+            if prev_inertia != float("inf") else float("inf")
+        if rel < convergence_threshold:
+            converged = True
+            break
+        prev_inertia = inertia
+        centers = new_centers
 
-    def body(carry):
-        centers, prev_inertia, _, it, _ = carry
-        assignments, min_d = assign_clusters(data, centers)
-        inertia = jnp.sum(min_d)
-        rel = jnp.abs(prev_inertia - inertia) / (prev_inertia + 1e-10)
-        converged = rel < convergence_threshold
-        new_centers, _ = update_centers(data, assignments, k)
-        # keep current centers when converged (reference breaks before update)
-        centers = jnp.where(converged, centers, new_centers)
-        return centers, inertia, inertia, it + 1, converged
-
-    init_inertia = jnp.float32(jnp.inf)
-    centers, _, inertia, iters, converged = jax.lax.while_loop(
-        cond, body, (centers0, init_inertia, jnp.float32(0.0), jnp.int32(0), jnp.bool_(False))
-    )
-
-    assignments, min_d = assign_clusters(data, centers)
-    final_inertia = jnp.sum(min_d)
-    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assignments, num_segments=k)
-    return centers, assignments, counts, final_inertia, iters, converged
+    assignments, counts, final_inertia = _finalize(data, centers, k=k)
+    return centers, assignments, counts, final_inertia, jnp.int32(iters), jnp.bool_(converged)
 
 
 # ---------------------------------------------------------------------------

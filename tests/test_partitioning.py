@@ -108,3 +108,38 @@ def test_missing_results_marked(rng):
     for row_i, row_d in zip(idx, dist):
         m = row_i >= 0
         assert (np.diff(row_d[m]) >= -1e-5).all()
+
+
+def test_spilling_multi_assignment(rng):
+    db = rng.normal(size=(300, 8)).astype(np.float32)
+    base = TreePartitioner(TreePartitionerConfig(num_partitions=8, seed=42)).build(
+        DenseDataset(db))
+    spill = TreePartitioner(TreePartitionerConfig(
+        num_partitions=8, seed=42, spilling=True, spilling_threshold=0.5)).build(
+        DenseDataset(db))
+    # spilled tokenization holds strictly more (point, partition) entries
+    assert spill.tokenization.partition_sizes.sum() > base.tokenization.partition_sizes.sum()
+    # each point still appears in its primary partition
+    for t in range(8):
+        assert set(base.tokenization.partition_indices(t)) <= set(
+            spill.tokenization.partition_indices(t))
+
+
+def test_spilling_improves_recall_at_fixed_leaves(rng):
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    from scann_tpu import BruteForceSearcher
+
+    db = rng.normal(size=(3000, 16)).astype(np.float32)
+    q = rng.normal(size=(30, 16)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+
+    def recall(spilling):
+        tp = TreePartitioner(TreePartitionerConfig(
+            num_partitions=30, seed=42, spilling=spilling,
+            spilling_threshold=0.4)).build(ds)
+        s = PartitionedSearcher(ds, partitioner=tp, num_partitions_to_search=3)
+        idx, _ = s.search_batched_arrays(q, 10)
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
+
+    assert recall(True) >= recall(False)
