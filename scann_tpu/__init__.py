@@ -39,6 +39,8 @@ from scann_tpu.models.scalar_quantized import (
 from scann_tpu.models.partitioned import PartitionedSearcher
 from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
 from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode
+from scann_tpu.models.sparse_brute_force import SparseBruteForceSearcher
+from scann_tpu.io import load_index, save_index
 
 __version__ = "0.1.0"
 
@@ -67,4 +69,7 @@ __all__ = [
     "Scann",
     "ScannBuilder",
     "SearchMode",
+    "SparseBruteForceSearcher",
+    "save_index",
+    "load_index",
 ]
