@@ -18,6 +18,25 @@ Key departures from the reference (reference: src/lib.rs:1-135):
     (reference: src/utils/parallel.rs).
 """
 
+import os as _os
+
+import jax as _jax
+
+# XLA compiles on the host CPU; in constrained containers that is the single
+# most expensive part of index builds. A persistent compilation cache makes
+# every program compile once per machine instead of once per process.
+_cache_dir = _os.environ.get(
+    "SCANN_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "scann_tpu_xla"),
+)
+if _cache_dir and _cache_dir != "0":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from scann_tpu.errors import ErrorCode, ScannError
 from scann_tpu.config import (
     ScannConfig,

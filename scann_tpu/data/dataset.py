@@ -182,15 +182,16 @@ class DenseDataset:
 
     # -- device view ----------------------------------------------------------
     def device(self) -> Tuple[jnp.ndarray, int]:
-        """(padded [N_pad, D] device array, n_valid). Cached until mutation."""
+        """(padded [N_pad, D] device array, n_valid). Cached until mutation.
+        Padding happens on device — the upload is the only host-side cost."""
         if self._device_cache is None:
             n = max(self.size, 1)
             n_pad = align_up(n, SUBLANE_F32)
-            arr = self._data
-            if n_pad != self.size:
-                arr = np.zeros((n_pad, self.dimensionality), dtype=self._data.dtype)
-                arr[: self.size] = self._data
-            self._device_cache = jnp.asarray(arr)
+            arr = jnp.asarray(self._data if self.size else
+                              np.zeros((1, self.dimensionality), self._data.dtype))
+            if n_pad != arr.shape[0]:
+                arr = jnp.pad(arr, ((0, n_pad - arr.shape[0]), (0, 0)))
+            self._device_cache = arr
         return self._device_cache, self.size
 
     def memory_usage_bytes(self) -> int:

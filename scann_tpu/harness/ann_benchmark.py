@@ -91,18 +91,26 @@ def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
                                clustered: bool = False) -> BenchmarkData:
     """Seeded synthetic data; uniform [0,1) like the reference
     (ann_benchmark.rs:402-425), or clustered for partition-friendly regimes."""
-    rng = np.random.default_rng(seed)
+    import jax
+    import jax.numpy as jnp
+
+    # generate on device: constrained-container host CPUs take minutes to
+    # draw 10^8 variates that the chip produces in milliseconds
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     if clustered:
         n_clusters = max(train_size // 500, 8)
-        centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 3.0
-        a = rng.integers(0, n_clusters, size=train_size)
-        train = (centers[a] + rng.normal(size=(train_size, dim))).astype(np.float32)
-        aq = rng.integers(0, n_clusters, size=test_size)
-        test = (centers[aq] + rng.normal(size=(test_size, dim))).astype(np.float32)
+        centers = jax.random.normal(k1, (n_clusters, dim), jnp.float32) * 3.0
+        a = jax.random.randint(k2, (train_size,), 0, n_clusters)
+        train = np.asarray(jnp.take(centers, a, axis=0)
+                           + jax.random.normal(k3, (train_size, dim), jnp.float32))
+        aq = jax.random.randint(k4, (test_size,), 0, n_clusters)
+        test = np.asarray(jnp.take(centers, aq, axis=0)
+                          + jax.random.normal(k5, (test_size, dim), jnp.float32))
         source = f"synthetic_clustered_n{train_size}_q{test_size}_d{dim}"
     else:
-        train = rng.random(size=(train_size, dim), dtype=np.float32)
-        test = rng.random(size=(test_size, dim), dtype=np.float32)
+        train = np.asarray(jax.random.uniform(k1, (train_size, dim), jnp.float32))
+        test = np.asarray(jax.random.uniform(k2, (test_size, dim), jnp.float32))
         source = f"synthetic_n{train_size}_q{test_size}_d{dim}"
     gt = exact_ground_truth(train, test, k)
     return BenchmarkData(train, test, gt, source, dim)

@@ -42,8 +42,8 @@ def encode_kernel(data: jnp.ndarray, centroids: jnp.ndarray, chunk_size: int = 8
 
     def one_chunk(x):
         xs = x.reshape(x.shape[0], s, dsub)
-        dots = jnp.einsum("nsd,scd->nsc", xs, centroids,
-                          precision=jax.lax.Precision.HIGHEST)
+        # default precision: argmin code assignment tolerates bf16 passes
+        dots = jnp.einsum("nsd,scd->nsc", xs, centroids)
         x_sq = jnp.sum(xs * xs, axis=-1)  # [n, S]
         dists = x_sq[:, :, None] + cent_sq[None, :, :] - 2.0 * dots
         return jnp.argmin(dists, axis=-1).astype(jnp.int32)

@@ -149,7 +149,7 @@ class AsymmetricHasher(Searcher):
             n_pad = align_up(max(self._n, 1), 2048)
             codes = np.zeros((n_pad, self.codes.shape[1]), dtype=np.uint8)
             codes[: self._n] = self.codes
-            self._codes_t_dev = jnp.asarray(codes.T.copy())
+            self._codes_t_dev = jax.jit(lambda c: c.T)(jnp.asarray(codes))
         return self._codes_t_dev
 
     # -- metadata --------------------------------------------------------------

@@ -180,7 +180,12 @@ class TreeXHybridSearcher(Searcher):
 
         if cfg.use_residuals:
             tokens = self.partitioner.tokenization.tokens
-            train_data = data - self.partitioner.centers[tokens]
+            # residuals on device — the host CPU may be far slower than the
+            # chip for a [N, D] gather+subtract at million scale
+            train_data = np.asarray(jax.jit(
+                lambda x, c, t: x - jnp.take(c, t, axis=0)
+            )(jnp.asarray(data), jnp.asarray(self.partitioner.centers),
+              jnp.asarray(tokens)))
         else:
             train_data = data
 

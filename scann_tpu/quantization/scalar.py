@@ -96,11 +96,26 @@ class ScalarQuantizer:
     # -- codec (vectorized, matches scalar.rs:162-172 bit-for-bit) -----------
     def quantize(self, values: np.ndarray) -> np.ndarray:
         """f32 -> uint8 codes 0..num_levels."""
-        v = np.clip(np.asarray(values, dtype=np.float32), self.min_value, self.max_value)
+        values = np.asarray(values, dtype=np.float32)
+        if values.size >= 1 << 22:
+            return self._quantize_device(values)
+        v = np.clip(values, self.min_value, self.max_value)
         # np.round = banker's rounding; the reference uses Rust round()
         # (half away from zero). Arguments here are >= 0, so floor(x+0.5) matches.
         q = np.floor((v - self.min_value) * np.float32(self.inv_scale) + 0.5).astype(np.int64)
         return np.clip(q, 0, self.num_levels).astype(np.uint8)
+
+    def _quantize_device(self, values: np.ndarray) -> np.ndarray:
+        """Same codec math on the accelerator — large arrays quantize far
+        faster than the host CPU can in constrained containers."""
+        import jax
+
+        def f(v):
+            v = jnp.clip(v, self.min_value, self.max_value)
+            q = jnp.floor((v - self.min_value) * jnp.float32(self.inv_scale) + 0.5)
+            return jnp.clip(q, 0, self.num_levels).astype(jnp.uint8)
+
+        return np.asarray(jax.jit(f)(jnp.asarray(values)))
 
     def dequantize(self, codes: np.ndarray) -> np.ndarray:
         """uint8 codes (or the reference's i8 bytes) -> f32."""
@@ -165,6 +180,19 @@ class QuantizedDataset:
     def compression_ratio(self) -> float:
         return 4.0  # f32 -> one byte per value
 
+    def _device_norms(self, codes_dev: jnp.ndarray) -> jnp.ndarray:
+        """Dequantized squared norms computed on device (f32)."""
+        import jax
+
+        scale = jnp.float32(self.quantizer.scale)
+        lo = jnp.float32(self.quantizer.min_value)
+
+        def f(c):
+            d = c.astype(jnp.float32) * scale + lo
+            return jnp.sum(d * d, axis=1)
+
+        return jax.jit(f)(codes_dev)
+
     def device(self) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """(codes [N_pad, D] uint8, dequantized sq-norms [N_pad] f32, n)."""
         if self._device_cache is None:
@@ -174,21 +202,21 @@ class QuantizedDataset:
             if n_pad != self.size:
                 codes = np.zeros((n_pad, self.dimensionality), dtype=np.uint8)
                 codes[: self.size] = self.codes
-            deq = self.quantizer.dequantize(codes).astype(np.float64)
-            norms = (deq * deq).sum(axis=1).astype(np.float32)
-            self._device_cache = (jnp.asarray(codes), jnp.asarray(norms))
+            codes_dev = jnp.asarray(codes)
+            self._device_cache = (codes_dev, self._device_norms(codes_dev))
         return self._device_cache[0], self._device_cache[1], self.size
 
     def device_transposed(self) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """([D, N_pad] uint8 transposed codes for the Pallas streaming path,
-        dequantized sq-norms [N_pad] f32, n). N padded to the lane width."""
+        dequantized sq-norms [N_pad] f32, n). N padded to the Pallas tile."""
         if getattr(self, "_device_cache_t", None) is None:
-            # pad N to the Pallas tile width so the grid divides evenly
+            import jax
             n = max(self.size, 1)
             n_pad = align_up(n, 2048)
             codes = np.zeros((n_pad, self.dimensionality), dtype=np.uint8)
             codes[: self.size] = self.codes
-            deq = self.quantizer.dequantize(codes).astype(np.float64)
-            norms = (deq * deq).sum(axis=1).astype(np.float32)
-            self._device_cache_t = (jnp.asarray(codes.T.copy()), jnp.asarray(norms))
+            codes_dev = jnp.asarray(codes)
+            norms = self._device_norms(codes_dev)
+            codes_t = jax.jit(lambda c: c.T)(codes_dev)  # transpose on device
+            self._device_cache_t = (codes_t, norms)
         return self._device_cache_t[0], self._device_cache_t[1], self.size

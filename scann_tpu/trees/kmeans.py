@@ -69,12 +69,15 @@ class KMeansResult:
 
 
 def assign_clusters(
-    data: jnp.ndarray, centers: jnp.ndarray, chunk_size: int = 16384
+    data: jnp.ndarray, centers: jnp.ndarray, chunk_size: int = 65536
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(assignments [N] int32, min squared distance [N] f32).
 
     Distances via ||x||^2 + ||c||^2 - 2 x.c computed chunk-by-chunk over N so
-    the [chunk, K] matrix stays modest for million-point datasets.
+    the [chunk, K] matrix stays modest for million-point datasets. Default
+    (bf16-pass) matmul precision: argmin assignment is insensitive to the
+    last bits and the single-pass program is far cheaper to compile and run
+    than the reference-exactness HIGHEST used on the query path.
     """
     n, d = data.shape
     c_sq = jnp.sum(centers * centers, axis=1)
@@ -84,7 +87,6 @@ def assign_clusters(
             x, centers,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
         x_sq = jnp.sum(x * x, axis=1)
         dist = x_sq[:, None] + c_sq[None, :] - 2.0 * dots
@@ -151,12 +153,60 @@ def _kmeans_pp_init(key, data: jnp.ndarray, k: int) -> jnp.ndarray:
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int):
-    """One Lloyd's iteration: (new_centers, inertia)."""
-    assignments, min_d = assign_clusters(data, centers)
-    new_centers, _ = update_centers(data, assignments, k)
-    return new_centers, jnp.sum(min_d)
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
+                chunk_size: int = 65536):
+    """One Lloyd's iteration: (new_centers, inertia).
+
+    Single fused pass over the data in chunks: distances (MXU matmul) ->
+    argmin -> one-hot -> partial sums via a second matmul. The cluster-sum
+    is deliberately a one-hot matmul, NOT ``segment_sum`` — XLA's TPU
+    scatter-add lowering for a [1M, D] operand takes ~8 minutes to COMPILE
+    on a constrained host, while this formulation compiles in seconds and
+    runs at matmul speed.
+    """
+    data = data.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    n, d = data.shape
+    c_sq = jnp.sum(centers * centers, axis=1)
+
+    chunk = min(chunk_size, max(n, 1))
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    padded = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+    chunks = padded.reshape(n_chunks, chunk, d)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        sums, counts, inertia = carry
+        x, start = xs
+        dots = jax.lax.dot_general(
+            x, centers, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x_sq = jnp.sum(x * x, axis=1)
+        dist = jnp.maximum(x_sq[:, None] + c_sq[None, :] - 2.0 * dots, 0.0)
+        a = jnp.argmin(dist, axis=1)
+        md = jnp.min(dist, axis=1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)[:, 0] + start
+        valid = row < n
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
+        onehot = ((a[:, None] == iota_k) & valid[:, None]).astype(jnp.bfloat16)
+        sums = sums + jax.lax.dot_general(
+            onehot, x.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
+        inertia = inertia + jnp.sum(jnp.where(valid, md, 0.0))
+        return (sums, counts, inertia), None
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32),
+            jnp.float32(0.0))
+    (sums, counts, inertia), _ = jax.lax.scan(body, init, (chunks, starts))
+
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    reseed = jnp.take(data, jnp.arange(k, dtype=jnp.int32) % n, axis=0)
+    new_centers = jnp.where((counts > 0)[:, None], means, reseed)
+    return new_centers, inertia
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
