@@ -59,6 +59,9 @@ class TreeXHybridConfig:
     use_residuals: bool = True
     pre_reorder_multiplier: float = 3.0
     distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
+    # partition balancing cap ("auto" = 3x mean, None = off): padded-leaf
+    # search cost is p * L_max, so skew directly slows every query
+    max_partition_size: Optional[object] = "auto"
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
         self.hash_config = cfg
@@ -176,6 +179,7 @@ class TreeXHybridSearcher(Searcher):
         self.partitioner = TreePartitioner(TreePartitionerConfig(
             num_partitions=cfg.num_partitions,
             seed=cfg.hash_config.seed if cfg.hash_config.seed is not None else 42,
+            max_partition_size=cfg.max_partition_size,
         )).build(dataset)
 
         if cfg.use_residuals:

@@ -83,8 +83,14 @@ def lut_score(luts: jnp.ndarray, codes: jnp.ndarray, chunk_size: int = 16384) ->
     return out.reshape(n_pad, b)[:n].T
 
 
-def lut_score_gathered(luts: jnp.ndarray, codes_per_query: jnp.ndarray) -> jnp.ndarray:
+def lut_score_gathered(luts: jnp.ndarray, codes_per_query: jnp.ndarray,
+                       chunk_t: int = 8192) -> jnp.ndarray:
     """Score per-query candidate code lists (tree-AH leaf path).
+
+    Uses a chunked flat-index gather — NOT the one-hot matmul: with per-query
+    candidate lists the one-hot would materialize [B, T, S*C] in HBM (GBs at
+    database scale), while the gather touches only [B, chunk, S] floats per
+    step.
 
     Args:
         luts: [B, S, C] f32.
@@ -93,19 +99,22 @@ def lut_score_gathered(luts: jnp.ndarray, codes_per_query: jnp.ndarray) -> jnp.n
     Returns: [B, T] approximate distances.
     """
     b, s, c = luts.shape
-    if c <= 32:
-        t = codes_per_query.shape[1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (b, t, s, c), 3)
-        onehot = (codes_per_query.astype(jnp.int32)[:, :, :, None] == iota)
-        onehot = onehot.reshape(b, t, s * c).astype(jnp.bfloat16)
-        return jnp.einsum(
-            "btf,bf->bt", onehot, luts.reshape(b, s * c).astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    # gather path: luts[b, s, codes[b, t, s]]
-    gathered = jnp.take_along_axis(
-        luts[:, None, :, :],  # [B, 1, S, C]
-        codes_per_query.astype(jnp.int32)[:, :, :, None],  # [B, T, S, 1]
-        axis=3,
-    )[..., 0]  # [B, T, S]
-    return jnp.sum(gathered, axis=-1)
+    t = codes_per_query.shape[1]
+    luts_flat = luts.reshape(b, s * c)
+    base = (jnp.arange(s, dtype=jnp.int32) * c)[None, None, :]  # [1, 1, S]
+
+    def one_chunk(codes_chunk):  # [B, Tc, S]
+        flat_idx = codes_chunk.astype(jnp.int32) + base
+        vals = jnp.take_along_axis(
+            luts_flat[:, None, :], flat_idx.reshape(b, -1)[:, None, :], axis=2
+        )  # [B, 1, Tc*S]
+        return jnp.sum(vals.reshape(b, codes_chunk.shape[1], s), axis=-1)
+
+    if t <= chunk_t:
+        return one_chunk(codes_per_query)
+    n_chunks = -(-t // chunk_t)
+    t_pad = n_chunks * chunk_t
+    padded = jnp.pad(codes_per_query, ((0, 0), (0, t_pad - t), (0, 0)))
+    chunks = jnp.moveaxis(padded.reshape(b, n_chunks, chunk_t, s), 1, 0)
+    out = jax.lax.map(one_chunk, chunks)  # [n_chunks, B, chunk_t]
+    return jnp.moveaxis(out, 0, 1).reshape(b, t_pad)[:, :t]

@@ -42,6 +42,12 @@ class TreePartitionerConfig:
     # PartitioningConfig, config.rs:151-155, but never implements it)
     spilling: bool = False
     spilling_threshold: float = 0.1
+    # balance: split overloaded partitions (LBG-style center splitting +
+    # Lloyd refinement) until max partition size <= this cap. Skewed
+    # partitions directly cost search time in the padded-leaf layout
+    # (every query pays p * L_max). None = off; "auto" = 3x mean.
+    max_partition_size: Optional[object] = None
+    balance_rounds: int = 3
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -95,12 +101,62 @@ class TreePartitioner:
         else:
             tokens = self.tokenize(data)
 
+        if cfg.max_partition_size is not None:
+            tokens = self._balance(data, tokens)
+
         extra = None
         if cfg.spilling:
             extra = self._spill_pairs(data, tokens, cfg.spilling_threshold)
-        self.tokenization = DatabaseTokenization(tokens, k, extra_pairs=extra)
+        self.tokenization = DatabaseTokenization(
+            tokens, self.centers.shape[0], extra_pairs=extra)
         self._centers_dev = jnp.asarray(self.centers)
         return self
+
+    def _balance(self, data: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+        """Split overloaded partitions: add jittered member copies of every
+        oversized centroid, pad K to a 256 bucket (stable compiled shapes),
+        re-run a few Lloyd iterations, re-tokenize. Repeats up to
+        ``balance_rounds`` times or until max size <= cap."""
+        import jax
+
+        from scann_tpu.trees.kmeans import _lloyd_step
+
+        cfg = self.config
+        n = len(data)
+        cap = cfg.max_partition_size
+        if cap == "auto":
+            cap = max(int(3 * n / max(self.centers.shape[0], 1)), 8)
+        cap = int(cap)
+        rng = np.random.default_rng(cfg.seed)
+        data_dev = jnp.asarray(data, dtype=jnp.float32)
+
+        for _ in range(max(cfg.balance_rounds, 0)):
+            sizes = np.bincount(tokens, minlength=self.centers.shape[0])
+            if sizes.max() <= cap:
+                break
+            new_centers = [self.centers]
+            for t in np.nonzero(sizes > cap)[0]:
+                members = np.nonzero(tokens == t)[0]
+                n_extra = min(int(sizes[t] // cap), len(members))
+                if n_extra <= 0:
+                    continue
+                picks = rng.choice(members, size=n_extra, replace=False)
+                new_centers.append(
+                    data[picks] + rng.normal(size=(n_extra, data.shape[1])
+                                             ).astype(np.float32) * 1e-4)
+            centers = np.concatenate(new_centers, axis=0)
+            # bucket K so the Lloyd program shape is stable across datasets
+            k_pad = ((centers.shape[0] + 255) // 256) * 256
+            if k_pad > centers.shape[0]:
+                extra = rng.choice(n, size=k_pad - centers.shape[0], replace=False)
+                centers = np.concatenate([centers, data[extra]], axis=0)
+            c_dev = jnp.asarray(centers, dtype=jnp.float32)
+            for _ in range(3):
+                c_dev, _ = _lloyd_step(data_dev, c_dev, k=k_pad)
+            self.centers = np.asarray(c_dev)
+            self._centers_dev = c_dev
+            tokens = self.tokenize(data)
+        return tokens
 
     def _spill_pairs(self, data: np.ndarray, tokens: np.ndarray,
                      threshold: float, chunk: int = 65536) -> np.ndarray:

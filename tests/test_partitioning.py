@@ -143,3 +143,23 @@ def test_spilling_improves_recall_at_fixed_leaves(rng):
         return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
 
     assert recall(True) >= recall(False)
+
+
+def test_balancing_caps_partition_sizes(rng):
+    # heavily skewed data: one dense blob + sparse spread
+    blob = rng.normal(size=(800, 8)).astype(np.float32) * 0.05
+    spread = rng.normal(size=(200, 8)).astype(np.float32) * 5.0 + 10.0
+    db = np.concatenate([blob, spread]).astype(np.float32)
+    base = TreePartitioner(TreePartitionerConfig(num_partitions=16, seed=42)).build(
+        DenseDataset(db))
+    cap = 150
+    bal = TreePartitioner(TreePartitionerConfig(
+        num_partitions=16, seed=42, max_partition_size=cap)).build(DenseDataset(db))
+    assert bal.partition_sizes().max() <= base.partition_sizes().max()
+    assert bal.partition_sizes().sum() == len(db)
+    # balanced index still searches correctly
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    s = PartitionedSearcher(DenseDataset(db), partitioner=bal,
+                            num_partitions_to_search=bal.num_partitions)
+    idx, _ = s.search_batched_arrays(db[:5], 1)
+    assert (idx[:, 0] == np.arange(5)).all()
