@@ -28,7 +28,7 @@ from scann_tpu.hashes.lut16 import PackedCodes4Bit
 from scann_tpu.models.searcher import SearchParameters, Searcher
 from scann_tpu.ops.distances import DistanceMeasure, gathered_distances
 from scann_tpu.ops.lut16_scoring import lut_score
-from scann_tpu.ops.topk import top_k_smallest
+from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
 from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
 
 
@@ -60,17 +60,24 @@ def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int,
     return top_k_smallest(dists, k)
 
 
-@functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure"))
+@functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure", "codes_transposed"))
 def ah_search_reorder_kernel(
     centroids, codes, db, db_sq_norms, n_valid, queries, *, pre_k: int, k: int,
-    measure: DistanceMeasure,
+    measure: DistanceMeasure, codes_transposed: bool = False,
 ):
     """Approximate top-pre_k then exact re-rank to top-k, one program."""
     luts = lut_kernel(queries, centroids)
-    approx = lut_score(luts, codes)
+    if codes_transposed:
+        from scann_tpu.ops.pallas_kernels import lut16_score_auto
+
+        approx = lut16_score_auto(luts, codes)
+    else:
+        approx = lut_score(luts, codes)
     col = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
     approx = jnp.where(col < n_valid, approx, MASKED_DISTANCE)
-    _, cand = top_k_smallest(approx, pre_k)            # [B, pre_k]
+    # candidate selection: TPU-native approximate top-k (exact re-rank below
+    # recovers the recall_target loss); measured 121ms -> 3.8ms at [128, 1.18M]
+    _, cand = approx_top_k_smallest(approx, pre_k)     # [B, pre_k]
 
     rows = jnp.take(db, cand, axis=0)                  # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, cand, axis=0)
@@ -205,10 +212,12 @@ class AsymmetricHasher(Searcher):
         db, _ = self._dataset.device()
         from scann_tpu.ops.distances import squared_norms
         norms = jax.jit(squared_norms)(db)
+        transposed = self._use_pallas()
+        codes = self._device_codes_t() if transposed else self._device_codes()
         dists, idx = ah_search_reorder_kernel(
-            self.codebook.centroids_device(), self._device_codes(), db, norms,
+            self.codebook.centroids_device(), codes, db, norms,
             jnp.int32(self._n), jnp.asarray(queries), pre_k=pre_k, k=k,
-            measure=DistanceMeasure.SQUARED_L2,
+            measure=DistanceMeasure.SQUARED_L2, codes_transposed=transposed,
         )
         return np.asarray(idx), np.asarray(dists)
 

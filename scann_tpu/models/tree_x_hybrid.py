@@ -42,7 +42,7 @@ from scann_tpu.ops.distances import (
     squared_norms,
 )
 from scann_tpu.ops.lut16_scoring import lut_score_gathered
-from scann_tpu.ops.topk import top_k_smallest
+from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
 from scann_tpu.partitioning.tree_partitioner import TreePartitioner, TreePartitionerConfig
 from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
 
@@ -131,8 +131,9 @@ def tree_ah_search(
         missing = vals >= MASKED_DISTANCE / 2
         return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
-    # 5. merge -> top-(k * multiplier)
-    pre_vals, pre_pos = top_k_smallest(scores, pre_k)
+    # 5. merge -> top-(k * multiplier); approximate selection, exact
+    # re-rank below recovers the recall_target loss
+    pre_vals, pre_pos = approx_top_k_smallest(scores, pre_k)
     pre_cand = jnp.take_along_axis(flat_cand, pre_pos, axis=1)   # [B, pre_k]
     pre_valid = pre_vals < MASKED_DISTANCE / 2
     pre_safe = jnp.maximum(pre_cand, 0)
@@ -151,6 +152,69 @@ def tree_ah_search(
 tree_ah_kernel = jax.jit(
     tree_ah_search,
     static_argnames=("p", "pre_k", "k", "use_residuals", "measure", "reorder"),
+)
+
+
+def tree_ah_search_csr(
+    db, db_sq_norms, centers, codes_csr, csr_offsets, part_sizes, perm,
+    codebook, queries, n_valid, allow_mask,
+    *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
+    measure: DistanceMeasure, interpret: bool = False,
+):
+    """CSR fast path: leaf scoring via the scalar-prefetch Pallas kernel
+    (ops/tree_ah_pallas.py) — codes DMA'd per selected partition instead of
+    gathered per candidate. Requires balanced partitions (size <= l_cap).
+
+    codes_csr: [N_pad, S] u8 partition-contiguous; perm[r] = original id of
+    CSR row r; csr_offsets [K], part_sizes [K].
+    """
+    from scann_tpu.ops.tree_ah_pallas import tree_ah_leaf_scores_pallas
+
+    b, d = queries.shape
+    cd = many_to_many(DistanceMeasure.SQUARED_L2, queries, centers)
+    _, parts = top_k_smallest(cd, p)                          # [B, p]
+    sel_centers = jnp.take(centers, parts, axis=0)            # [B, p, D]
+
+    if use_residuals:
+        q_eff = queries[:, None, :] - sel_centers
+    else:
+        q_eff = jnp.broadcast_to(queries[:, None, :], (b, p, d))
+    s_dims, c_codes = codebook.shape[0], codebook.shape[1]
+    luts = lut_kernel(q_eff.reshape(b * p, d), codebook).reshape(b, p, s_dims, c_codes)
+
+    offsets = jnp.take(csr_offsets, parts, axis=0)            # [B, p]
+    sizes = jnp.take(part_sizes, parts, axis=0)               # [B, p]
+    scores = tree_ah_leaf_scores_pallas(
+        luts, codes_csr, offsets, sizes, l_cap=l_cap, interpret=interpret)
+
+    # candidate CSR rows -> original ids
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
+    csr_rows = jnp.minimum(offsets[:, :, None] + iota_l, perm.shape[0] - 1)
+    cand = jnp.take(perm, csr_rows.reshape(b, p * l_cap), axis=0)  # [B, C]
+    flat_scores = scores.reshape(b, p * l_cap)
+    if allow_mask is not None:
+        allowed = jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
+        flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
+
+    pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
+    pre_cand = jnp.take_along_axis(cand, pre_pos, axis=1)
+    pre_valid = pre_vals < MASKED_DISTANCE / 2
+    pre_safe = jnp.maximum(pre_cand, 0)
+
+    rows = jnp.take(db, pre_safe, axis=0)
+    norms = jnp.take(db_sq_norms, pre_safe, axis=0)
+    exact = gathered_distances(measure, queries, rows, norms)
+    exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
+    vals, pos = top_k_smallest(exact, k)
+    idx = jnp.take_along_axis(pre_cand, pos, axis=1)
+    missing = vals >= MASKED_DISTANCE / 2
+    return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+
+
+tree_ah_csr_kernel = jax.jit(
+    tree_ah_search_csr,
+    static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
+                     "interpret"),
 )
 
 
@@ -209,6 +273,7 @@ class TreeXHybridSearcher(Searcher):
         self.codes = self.codebook.encode_dataset(train_data)
         self._codes_dev = None
         self._norms_cache = None
+        self._csr_cache = None
         return self
 
     # -- metadata ---------------------------------------------------------------
@@ -242,6 +307,30 @@ class TreeXHybridSearcher(Searcher):
             self._codes_dev = jnp.asarray(codes[: db.shape[0]])
         return db, self._norms_cache[1], n
 
+    def _csr_state(self):
+        """CSR device layout for the Pallas leaf-scoring fast path."""
+        if getattr(self, "_csr_cache", None) is None:
+            self._device_state()
+            tk = self.partitioner.tokenization
+            l_cap = int(align_up(max(tk.max_partition_size, 8), 128))
+            perm = jnp.asarray(tk.point_indices.astype(np.int32))
+            codes_csr = jnp.take(self._codes_dev, perm, axis=0)
+            codes_csr = jnp.pad(codes_csr, ((0, l_cap), (0, 0)))
+            self._csr_cache = (
+                codes_csr,
+                jnp.asarray(tk.offsets[:-1].astype(np.int32)),
+                jnp.asarray(tk.partition_sizes.astype(np.int32)),
+                perm,
+                l_cap,
+            )
+        return self._csr_cache
+
+    def _use_csr_pallas(self) -> bool:
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
                               params: Optional[SearchParameters] = None,
@@ -265,8 +354,14 @@ class TreeXHybridSearcher(Searcher):
             pre_k = int(np.ceil(k * cfg.pre_reorder_multiplier))
 
         db, norms, n_valid = self._device_state()
-        leaves = self.partitioner.tokenization.padded_leaves()
-        max_cand = p * leaves.shape[1]
+        use_csr = self._use_csr_pallas()
+        if use_csr:
+            max_leaf = int(align_up(
+                max(self.partitioner.tokenization.max_partition_size, 8), 128))
+        else:
+            leaves = self.partitioner.tokenization.padded_leaves()
+            max_leaf = leaves.shape[1]
+        max_cand = p * max_leaf
         pre_k = min(max(pre_k, k), max_cand)
         k_eff = min(k, max_cand)
 
@@ -276,13 +371,25 @@ class TreeXHybridSearcher(Searcher):
             m[: len(allow_mask)] = np.asarray(allow_mask, dtype=bool)[:n_valid]
             mask_dev = jnp.asarray(m)
 
-        dists, idx = tree_ah_kernel(
-            db, norms, self.partitioner.centers_device(), leaves,
-            self._codes_dev, self.codebook.centroids_device(),
-            jnp.asarray(queries), jnp.int32(n_valid), mask_dev,
-            p=p, pre_k=pre_k, k=k_eff, use_residuals=cfg.use_residuals,
-            measure=cfg.distance_measure, reorder=True,
-        )
+        if use_csr:
+            codes_csr, csr_offsets, part_sizes, perm, l_cap = self._csr_state()
+            pre_k = min(pre_k, p * l_cap)
+            dists, idx = tree_ah_csr_kernel(
+                db, norms, self.partitioner.centers_device(), codes_csr,
+                csr_offsets, part_sizes, perm,
+                self.codebook.centroids_device(), jnp.asarray(queries),
+                jnp.int32(n_valid), mask_dev,
+                p=p, pre_k=pre_k, k=k_eff, l_cap=l_cap,
+                use_residuals=cfg.use_residuals, measure=cfg.distance_measure,
+            )
+        else:
+            dists, idx = tree_ah_kernel(
+                db, norms, self.partitioner.centers_device(), leaves,
+                self._codes_dev, self.codebook.centroids_device(),
+                jnp.asarray(queries), jnp.int32(n_valid), mask_dev,
+                p=p, pre_k=pre_k, k=k_eff, use_residuals=cfg.use_residuals,
+                measure=cfg.distance_measure, reorder=True,
+            )
         return np.asarray(idx), np.asarray(dists)
 
     def _check_built(self):

@@ -53,6 +53,20 @@ def top_k_smallest(dists: jnp.ndarray, k: int,
     return -neg, idx.astype(jnp.int32)
 
 
+def approx_top_k_smallest(
+    dists: jnp.ndarray, k: int, recall_target: float = 0.95
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate smallest-k via the TPU-native ``lax.approx_min_k``.
+
+    32x faster than exact selection at candidate-selection sizes (measured
+    121ms -> 3.8ms for k=300 over [128, 1.18M]). Use ONLY for pre-rerank
+    candidate stages — the per-entry recall_target loss is recovered by the
+    exact re-rank; final exact top-k stays sort-based.
+    """
+    vals, idx = jax.lax.approx_min_k(dists, k, recall_target=recall_target)
+    return vals, idx.astype(jnp.int32)
+
+
 def top_k_with_threshold(
     dists: jnp.ndarray, k: int, epsilon: float
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

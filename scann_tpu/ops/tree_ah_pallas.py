@@ -1,0 +1,102 @@
+"""Pallas CSR leaf-scoring kernel for tree-×-AH.
+
+The XLA tree-AH path scores leaves by gathering [B, p, L_max, S] codes per
+query — random-access gather plus padded duplication. This kernel instead
+stores codes in **CSR order** (rows sorted by partition, so each partition's
+codes are contiguous in HBM) and, for every (query, selected-partition)
+pair, DMAs exactly that partition's code block HBM→VMEM at a
+scalar-prefetched dynamic offset, then scores it against the pair's residual
+LUT with the VMEM one-hot + MXU contraction of the LUT16 kernel
+(ops/pallas_kernels.py).
+
+This is the TPU shape of the reference's per-partition scoring loop
+(reference: src/tree_x_hybrid/mod.rs:297-339) with the thread pool replaced
+by the (B, p) grid and the scalar LUT loop by a matmul.
+
+Layout contract:
+  - codes_csr [N_pad, S] uint8, partition-contiguous, padded with >= L_cap
+    extra rows so every DMA stays in bounds;
+  - csr_offsets[t] = first CSR row of partition t (host-precomputed);
+  - partitions are balanced so size <= L_cap (builder guarantees).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.types import MASKED_DISTANCE
+
+
+def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sem,
+            *, num_codes: int, l_cap: int, num_p: int):
+    b = pl.program_id(0)
+    pp = pl.program_id(1)
+    flat = b * num_p + pp
+    off = off_ref[flat]
+    size = size_ref[flat]
+
+    # DMA this partition's code block (contiguous CSR rows) into VMEM
+    dma = pltpu.make_async_copy(
+        codes_ref.at[pl.ds(off, l_cap)], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    s = scratch.shape[1]
+    codes = scratch[:].astype(jnp.int32)                      # [L, S]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (l_cap, s, num_codes), 2)
+    onehot = (codes[:, :, None] == iota).astype(jnp.bfloat16)
+    onehot = onehot.reshape(l_cap, s * num_codes)
+    scores = jax.lax.dot_general(
+        onehot, luts_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0]                                                    # [L]
+    row = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 1), 0)[:, 0]
+    out_ref[0, :] = jnp.where(row < size, scores, MASKED_DISTANCE)
+
+
+@functools.partial(jax.jit, static_argnames=("l_cap", "interpret"))
+def tree_ah_leaf_scores_pallas(
+    luts: jnp.ndarray,        # [B, p, S, C] f32 per-(query,partition) tables
+    codes_csr: jnp.ndarray,   # [N_pad, S] uint8 CSR-ordered codes
+    offsets: jnp.ndarray,     # [B, p] int32 CSR start row of each selection
+    sizes: jnp.ndarray,       # [B, p] int32 partition sizes
+    *, l_cap: int, interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, p, l_cap] scores (MASKED_DISTANCE beyond each partition's size)."""
+    b, p, s, c = luts.shape
+    luts_flat = luts.reshape(b * p, 1, s * c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, p),
+        in_specs=[
+            pl.BlockSpec((1, 1, s * c), lambda bb, pp, off, sz: (bb * p + pp, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, l_cap), lambda bb, pp, off, sz: (bb * p + pp, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((l_cap, s), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_codes=c, l_cap=l_cap, num_p=p),
+        out_shape=jax.ShapeDtypeStruct((b * p, l_cap), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * l_cap * s * c,
+            bytes_accessed=b * p * l_cap * s + b * p * s * c * 4 + b * p * l_cap * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(offsets.reshape(-1).astype(jnp.int32), sizes.reshape(-1).astype(jnp.int32),
+      luts_flat, codes_csr)
+    return out.reshape(b, p, l_cap)
