@@ -2,15 +2,20 @@
 
 Metric: batched exact brute-force QPS on the reference's headline workload
 (100 queries x 10k x 64d, k=10; reference README.md:678 = 117,943 QPS on
-2x Xeon 8260 / AVX2 / 96 threads). Throughput is measured device-resident
-(queries uploaded once, repeated jitted searches, block at the end) — the
-production serving pattern; per-call host<->device transfer through the dev
-tunnel would otherwise dominate.
+2x Xeon 8260 / AVX2 / 96 threads).
 
-Extra context (tree-AH recall/QPS at scale) goes to stderr.
+Methodology: *chained* device execution — each iteration's input depends on
+the previous iteration's reduced output, and every result folds into the
+chain, so no work can be elided, pipelined, or lazily skipped; one host sync
+at the end. This is a strict serialized-latency lower bound on throughput
+(real serving pipelines overlap batches and does better).
+
+Set SCANN_TPU_BENCH_FULL=1 to also run the GloVe-scale configuration
+(1.18M x 100d LUT16 full sweep + exact re-rank, recall reported) on stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,6 +26,22 @@ BASELINE_BATCHED_QPS = 117_943.0  # reference README.md:678
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def scan_time(make_scan, iters=50, rounds=4):
+    """Device-resident loop timing: ``make_scan(iters)`` returns a jitted
+    fn running ``iters`` chained searches in ONE dispatch via lax.scan
+    (per-dispatch tunnel latency amortized to ~0); each step's result feeds
+    the next step's input and the returned scalar, so nothing can be
+    elided. Best of ``rounds`` — noise only ever adds time."""
+    fn = make_scan(iters)
+    float(fn())  # compile + run once
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(fn())
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -37,38 +58,99 @@ def main():
     q_np = rng.random((b, d), dtype=np.float32)
 
     s = BruteForceSearcher(DenseDataset(db_np))
-    db, norms, n_valid = s._device_state()
-
-    def run(qq):
-        return _search_kernel(db, norms, jnp.int32(n_valid), qq,
-                              measure=DistanceMeasure.SQUARED_L2, k=k)
-
-    # distinct pre-staged query batches, every output consumed — pipelined
-    # serving throughput without letting the runtime skip duplicate work
-    n_batches = 64
-    qs = [jnp.asarray(q_np + np.float32(i) * 1e-6) for i in range(n_batches)]
-    jax.block_until_ready(run(qs[0]))  # compile
-    t0 = time.perf_counter()
-    outs = [run(qq) for qq in qs]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n_batches
-    out = outs[0]
-    qps = b / dt
-
-    # correctness check: recall vs numpy GT must be 1.0
-    idx = np.asarray(out[1])
+    # correctness: exact recall must be 1.0
+    idx, _ = s.search_batched_arrays(q_np, k)
     gt = np.argsort(((q_np[:, None, :] - db_np[None, :, :]) ** 2).sum(-1), axis=1)[:, :k]
-    recall = np.mean([len(set(a) & set(bb)) / k for a, bb in zip(idx, gt)])
-    log(f"bench: {dt*1e3:.3f} ms/batch, recall@10={recall:.4f}, {n_batches} batches")
+    recall = np.mean([len(set(a) & set(g)) / k for a, g in zip(idx, gt)])
     if recall < 0.999:
-        log("WARNING: recall below 1.0 — not exact!")
+        log(f"WARNING: brute-force recall {recall} < 1.0")
+
+    db, norms, n_valid = s._device_state()
+    q = jnp.asarray(q_np)
+
+    def make_scan(iters):
+        @jax.jit
+        def run(qq, dbx, nx):
+            def body(acc, i):
+                vals, _ = _search_kernel(
+                    dbx, nx, jnp.int32(n), qq + acc * 1e-20 + i * 1e-6,
+                    measure=DistanceMeasure.SQUARED_L2, k=k)
+                return acc + vals.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return acc
+        return lambda: run(q, db, norms)
+
+    dt = scan_time(make_scan)
+    qps = b / dt
+    log(f"bench: {dt*1e3:.3f} ms/batch on-device chained, recall@10={recall:.4f}")
+
+    if os.environ.get("SCANN_TPU_BENCH_FULL") == "1":
+        _run_glove_scale(log)
 
     print(json.dumps({
-        "metric": "batched_brute_force_qps_10k_64d_b100_k10",
+        "metric": "batched_brute_force_qps_10k_64d_b100_k10_chained",
         "value": round(qps, 1),
         "unit": "QPS",
         "vs_baseline": round(qps / BASELINE_BATCHED_QPS, 3),
     }))
+
+
+def _run_glove_scale(log):
+    """1.18M x 100d LUT16 full sweep + exact re-rank (stderr report)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu import BruteForceSearcher, DenseDataset
+    from scann_tpu.hashes import AsymmetricHasher, AsymmetricHasherConfig
+    from scann_tpu.hashes.hasher import ah_search_reorder_kernel
+    from scann_tpu.ops.distances import DistanceMeasure, squared_norms
+
+    N, D, B = 1_180_000, 100, 128
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    NC = 5000
+    centers = jax.random.normal(k1, (NC, D)) * 2.5
+    a = jax.random.randint(k2, (N,), 0, NC)
+    db_dev = jnp.take(centers, a, axis=0) + jax.random.normal(k3, (N, D))
+    aq = jax.random.randint(k4, (B,), 0, NC)
+    q_dev = jnp.take(centers, aq, axis=0) + jax.random.normal(k5, (B, D))
+    db = np.asarray(db_dev)
+    q = np.asarray(q_dev)
+    ds = DenseDataset(db)
+
+    t0 = time.perf_counter()
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
+        training_sample_size=100_000)).build(ds)
+    log(f"glove-scale build: {time.perf_counter()-t0:.1f}s")
+
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    dbd, _ = ds.device()
+    norms = jax.jit(squared_norms)(dbd)
+    cent = h.codebook.centroids_device()
+    ct = h._device_codes_t()
+    kw = dict(pre_k=300, k=10, measure=DistanceMeasure.SQUARED_L2,
+              codes_transposed=True)
+    _, i0 = ah_search_reorder_kernel(cent, ct, dbd, norms, jnp.int32(h._n), q_dev, **kw)
+    recall = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(np.asarray(i0), gt)])
+
+    def make_scan(iters):
+        @jax.jit
+        def run(qq, c, codes, dbx, nx):
+            def body(acc, i):
+                vals, _ = ah_search_reorder_kernel(
+                    c, codes, dbx, nx, jnp.int32(h._n),
+                    qq + acc * 1e-20 + i * 1e-6, **kw)
+                return acc + vals.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return acc
+        return lambda: run(q_dev, cent, ct, dbd, norms)
+
+    dt = scan_time(make_scan, iters=16, rounds=3)
+    log(f"glove-scale 1.18Mx100d full-sweep+rerank: recall@10={recall:.4f} "
+        f"{dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
 
 
 if __name__ == "__main__":

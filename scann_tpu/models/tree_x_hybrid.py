@@ -165,8 +165,8 @@ def tree_ah_search_csr(
     (ops/tree_ah_pallas.py) — codes DMA'd per selected partition instead of
     gathered per candidate. Requires balanced partitions (size <= l_cap).
 
-    codes_csr: [N_pad, S] u8 partition-contiguous; perm[r] = original id of
-    CSR row r; csr_offsets [K], part_sizes [K].
+    codes_csr: [S, N_pad] u8 transposed, partition-contiguous along N;
+    perm[r] = original id of CSR row r; csr_offsets [K], part_sizes [K].
     """
     from scann_tpu.ops.tree_ah_pallas import tree_ah_leaf_scores_pallas
 
@@ -313,13 +313,30 @@ class TreeXHybridSearcher(Searcher):
             self._device_state()
             tk = self.partitioner.tokenization
             l_cap = int(align_up(max(tk.max_partition_size, 8), 128))
-            perm = jnp.asarray(tk.point_indices.astype(np.int32))
-            codes_csr = jnp.take(self._codes_dev, perm, axis=0)
-            codes_csr = jnp.pad(codes_csr, ((0, l_cap), (0, 0)))
+            # 128-align every partition's CSR start (DMA lane tiling)
+            k = tk.num_partitions
+            sizes = tk.partition_sizes
+            aligned = np.zeros(k + 1, dtype=np.int64)
+            aligned[1:] = np.cumsum(
+                ((sizes.astype(np.int64) + 127) // 128) * 128)
+            total = int(aligned[-1]) + l_cap
+            perm_aligned = np.zeros(total, dtype=np.int32)
+            valid_rows = np.zeros(total, dtype=bool)
+            for t in range(k):
+                lo, sz = int(aligned[t]), int(sizes[t])
+                perm_aligned[lo : lo + sz] = tk.partition_indices(t)
+                valid_rows[lo : lo + sz] = True
+            s_pad = int(align_up(self.codes.shape[1], 32))
+            perm = jnp.asarray(perm_aligned)
+            codes_csr = jax.jit(
+                lambda c, pm: jnp.pad(
+                    jnp.take(c, pm, axis=0),
+                    ((0, 0), (0, s_pad - c.shape[1]))).T
+            )(self._codes_dev, perm)
             self._csr_cache = (
                 codes_csr,
-                jnp.asarray(tk.offsets[:-1].astype(np.int32)),
-                jnp.asarray(tk.partition_sizes.astype(np.int32)),
+                jnp.asarray(aligned[:-1].astype(np.int32)),
+                jnp.asarray(sizes.astype(np.int32)),
                 perm,
                 l_cap,
             )

@@ -14,8 +14,9 @@ This is the TPU shape of the reference's per-partition scoring loop
 by the (B, p) grid and the scalar LUT loop by a matmul.
 
 Layout contract:
-  - codes_csr [N_pad, S] uint8, partition-contiguous, padded with >= L_cap
-    extra rows so every DMA stays in bounds;
+  - codes_csr [S, N_pad] uint8, transposed and partition-contiguous along
+    N (candidates on the lane dimension), padded with >= L_cap extra
+    columns so every DMA stays in bounds;
   - csr_offsets[t] = first CSR row of partition t (host-precomputed);
   - partitions are balanced so size <= L_cap (builder guarantees).
 """
@@ -37,39 +38,51 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sem,
     b = pl.program_id(0)
     pp = pl.program_id(1)
     flat = b * num_p + pp
-    off = off_ref[flat]
+    # CSR partition starts are 128-aligned by the builder; the hint lets
+    # mosaic prove the DMA lane offset is tile-aligned
+    off = pl.multiple_of(off_ref[flat], 128)
     size = size_ref[flat]
 
-    # DMA this partition's code block (contiguous CSR rows) into VMEM
+    # DMA this partition's code columns (codes are stored [S, N] transposed,
+    # so candidates lie on the 128-wide lane dimension) into VMEM
     dma = pltpu.make_async_copy(
-        codes_ref.at[pl.ds(off, l_cap)], scratch, sem)
+        codes_ref.at[:, pl.ds(off, l_cap)], scratch, sem)
     dma.start()
     dma.wait()
 
-    s = scratch.shape[1]
-    codes = scratch[:].astype(jnp.int32)                      # [L, S]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (l_cap, s, num_codes), 2)
-    onehot = (codes[:, :, None] == iota).astype(jnp.bfloat16)
-    onehot = onehot.reshape(l_cap, s * num_codes)
-    scores = jax.lax.dot_general(
-        onehot, luts_ref[0].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0]                                                    # [L]
-    row = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 1), 0)[:, 0]
-    out_ref[0, :] = jnp.where(row < size, scores, MASKED_DISTANCE)
+    s = scratch.shape[0]
+    codes = scratch[:].astype(jnp.int32)                      # [S, L]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s, num_codes, l_cap), 1)
+    onehot = (codes[:, None, :] == iota).astype(jnp.float32)
+    # merge the LEADING dims (the lane dim stays L — mosaic supports this
+    # reshape; merging trailing dims is an unsupported shape cast)
+    onehot = onehot.reshape(s * num_codes, l_cap)
+    # select-and-reduce on the VPU: a matvec against one LUT row trips a
+    # mosaic bf16 matvec bug and would run the MXU at single-column occupancy
+    scores = jnp.sum(onehot * luts_ref[0, 0, :][:, None], axis=0)  # [L]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, l_cap), 1)[0, :]
+    out_ref[0, 0, :] = jnp.where(row < size, scores, MASKED_DISTANCE)
 
 
 @functools.partial(jax.jit, static_argnames=("l_cap", "interpret"))
 def tree_ah_leaf_scores_pallas(
     luts: jnp.ndarray,        # [B, p, S, C] f32 per-(query,partition) tables
-    codes_csr: jnp.ndarray,   # [N_pad, S] uint8 CSR-ordered codes
+    codes_csr: jnp.ndarray,   # [S, N_pad] uint8 CSR-ordered, transposed
     offsets: jnp.ndarray,     # [B, p] int32 CSR start row of each selection
     sizes: jnp.ndarray,       # [B, p] int32 partition sizes
     *, l_cap: int, interpret: bool = False,
 ) -> jnp.ndarray:
-    """[B, p, l_cap] scores (MASKED_DISTANCE beyond each partition's size)."""
+    """[B, p, l_cap] scores (MASKED_DISTANCE beyond each partition's size).
+
+    codes_csr's leading (subspace) dim must be padded to a multiple of 32
+    (u8 sublane tiling for the DMA slice); the LUT rows for pad subspaces
+    are zero-filled here, so pad codes contribute nothing.
+    """
     b, p, s, c = luts.shape
+    s_pad = codes_csr.shape[0]
+    if s_pad != s:
+        luts = jnp.pad(luts, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        s = s_pad
     luts_flat = luts.reshape(b * p, 1, s * c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -80,16 +93,19 @@ def tree_ah_leaf_scores_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, l_cap), lambda bb, pp, off, sz: (bb * p + pp, 0),
+        # 3-D output so the block's trailing dims equal the array dims
+        # (mosaic requires trailing block dims divisible by (8, 128) or
+        # exactly matching the array)
+        out_specs=pl.BlockSpec((1, 1, l_cap), lambda bb, pp, off, sz: (bb * p + pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((l_cap, s), jnp.uint8),
+            pltpu.VMEM((s, l_cap), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, num_codes=c, l_cap=l_cap, num_p=p),
-        out_shape=jax.ShapeDtypeStruct((b * p, l_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * p, 1, l_cap), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * p * l_cap * s * c,

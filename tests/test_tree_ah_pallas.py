@@ -24,7 +24,7 @@ def test_csr_leaf_scores_match_oracle(rng):
     luts = rng.uniform(0, 4, size=(b, p, s, c)).astype(np.float32)
 
     got = np.asarray(tree_ah_leaf_scores_pallas(
-        jnp.asarray(luts), jnp.asarray(codes), jnp.asarray(offsets),
+        jnp.asarray(luts), jnp.asarray(codes.T.copy()), jnp.asarray(offsets),
         jnp.asarray(sizes), l_cap=l_cap, interpret=True))
 
     for bi in range(b):
@@ -44,7 +44,7 @@ def test_csr_leaf_scores_full_partitions(rng):
     sizes = np.full((b, p), l_cap, np.int32)
     luts = rng.uniform(0, 2, size=(b, p, s, c)).astype(np.float32)
     got = np.asarray(tree_ah_leaf_scores_pallas(
-        jnp.asarray(luts), jnp.asarray(codes), jnp.asarray(offsets),
+        jnp.asarray(luts), jnp.asarray(codes.T.copy()), jnp.asarray(offsets),
         jnp.asarray(sizes), l_cap=l_cap, interpret=True))
     assert (got < MASKED_DISTANCE / 2).all()
     blk = codes[l_cap : 2 * l_cap].astype(int)
