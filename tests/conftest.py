@@ -9,6 +9,8 @@ update jax's config and clear the already-created backends.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU AOT cache entries are machine-feature-specific; don't persist them
+os.environ.setdefault("SCANN_TPU_COMPILE_CACHE", "0")
 
 import jax
 from jax._src import xla_bridge
