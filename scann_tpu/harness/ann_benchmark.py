@@ -157,8 +157,14 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
     )
     from scann_tpu.data.dataset import DenseDataset
     from scann_tpu.models.scann import Scann
+    from scann_tpu.ops.distances import DistanceMeasure
 
-    cfg = ScannConfig(num_neighbors=args.k)
+    measures = {"squared-l2": DistanceMeasure.SQUARED_L2,
+                "l2": DistanceMeasure.L2,
+                "cosine": DistanceMeasure.COSINE,
+                "dot-product": DistanceMeasure.DOT_PRODUCT}
+    cfg = ScannConfig(num_neighbors=args.k,
+                      distance_measure=measures[getattr(args, "distance", "squared-l2")])
     if algorithm == "brute-force":
         cfg.with_brute_force()
     elif algorithm == "partitioned":
@@ -220,7 +226,7 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     return BenchmarkReport(
         dataset=data.source,
         algorithm=algorithm,
-        distance="squared_l2",
+        distance=getattr(args, "distance", "squared-l2"),
         k=args.k,
         train_size=len(data.train),
         test_size=len(data.test),
@@ -239,6 +245,8 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="scann_tpu ANN benchmark harness")
     p.add_argument("--algorithm", default="brute-force",
                    choices=["brute-force", "partitioned", "hashed", "tree-ah"])
+    p.add_argument("--distance", default="squared-l2",
+                   choices=["squared-l2", "l2", "cosine", "dot-product"])
     p.add_argument("--dataset", default=None, help="ANN-Benchmarks JSON path")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--num-partitions", type=int, default=100)

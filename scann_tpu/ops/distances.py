@@ -185,6 +185,12 @@ def one_to_many(
     return many_to_many(measure, query[None, :], db, db_sq_norms)[0]
 
 
+def pairwise_distances(measure: DistanceMeasure, data: jnp.ndarray) -> jnp.ndarray:
+    """[N, N] all-pairs distance matrix within one set
+    (reference: src/distance_measures/many_to_many.rs:17-76 pairwise_*)."""
+    return many_to_many(measure, data, data)
+
+
 def one_to_one(measure: DistanceMeasure, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Scalar distance between two dense vectors."""
     return many_to_many(measure, a[None, :], b[None, :])[0, 0]

@@ -33,25 +33,40 @@ from jax.experimental.pallas import tpu as pltpu
 from scann_tpu.types import MASKED_DISTANCE
 
 
-def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sem,
+def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
             *, num_codes: int, l_cap: int, num_p: int):
     b = pl.program_id(0)
     pp = pl.program_id(1)
+    nb = pl.num_programs(0)
     flat = b * num_p + pp
-    # CSR partition starts are 128-aligned by the builder; the hint lets
-    # mosaic prove the DMA lane offset is tile-aligned
-    off = pl.multiple_of(off_ref[flat], 128)
+    total = nb * num_p
     size = size_ref[flat]
 
-    # DMA this partition's code columns (codes are stored [S, N] transposed,
-    # so candidates lie on the 128-wide lane dimension) into VMEM
-    dma = pltpu.make_async_copy(
-        codes_ref.at[:, pl.ds(off, l_cap)], scratch, sem)
-    dma.start()
-    dma.wait()
+    # Double-buffered DMA: grid steps run sequentially, so each step starts
+    # the NEXT (query, partition) pair's copy before waiting on its own —
+    # the per-partition DMA latency overlaps the previous step's compute.
+    # CSR partition starts are 128-aligned by the builder; the hint lets
+    # mosaic prove the DMA lane offsets are tile-aligned.
+    def dma_for(idx, slot):
+        off = pl.multiple_of(off_ref[idx], 128)
+        return pltpu.make_async_copy(
+            codes_ref.at[:, pl.ds(off, l_cap)], scratch.at[slot], sems.at[slot])
 
-    s = scratch.shape[0]
-    codes = scratch[:].astype(jnp.int32)                      # [S, L]
+    slot = jax.lax.rem(flat, 2)
+    next_slot = jax.lax.rem(flat + 1, 2)
+
+    @pl.when(flat == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(flat + 1 < total)
+    def _():
+        dma_for(flat + 1, next_slot).start()
+
+    dma_for(flat, slot).wait()
+
+    s = scratch.shape[1]
+    codes = scratch[slot].astype(jnp.int32)                   # [S, L]
     iota = jax.lax.broadcasted_iota(jnp.int32, (s, num_codes, l_cap), 1)
     onehot = (codes[:, None, :] == iota).astype(jnp.float32)
     # merge the LEADING dims (the lane dim stays L — mosaic supports this
@@ -99,8 +114,8 @@ def tree_ah_leaf_scores_pallas(
         out_specs=pl.BlockSpec((1, 1, l_cap), lambda bb, pp, off, sz: (bb * p + pp, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((s, l_cap), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, s, l_cap), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
