@@ -130,6 +130,25 @@ class ScalarQuantizer:
         return float(self.dequantize(np.array([code & 0xFF], dtype=np.uint8))[0])
 
 
+class PrecomputedQuery:
+    """Per-query 256-entry dequantization table
+    (reference: src/quantization/scalar.rs:298-324): precomputes
+    ``dequant(code)`` for all byte values so host-side scalar scoring avoids
+    the multiply-add per element. Provided for API parity; device scoring
+    uses the affine-matmul trick instead (ops/asymmetric.py)."""
+
+    def __init__(self, query: np.ndarray, quantizer: "ScalarQuantizer"):
+        self.query = np.asarray(query, dtype=np.float32)
+        codes = np.arange(256, dtype=np.uint8)
+        self.dequant_table = quantizer.dequantize(codes)  # [256] f32
+
+    def squared_l2_to_codes(self, codes: np.ndarray) -> float:
+        """Exact distance between the query and one quantized row."""
+        vals = self.dequant_table[np.asarray(codes, np.uint8)]
+        diff = self.query - vals
+        return float((diff * diff).sum())
+
+
 class QuantizedDataset:
     """Quantized database: uint8 codes + calibration, with device views.
 
