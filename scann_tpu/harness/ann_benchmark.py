@@ -64,7 +64,6 @@ def current_rss_bytes() -> Optional[int]:
     try:
         with open("/proc/self/statm") as f:
             pages = int(f.read().split()[1])
-        import resource  # page size via sysconf
         import os
         return pages * os.sysconf("SC_PAGE_SIZE")
     except Exception:
@@ -203,7 +202,6 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
 
     profile_ctx = None
     if getattr(args, "profile_dir", None):
-        import contextlib
         import jax
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()

@@ -13,11 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Union
-
 import numpy as np
 
-from scann_tpu.config import ScannConfig
 from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
 

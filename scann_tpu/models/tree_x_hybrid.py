@@ -23,7 +23,6 @@ Optional restricts enter as a [N] bool allowlist mask fused into scoring
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -21,7 +21,6 @@ general inner product).
 from __future__ import annotations
 
 import enum
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,7 @@ tests.
 from __future__ import annotations
 
 import heapq
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 
 class TopK:

@@ -13,7 +13,7 @@ by (cluster_sum, cluster_count) pairs.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
