@@ -115,6 +115,28 @@ def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
     return BenchmarkData(train, test, gt, source, dim)
 
 
+def load_hdf5_dataset(path: str, k: int, limit_train: Optional[int] = None,
+                      limit_test: Optional[int] = None) -> BenchmarkData:
+    """Native ANN-Benchmarks HDF5 (train/test/neighbors datasets) — the
+    reference requires an HDF5->JSON conversion step (README.md:718-730);
+    here the standard files load directly."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        train = np.asarray(f["train"], dtype=np.float32)
+        test = np.asarray(f["test"], dtype=np.float32)
+        neighbors = np.asarray(f["neighbors"], dtype=np.int64)
+    if limit_train:
+        train = train[:limit_train]
+    if limit_test:
+        test = test[:limit_test]
+        neighbors = neighbors[:limit_test]
+    if neighbors.shape[1] < k:
+        raise ValueError(f"neighbors rows must have at least {k} entries")
+    gt = neighbors[: len(test), :k].astype(np.int32)
+    return BenchmarkData(train, test, gt, path, train.shape[1])
+
+
 def load_json_dataset(path: str, k: int, limit_train: Optional[int] = None,
                       limit_test: Optional[int] = None) -> BenchmarkData:
     """(reference: ann_benchmark.rs:357-400)."""
@@ -268,7 +290,9 @@ def make_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
     if args.dataset:
-        data = load_json_dataset(args.dataset, args.k, args.limit_train, args.limit_test)
+        loader = load_hdf5_dataset if args.dataset.endswith(
+            (".hdf5", ".h5")) else load_json_dataset
+        data = loader(args.dataset, args.k, args.limit_train, args.limit_test)
     else:
         data = generate_synthetic_dataset(
             args.synthetic_train, args.synthetic_test, args.dim, args.k, args.seed,

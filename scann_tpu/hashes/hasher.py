@@ -70,11 +70,14 @@ def ah_search_reorder_kernel(
     if codes_transposed:
         from scann_tpu.ops.pallas_kernels import lut16_score_auto
 
-        approx = lut16_score_auto(luts, codes)
+        # bf16 scores: halves the [B, N] score-matrix HBM traffic (the
+        # dominant full-sweep cost); exact re-rank absorbs the rounding
+        approx = lut16_score_auto(luts, codes, out_dtype=jnp.bfloat16)
     else:
         approx = lut_score(luts, codes)
     col = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
-    approx = jnp.where(col < n_valid, approx, MASKED_DISTANCE)
+    approx = jnp.where(col < n_valid, approx,
+                       jnp.asarray(MASKED_DISTANCE, approx.dtype))
     # candidate selection: TPU-native approximate top-k (exact re-rank below
     # recovers the recall_target loss); measured 121ms -> 3.8ms at [128, 1.18M]
     _, cand = approx_top_k_smallest(approx, pre_k)     # [B, pre_k]

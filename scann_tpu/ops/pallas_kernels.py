@@ -53,23 +53,28 @@ def _lut16_kernel(luts_ref, codes_ref, out_ref, *, num_codes: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (s, num_codes, tn), 1)
     onehot = (codes[:, None, :] == iota).astype(jnp.bfloat16)
     onehot = onehot.reshape(s * num_codes, tn)
-    out_ref[:] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         luts_ref[:].astype(jnp.bfloat16), onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "out_dtype"))
 def lut16_score_pallas(luts: jnp.ndarray, codes_t: jnp.ndarray,
-                       tile_n: int = 2048, interpret: bool = False) -> jnp.ndarray:
+                       tile_n: int = 2048, interpret: bool = False,
+                       out_dtype=jnp.float32) -> jnp.ndarray:
     """Approximate distances [B, N] from VMEM-resident LUTs.
 
     Args:
         luts: [B, S, C] f32 per-query tables (C <= 16 intended).
         codes_t: [S, N] uint8 transposed database codes (N padded to tile_n).
+        out_dtype: bf16 halves the score-matrix HBM traffic — the dominant
+            cost of a full sweep at database scale; PQ quantization error
+            dwarfs bf16 rounding, and candidates are exact-reranked anyway.
 
-    Returns [B, N] f32 scores: out[b, n] = sum_s luts[b, s, codes_t[s, n]].
+    Returns [B, N] scores: out[b, n] = sum_s luts[b, s, codes_t[s, n]].
     """
     b, s, c = luts.shape
     n = codes_t.shape[1]
@@ -78,7 +83,7 @@ def lut16_score_pallas(luts: jnp.ndarray, codes_t: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_lut16_kernel, num_codes=c),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, s * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -95,9 +100,10 @@ def lut16_score_pallas(luts: jnp.ndarray, codes_t: jnp.ndarray,
 
 
 def lut16_score_auto(luts: jnp.ndarray, codes_t: jnp.ndarray,
-                     tile_n: int = 2048) -> jnp.ndarray:
+                     tile_n: int = 2048, out_dtype=jnp.float32) -> jnp.ndarray:
     """Pallas on TPU, interpret-mode fallback elsewhere."""
-    return lut16_score_pallas(luts, codes_t, tile_n=tile_n, interpret=not _is_tpu())
+    return lut16_score_pallas(luts, codes_t, tile_n=tile_n,
+                              interpret=not _is_tpu(), out_dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -112,3 +112,20 @@ def test_harness_json_round_trip(tmp_path):
     np.testing.assert_array_equal(loaded.gt, data.gt)
     with pytest.raises(ValueError):
         load_json_dataset(str(p), 10)  # k larger than provided neighbors
+
+
+def test_harness_hdf5_round_trip(tmp_path):
+    import h5py
+    from scann_tpu.harness.ann_benchmark import load_hdf5_dataset
+
+    data = generate_synthetic_dataset(80, 5, 4, 3, 1)
+    p = str(tmp_path / "ds.hdf5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("train", data=data.train)
+        f.create_dataset("test", data=data.test)
+        f.create_dataset("neighbors", data=data.gt)
+    loaded = load_hdf5_dataset(p, 3)
+    np.testing.assert_allclose(loaded.train, data.train)
+    np.testing.assert_array_equal(loaded.gt, data.gt)
+    loaded2 = load_hdf5_dataset(p, 3, limit_train=50, limit_test=2)
+    assert loaded2.train.shape[0] == 50 and loaded2.test.shape[0] == 2
