@@ -83,7 +83,9 @@ def _serialize(searcher):
         return (
             {"data": searcher._dataset.numpy(),
              "centers": tp.centers,
-             "tokens": tp.tokenization.tokens},
+             "tokens": tp.tokenization.tokens,
+             "csr_offsets": tp.tokenization.offsets,
+             "csr_points": tp.tokenization.point_indices},
             {"kind": "partitioned", "measure": searcher._measure.value,
              "p": searcher._p_default},
         )
@@ -99,6 +101,8 @@ def _serialize(searcher):
             {"data": searcher._dataset.numpy(),
              "centers": searcher.partitioner.centers,
              "tokens": searcher.partitioner.tokenization.tokens,
+             "csr_offsets": searcher.partitioner.tokenization.offsets,
+             "csr_points": searcher.partitioner.tokenization.point_indices,
              "codes": searcher.codes,
              "codebook": searcher.codebook.centroids},
             {"kind": "tree_ah",
@@ -110,6 +114,15 @@ def _serialize(searcher):
              "measure": searcher.config.distance_measure.value},
         )
     raise ScannError.unimplemented(f"cannot serialize {type(searcher).__name__}")
+
+
+def _load_tokenization(arrays):
+    from scann_tpu.partitioning.partitioner import DatabaseTokenization
+
+    if "csr_offsets" in arrays:  # preserves spilling multi-assignments
+        return DatabaseTokenization.from_csr(
+            arrays["tokens"], arrays["csr_offsets"], arrays["csr_points"])
+    return DatabaseTokenization(arrays["tokens"], len(arrays["centers"]))
 
 
 def load_index(path: str):
@@ -165,7 +178,7 @@ def load_index(path: str):
             num_partitions=len(arrays["centers"]),
             distance_measure=DistanceMeasure(meta["measure"])))
         tp.centers = arrays["centers"]
-        tp.tokenization = DatabaseTokenization(arrays["tokens"], len(arrays["centers"]))
+        tp.tokenization = _load_tokenization(arrays)
         return PartitionedSearcher(
             DenseDataset(arrays["data"]), partitioner=tp,
             num_partitions_to_search=meta["p"],
@@ -201,7 +214,7 @@ def load_index(path: str):
         s._dataset = DenseDataset(arrays["data"])
         tp = TreePartitioner(TreePartitionerConfig(num_partitions=meta["num_partitions"]))
         tp.centers = arrays["centers"]
-        tp.tokenization = DatabaseTokenization(arrays["tokens"], len(arrays["centers"]))
+        tp.tokenization = _load_tokenization(arrays)
         s.partitioner = tp
         cb = Codebook(CodebookConfig(num_codes=arrays["codebook"].shape[1],
                                      num_subspaces=arrays["codebook"].shape[0]))

@@ -61,6 +61,20 @@ class DatabaseTokenization:
         self.partition_sizes = counts
         self._padded_cache = None
 
+    @classmethod
+    def from_csr(cls, tokens: np.ndarray, offsets: np.ndarray,
+                 point_indices: np.ndarray) -> "DatabaseTokenization":
+        """Reconstruct from serialized CSR arrays (preserves spilling's
+        multi-assignments, which primary tokens alone cannot encode)."""
+        self = cls.__new__(cls)
+        self.tokens = np.asarray(tokens, dtype=np.int32)
+        self.offsets = np.asarray(offsets, dtype=np.int32)
+        self.num_partitions = len(self.offsets) - 1
+        self.point_indices = np.asarray(point_indices, dtype=np.int32)
+        self.partition_sizes = np.diff(self.offsets).astype(np.int32)
+        self._padded_cache = None
+        return self
+
     @property
     def max_partition_size(self) -> int:
         return int(self.partition_sizes.max()) if len(self.partition_sizes) else 0

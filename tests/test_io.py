@@ -92,3 +92,22 @@ def test_facade_round_trip(tmp_path, db, rng):
     save_index(p, s)
     s2 = load_index(p)  # loads the inner searcher
     _same_results(s.impl, s2, rng.normal(size=(2, 16)).astype(np.float32))
+
+
+def test_partitioned_round_trip_with_spilling(tmp_path, db, rng):
+    tp_cfg = TreePartitionerConfig(num_partitions=8, seed=42, spilling=True,
+                                   spilling_threshold=0.5)
+    from scann_tpu.partitioning import TreePartitioner
+    tp = TreePartitioner(tp_cfg).build(DenseDataset(db))
+    s = PartitionedSearcher(DenseDataset(db), partitioner=tp,
+                            num_partitions_to_search=4)
+    p = str(tmp_path / "spill.npz")
+    save_index(p, s)
+    s2 = load_index(p)
+    # spilled multi-assignments preserved exactly
+    np.testing.assert_array_equal(
+        s.partitioner.tokenization.point_indices,
+        s2.partitioner.tokenization.point_indices)
+    np.testing.assert_array_equal(
+        s.partitioner.tokenization.offsets, s2.partitioner.tokenization.offsets)
+    _same_results(s, s2, rng.normal(size=(4, 16)).astype(np.float32))
