@@ -58,7 +58,7 @@ class TreeXHybridConfig:
     use_residuals: bool = True
     pre_reorder_multiplier: float = 3.0
     distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
-    # partition balancing cap ("auto" = 3x mean, None = off): padded-leaf
+    # partition balancing cap ("auto" = 1.5x mean, None = off): padded-leaf
     # search cost is p * L_max, so skew directly slows every query
     max_partition_size: Optional[object] = "auto"
 

@@ -44,10 +44,10 @@ class TreePartitionerConfig:
     spilling_threshold: float = 0.1
     # balance: split overloaded partitions (LBG-style center splitting +
     # Lloyd refinement) until max partition size <= this cap. Skewed
-    # partitions directly cost search time in the padded-leaf layout
-    # (every query pays p * L_max). None = off; "auto" = 3x mean.
+    # partitions directly cost search time in the padded-leaf/CSR layouts
+    # (every query pays p * L_max). None = off; "auto" = 1.5x mean.
     max_partition_size: Optional[object] = None
-    balance_rounds: int = 3
+    balance_rounds: int = 4
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -125,7 +125,7 @@ class TreePartitioner:
         n = len(data)
         cap = cfg.max_partition_size
         if cap == "auto":
-            cap = max(int(3 * n / max(self.centers.shape[0], 1)), 8)
+            cap = max(int(1.5 * n / max(self.centers.shape[0], 1)), 8)
         cap = int(cap)
         rng = np.random.default_rng(cfg.seed)
         data_dev = jnp.asarray(data, dtype=jnp.float32)
