@@ -194,12 +194,14 @@ class TreePartitioner:
         return self
 
     def tokenize(self, data: np.ndarray) -> np.ndarray:
-        """Assign every row to its nearest centroid."""
-        _, tok = select_partitions_kernel(
-            jnp.asarray(self.centers), jnp.asarray(data, dtype=jnp.float32),
-            measure=self.config.distance_measure, p=1,
-        )
-        return np.asarray(tok)[:, 0].astype(np.int32)
+        """Assign every row to its nearest centroid — chunked over rows so
+        the [chunk, K] distance matrix never approaches HBM capacity
+        (a full [N, K] matrix at 1M x 8k partitions would be ~37GB)."""
+        from scann_tpu.trees.kmeans import assign_clusters
+
+        tok, _ = jax.jit(assign_clusters)(
+            jnp.asarray(data, dtype=jnp.float32), jnp.asarray(self.centers))
+        return np.asarray(tok).astype(np.int32)
 
     # -- metadata --------------------------------------------------------------
     @property
