@@ -70,14 +70,25 @@ def current_rss_bytes() -> Optional[int]:
         return None
 
 
+def _measure_for(name: str):
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    return {"squared-l2": DistanceMeasure.SQUARED_L2,
+            "l2": DistanceMeasure.L2,
+            "cosine": DistanceMeasure.COSINE,
+            "dot-product": DistanceMeasure.DOT_PRODUCT}[name]
+
+
 def exact_ground_truth(train: np.ndarray, queries: np.ndarray, k: int,
-                       batch: int = 256) -> np.ndarray:
-    """Exact GT via the TPU brute-force searcher
-    (reference: ann_benchmark.rs:427-450 computes it scalar on host)."""
+                       batch: int = 256,
+                       distance: str = "squared-l2") -> np.ndarray:
+    """Exact GT via the TPU brute-force searcher under the *benchmarked*
+    distance measure (reference: ann_benchmark.rs:427-450 computes it scalar
+    on host)."""
     from scann_tpu.data.dataset import DenseDataset
     from scann_tpu.models.brute_force import BruteForceSearcher
 
-    s = BruteForceSearcher(DenseDataset(train))
+    s = BruteForceSearcher(DenseDataset(train), _measure_for(distance))
     out = []
     for i in range(0, len(queries), batch):
         idx, _ = s.search_batched_arrays(queries[i : i + batch], k)
@@ -87,7 +98,8 @@ def exact_ground_truth(train: np.ndarray, queries: np.ndarray, k: int,
 
 def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
                                dim: int = 64, k: int = 10, seed: int = 42,
-                               clustered: bool = False) -> BenchmarkData:
+                               clustered: bool = False,
+                               distance: str = "squared-l2") -> BenchmarkData:
     """Seeded synthetic data; uniform [0,1) like the reference
     (ann_benchmark.rs:402-425), or clustered for partition-friendly regimes."""
     import jax
@@ -111,7 +123,7 @@ def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
         train = np.asarray(jax.random.uniform(k1, (train_size, dim), jnp.float32))
         test = np.asarray(jax.random.uniform(k2, (test_size, dim), jnp.float32))
         source = f"synthetic_n{train_size}_q{test_size}_d{dim}"
-    gt = exact_ground_truth(train, test, k)
+    gt = exact_ground_truth(train, test, k, distance=distance)
     return BenchmarkData(train, test, gt, source, dim)
 
 
@@ -178,14 +190,9 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
     )
     from scann_tpu.data.dataset import DenseDataset
     from scann_tpu.models.scann import Scann
-    from scann_tpu.ops.distances import DistanceMeasure
 
-    measures = {"squared-l2": DistanceMeasure.SQUARED_L2,
-                "l2": DistanceMeasure.L2,
-                "cosine": DistanceMeasure.COSINE,
-                "dot-product": DistanceMeasure.DOT_PRODUCT}
     cfg = ScannConfig(num_neighbors=args.k,
-                      distance_measure=measures[getattr(args, "distance", "squared-l2")])
+                      distance_measure=_measure_for(getattr(args, "distance", "squared-l2")))
     if algorithm == "brute-force":
         cfg.with_brute_force()
     elif algorithm == "partitioned":
@@ -296,7 +303,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         data = generate_synthetic_dataset(
             args.synthetic_train, args.synthetic_test, args.dim, args.k, args.seed,
-            clustered=args.clustered,
+            clustered=args.clustered, distance=args.distance,
         )
     report = run_benchmark(args.algorithm, data, args)
     print(report.to_json())

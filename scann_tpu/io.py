@@ -106,6 +106,9 @@ def _serialize(searcher):
              "codes": searcher.codes,
              "codebook": searcher.codebook.centroids},
             {"kind": "tree_ah",
+             # codes are per-ASSIGNMENT rows in CSR order (spilling-correct
+             # residuals); absent flag = legacy per-point rows
+             "assignment_codes": True,
              "num_partitions": searcher.config.num_partitions,
              "partitions_to_search": searcher.config.partitions_to_search,
              "use_residuals": searcher.config.use_residuals,
@@ -223,5 +226,10 @@ def load_index(path: str):
         cb.dims_per_subspace = arrays["codebook"].shape[2]
         s.codebook = cb
         s.codes = arrays["codes"]
+        if not meta.get("assignment_codes", False):
+            # legacy per-point rows -> per-assignment CSR rows (legacy files
+            # never spilled, so every CSR row's partition is the primary
+            # token and the residual codes transfer unchanged)
+            s.codes = s.codes[tp.tokenization.point_indices]
         return s
     raise ScannError.unimplemented(f"unknown index kind {kind!r}")

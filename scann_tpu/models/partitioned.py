@@ -30,16 +30,22 @@ from scann_tpu.ops.distances import (
     many_to_many,
     squared_norms,
 )
-from scann_tpu.ops.topk import top_k_smallest
+from scann_tpu.ops.topk import top_k_smallest, top_k_unique
 from scann_tpu.partitioning.tree_partitioner import TreePartitioner, TreePartitionerConfig
 from scann_tpu.types import MASKED_DISTANCE
 
 
-@functools.partial(jax.jit, static_argnames=("measure", "p", "k"))
+@functools.partial(jax.jit, static_argnames=("measure", "p", "k", "multiplicity"))
 def partitioned_search_kernel(
-    db, db_sq_norms, centers, leaf_indices, queries, *, measure: DistanceMeasure, p: int, k: int
+    db, db_sq_norms, centers, leaf_indices, queries, *, measure: DistanceMeasure,
+    p: int, k: int, multiplicity: int = 1,
 ):
-    """(distances [B,k], global indices [B,k]; -1 index for missing)."""
+    """(distances [B,k], global indices [B,k]; -1 index for missing).
+
+    ``multiplicity`` > 1 (partition spilling) switches the final selection to
+    the over-fetch + dedup top-k so a point probed via several of its leaves
+    is returned once.
+    """
     b = queries.shape[0]
     cd = many_to_many(measure, queries, centers)          # [B, K]
     _, top_parts = top_k_smallest(cd, p)                  # [B, p]
@@ -54,8 +60,11 @@ def partitioned_search_kernel(
     dists = gathered_distances(measure, queries, rows, norms)
     dists = jnp.where(valid, dists, MASKED_DISTANCE)
 
-    vals, pos = top_k_smallest(dists, k)
-    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if multiplicity > 1:
+        vals, idx = top_k_unique(dists, cand, k, multiplicity)
+    else:
+        vals, pos = top_k_smallest(dists, k)
+        idx = jnp.take_along_axis(cand, pos, axis=1)
     missing = vals >= MASKED_DISTANCE / 2
     return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
@@ -116,5 +125,6 @@ class PartitionedSearcher(Searcher):
         dists, idx = partitioned_search_kernel(
             db, norms, self.partitioner.centers_device(), leaves, jnp.asarray(queries),
             measure=self._measure, p=p, k=k_eff,
+            multiplicity=self.partitioner.tokenization.max_multiplicity,
         )
         return np.asarray(idx), np.asarray(dists)

@@ -79,6 +79,12 @@ class Scann(Searcher):
                 partitions_to_search=int(p.num_partitions_to_search),
                 hash_config=_hash_to_ah_config(config.hash, for_tree_ah=True),
                 distance_measure=measure,
+                spilling=bool(p.spilling),
+                spilling_threshold=float(p.spilling_threshold),
+                partition_max_iterations=int(p.max_training_iterations),
+                partition_convergence_threshold=float(p.convergence_threshold),
+                partition_num_levels=int(p.num_levels),
+                partition_training_sample_size=p.training_sample_size,
             )
             if config.exact_reordering is not None:
                 cfg.pre_reorder_multiplier = max(

@@ -1,8 +1,12 @@
 """Tree-×-AH hybrid searcher — the flagship pipeline.
 
 Build (reference: src/tree_x_hybrid/mod.rs:131-237): k-means partitions; a
-*global* PQ codebook trained on residuals (point − its partition centroid);
-every point encoded as residual codes.
+*global* PQ codebook trained on residuals (point − partition centroid);
+codes stored **per assignment** in one partition-contiguous CSR slab — a
+point spilled into two partitions gets two code rows, each encoding the
+residual against *that* partition's centroid, so spilling and residuals
+compose correctly (the reference declares spilling but never implements it,
+config.rs:151-155).
 
 Search (reference: mod.rs:240-364) as ONE device program — the reference
 runs a host loop over partitions with scalar LUT scoring and a rayon thread
@@ -10,19 +14,23 @@ pool; here the stages fuse into a single jit program with no host round
 trips:
 
     centroid matmul -> top-p partitions
-    -> per-(query, partition) residual LUTs (batched einsum, [B*p, S, C])
-    -> gather padded leaf lists + their PQ codes
-    -> LUT scoring (one-hot matmul on the MXU)
-    -> masked merge across partitions -> top-(k·multiplier)
-    -> gather raw rows -> exact re-rank -> top-k
+    -> per-(query, partition) residual LUTs (batched einsum)
+    -> leaf scoring over the CSR slab:
+         TPU: pairs grouped by partition, one-hot built once per group,
+              MXU contraction (ops/tree_ah_grouped.py)
+         CPU/fallback: per-pair code-row gather + LUT gather-sum
+    -> masked merge across partitions -> approx top-(k·multiplier)
+    -> gather raw rows -> exact re-rank -> top-k (dedup when spilling)
 
-Optional restricts enter as a [N] bool allowlist mask fused into scoring
-(disallowed candidates get the sentinel distance).
+Optional restricts enter as a [N] bool allowlist mask fused into scoring;
+per-query ``pre/post_reordering_epsilon`` thresholds ride as dynamic
+scalars (reference: src/searcher.rs:12-30, brute_force/top_k.rs:263-279).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional
 
 import jax
@@ -41,9 +49,17 @@ from scann_tpu.ops.distances import (
     squared_norms,
 )
 from scann_tpu.ops.lut16_scoring import lut_score_gathered
-from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
+from scann_tpu.ops.topk import (
+    approx_top_k_smallest,
+    top_k_smallest,
+    top_k_unique,
+)
+from scann_tpu.ops.tree_ah_grouped import (
+    group_pairs_by_partition,
+    tree_ah_grouped_scores_pallas,
+)
 from scann_tpu.partitioning.tree_partitioner import TreePartitioner, TreePartitionerConfig
-from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
+from scann_tpu.types import MASKED_DISTANCE, align_up
 
 
 @dataclasses.dataclass
@@ -58,9 +74,24 @@ class TreeXHybridConfig:
     use_residuals: bool = True
     pre_reorder_multiplier: float = 3.0
     distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
-    # partition balancing cap ("auto" = 1.5x mean, None = off): padded-leaf
-    # search cost is p * L_max, so skew directly slows every query
+    # partition balancing cap ("auto" = 1.5x mean, None = off): leaf-scoring
+    # cost has an l_cap term, so skew directly slows every query
     max_partition_size: Optional[object] = "auto"
+    # partitioner training knobs (threaded into TreePartitionerConfig so the
+    # Scann facade's PartitioningConfig fields are honored, not dropped)
+    spilling: bool = False
+    spilling_threshold: float = 0.1
+    partition_max_iterations: int = 100
+    partition_convergence_threshold: float = 1e-5
+    partition_num_levels: int = 1
+    partition_training_sample_size: Optional[int] = None
+    # grouped-kernel shape knobs: queries per group row-block and the code
+    # L-tile (tiles past a partition's size skip DMA + matmul entirely)
+    group_q_cap: int = 32
+    score_l_tile: int = 256
+    # approximate top-p centroid selection (lax.approx_min_k) once the
+    # centroid count makes the sort-based exact top-k the bottleneck
+    approx_selection_min_partitions: int = 1024
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
         self.hash_config = cfg
@@ -75,145 +106,177 @@ class TreeXHybridConfig:
         return self
 
 
-def tree_ah_search(
-    db, db_sq_norms, centers, leaf_idx, codes, codebook, queries, n_valid, allow_mask,
-    *, p: int, pre_k: int, k: int, use_residuals: bool,
-    measure: DistanceMeasure, reorder: bool,
-):
-    """Fused tree-AH search. Returns (distances [B,k], indices [B,k]; -1 missing).
+# ---------------------------------------------------------------------------
+# fused search stages
+# ---------------------------------------------------------------------------
 
-    Args:
-        db: [N_pad, D] raw vectors (for re-ranking).
-        db_sq_norms: [N_pad].
-        centers: [K, D] partition centroids.
-        leaf_idx: [K, L] padded leaf point lists (-1 pad).
-        codes: [N_pad, S] uint8 PQ codes (residual codes when use_residuals).
-        codebook: [S, C, d_sub].
-        allow_mask: [N_pad] bool or None — restrict allowlist.
-    """
-    b, d = queries.shape
-    n_leaf = leaf_idx.shape[1]
 
-    # 1. partition selection (squared-L2 centroid scoring)
+def _select_partitions(centers, queries, *, p: int, approx_min: int):
+    """Top-p nearest centroids. Sort-based exact selection over thousands of
+    centroids costs more than the leaf scoring it feeds (measured 3.5 ms at
+    [128, 3840]); approx_min_k does the same candidate selection in sub-ms
+    and a missed 20th-best partition is recovered by the re-rank."""
     cd = many_to_many(DistanceMeasure.SQUARED_L2, queries, centers)
-    _, parts = top_k_smallest(cd, p)                      # [B, p]
-    sel_centers = jnp.take(centers, parts, axis=0)        # [B, p, D]
+    if centers.shape[0] >= approx_min and p < centers.shape[0]:
+        return approx_top_k_smallest(cd, p)[1]
+    return top_k_smallest(cd, p)[1]
 
-    # 2. per-(query, partition) residual LUTs
+
+def _residual_luts(queries, centers, parts, codebook, *, s_pad: int,
+                   use_residuals: bool):
+    """Per-(query, partition) LUTs, flattened to [B*p, s_pad*C] with zero
+    rows for pad subspaces (pad code 0 then contributes nothing)."""
+    b, d = queries.shape
+    p = parts.shape[1]
     if use_residuals:
-        q_eff = queries[:, None, :] - sel_centers          # [B, p, D]
+        sel = jnp.take(centers, parts, axis=0)          # [B, p, D]
+        q_eff = queries[:, None, :] - sel
     else:
         q_eff = jnp.broadcast_to(queries[:, None, :], (b, p, d))
-    luts = lut_kernel(q_eff.reshape(b * p, d), codebook)   # [B*p, S, C]
+    luts = lut_kernel(q_eff.reshape(b * p, d), codebook)  # [B*p, S, C]
+    s, c = luts.shape[1], luts.shape[2]
+    if s_pad != s:
+        luts = jnp.pad(luts, ((0, 0), (0, s_pad - s), (0, 0)))
+    return luts.reshape(b * p, s_pad * c)
 
-    # 3. gather candidates + their codes
-    cand = jnp.take(leaf_idx, parts, axis=0)               # [B, p, L]
-    valid = cand >= 0
-    safe = jnp.maximum(cand, 0)
-    cand_codes = jnp.take(codes, safe.reshape(b, p * n_leaf), axis=0)  # [B, p*L, S]
 
-    # 4. LUT scoring per partition block
-    scores = lut_score_gathered(
-        luts, cand_codes.reshape(b * p, n_leaf, -1)
-    ).reshape(b, p * n_leaf)
-    flat_cand = cand.reshape(b, p * n_leaf)
-    flat_valid = valid.reshape(b, p * n_leaf)
-    if allow_mask is not None:
-        flat_valid = flat_valid & jnp.take(
-            allow_mask, jnp.maximum(flat_cand, 0), axis=0
-        )
-    scores = jnp.where(flat_valid, scores, MASKED_DISTANCE)
-
+def _finalize(db, db_sq_norms, queries, flat_scores, flat_cand, pre_eps,
+              post_eps, *, pre_k: int, k: int, measure: DistanceMeasure,
+              reorder: bool, multiplicity: int):
+    """approx candidate select -> exact re-rank -> (dedup) top-k."""
     if not reorder:
-        vals, pos = top_k_smallest(scores, k)
-        idx = jnp.take_along_axis(flat_cand, pos, axis=1)
-        missing = vals >= MASKED_DISTANCE / 2
+        if multiplicity > 1:
+            vals, idx = top_k_unique(flat_scores, flat_cand, k, multiplicity)
+        else:
+            vals, pos = top_k_smallest(flat_scores, k)
+            idx = jnp.take_along_axis(flat_cand, pos, axis=1)
+        missing = (vals >= MASKED_DISTANCE / 2) | (vals > pre_eps)
         return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
-    # 5. merge -> top-(k * multiplier); approximate selection, exact
-    # re-rank below recovers the recall_target loss
-    pre_vals, pre_pos = approx_top_k_smallest(scores, pre_k)
-    pre_cand = jnp.take_along_axis(flat_cand, pre_pos, axis=1)   # [B, pre_k]
-    pre_valid = pre_vals < MASKED_DISTANCE / 2
+    pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
+    pre_cand = jnp.take_along_axis(flat_cand, pre_pos, axis=1)  # [B, pre_k]
+    pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_vals <= pre_eps)
     pre_safe = jnp.maximum(pre_cand, 0)
 
-    # 6. exact re-rank
-    rows = jnp.take(db, pre_safe, axis=0)                         # [B, pre_k, D]
+    rows = jnp.take(db, pre_safe, axis=0)                        # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, pre_safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
-    vals, pos = top_k_smallest(exact, k)
-    idx = jnp.take_along_axis(pre_cand, pos, axis=1)
-    missing = vals >= MASKED_DISTANCE / 2
+    if multiplicity > 1:
+        vals, idx = top_k_unique(exact, pre_cand, k, multiplicity)
+    else:
+        vals, pos = top_k_smallest(exact, k)
+        idx = jnp.take_along_axis(pre_cand, pos, axis=1)
+    missing = (vals >= MASKED_DISTANCE / 2) | (vals > post_eps)
     return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+
+
+def tree_ah_search(
+    db, db_sq_norms, centers, codes_rows, csr_offsets, part_sizes, perm,
+    codebook, queries, n_valid, allow_mask, pre_eps, post_eps,
+    *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
+    measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
+    approx_select_min: int = 1024,
+):
+    """XLA leaf-scoring path (CPU and fallback): per-pair code-row gather +
+    LUT gather-sum over the CSR slab.
+
+    Args:
+        db: [N_pad, D] raw vectors (for re-ranking).
+        codes_rows: [N_csr, S_pad] uint8 per-assignment PQ codes, rows
+            partition-contiguous, partition starts 128-aligned.
+        csr_offsets: [K] int32 first CSR row of each partition.
+        part_sizes: [K] int32.
+        perm: [N_csr] int32 CSR row -> original point id.
+        allow_mask: [N_pad] bool or None — restrict allowlist.
+        pre_eps / post_eps: f32 scalars (inf = no threshold).
+    """
+    b, d = queries.shape
+    parts = _select_partitions(centers, queries, p=p,
+                               approx_min=approx_select_min)     # [B, p]
+    s_pad = codes_rows.shape[1]
+    c = codebook.shape[1]
+    luts_flat = _residual_luts(queries, centers, parts, codebook,
+                               s_pad=s_pad, use_residuals=use_residuals)
+
+    offs = jnp.take(csr_offsets, parts, axis=0)                  # [B, p]
+    szs = jnp.take(part_sizes, parts, axis=0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
+    rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
+    codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
+    scores = lut_score_gathered(
+        luts_flat.reshape(b * p, s_pad, c),
+        codes_g.reshape(b * p, l_cap, s_pad),
+    ).reshape(b, p * l_cap)
+
+    valid = (iota_l < szs[:, :, None]).reshape(b, p * l_cap)
+    cand = jnp.take(perm, rows.reshape(b, p * l_cap), axis=0)
+    if allow_mask is not None:
+        valid = valid & jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
+    flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
+    return _finalize(db, db_sq_norms, queries, flat_scores, cand, pre_eps,
+                     post_eps, pre_k=pre_k, k=k, measure=measure,
+                     reorder=reorder, multiplicity=multiplicity)
 
 
 tree_ah_kernel = jax.jit(
     tree_ah_search,
-    static_argnames=("p", "pre_k", "k", "use_residuals", "measure", "reorder"),
+    static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
+                     "reorder", "multiplicity", "approx_select_min"),
 )
 
 
-def tree_ah_search_csr(
+def tree_ah_search_grouped(
     db, db_sq_norms, centers, codes_csr, csr_offsets, part_sizes, perm,
-    codebook, queries, n_valid, allow_mask,
+    codebook, queries, n_valid, allow_mask, pre_eps, post_eps,
     *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
-    measure: DistanceMeasure, interpret: bool = False,
+    measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
+    approx_select_min: int = 1024, q_cap: int = 32, l_tile: int = 256,
+    interpret: bool = False,
 ):
-    """CSR fast path: leaf scoring via the scalar-prefetch Pallas kernel
-    (ops/tree_ah_pallas.py) — codes DMA'd per selected partition instead of
-    gathered per candidate. Requires balanced partitions (size <= l_cap).
+    """TPU fast path: grouped MXU leaf scoring (ops/tree_ah_grouped.py).
 
-    codes_csr: [S, N_pad] u8 transposed, partition-contiguous along N;
-    perm[r] = original id of CSR row r; csr_offsets [K], part_sizes [K].
+    codes_csr: [S_pad, N_csr] uint8 — the transposed CSR slab (candidates on
+    the lane dimension for the in-kernel DMA).
     """
-    from scann_tpu.ops.tree_ah_pallas import tree_ah_leaf_scores_pallas
-
     b, d = queries.shape
-    cd = many_to_many(DistanceMeasure.SQUARED_L2, queries, centers)
-    _, parts = top_k_smallest(cd, p)                          # [B, p]
-    sel_centers = jnp.take(centers, parts, axis=0)            # [B, p, D]
+    parts = _select_partitions(centers, queries, p=p,
+                               approx_min=approx_select_min)     # [B, p]
+    s_pad = codes_csr.shape[0]
+    c = codebook.shape[1]
+    luts_flat = _residual_luts(queries, centers, parts, codebook,
+                               s_pad=s_pad, use_residuals=use_residuals)
 
-    if use_residuals:
-        q_eff = queries[:, None, :] - sel_centers
-    else:
-        q_eff = jnp.broadcast_to(queries[:, None, :], (b, p, d))
-    s_dims, c_codes = codebook.shape[0], codebook.shape[1]
-    luts = lut_kernel(q_eff.reshape(b * p, d), codebook).reshape(b, p, s_dims, c_codes)
+    grp_part, slot, ng = group_pairs_by_partition(
+        parts, centers.shape[0], q_cap)
+    grp_off = jnp.take(csr_offsets, grp_part)
+    grp_size = jnp.take(part_sizes, grp_part)
+    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
+        jnp.arange(b * p, dtype=jnp.int32))
+    luts_grouped = jnp.take(luts_flat, pair_of_slot, axis=0)
 
-    offsets = jnp.take(csr_offsets, parts, axis=0)            # [B, p]
-    sizes = jnp.take(part_sizes, parts, axis=0)               # [B, p]
-    scores = tree_ah_leaf_scores_pallas(
-        luts, codes_csr, offsets, sizes, l_cap=l_cap, interpret=interpret)
+    scores_g = tree_ah_grouped_scores_pallas(
+        luts_grouped, codes_csr, grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret)
+    flat_scores = jnp.take(scores_g, slot, axis=0).reshape(b, p * l_cap)
 
-    # candidate CSR rows -> original ids
+    offs = jnp.take(csr_offsets, parts, axis=0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
-    csr_rows = jnp.minimum(offsets[:, :, None] + iota_l, perm.shape[0] - 1)
-    cand = jnp.take(perm, csr_rows.reshape(b, p * l_cap), axis=0)  # [B, C]
-    flat_scores = scores.reshape(b, p * l_cap)
+    rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
+    cand = jnp.take(perm, rows.reshape(b, p * l_cap), axis=0)
     if allow_mask is not None:
         allowed = jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
-
-    pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
-    pre_cand = jnp.take_along_axis(cand, pre_pos, axis=1)
-    pre_valid = pre_vals < MASKED_DISTANCE / 2
-    pre_safe = jnp.maximum(pre_cand, 0)
-
-    rows = jnp.take(db, pre_safe, axis=0)
-    norms = jnp.take(db_sq_norms, pre_safe, axis=0)
-    exact = gathered_distances(measure, queries, rows, norms)
-    exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
-    vals, pos = top_k_smallest(exact, k)
-    idx = jnp.take_along_axis(pre_cand, pos, axis=1)
-    missing = vals >= MASKED_DISTANCE / 2
-    return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+    return _finalize(db, db_sq_norms, queries, flat_scores, cand, pre_eps,
+                     post_eps, pre_k=pre_k, k=k, measure=measure,
+                     reorder=reorder, multiplicity=multiplicity)
 
 
-tree_ah_csr_kernel = jax.jit(
-    tree_ah_search_csr,
+tree_ah_grouped_kernel = jax.jit(
+    tree_ah_search_grouped,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
-                     "interpret"),
+                     "reorder", "multiplicity", "approx_select_min", "q_cap",
+                     "l_tile", "interpret"),
 )
 
 
@@ -225,10 +288,12 @@ class TreeXHybridSearcher(Searcher):
         self.config = config or TreeXHybridConfig()
         self.partitioner: Optional[TreePartitioner] = None
         self.codebook: Optional[Codebook] = None
+        # per-ASSIGNMENT codes [M, S] in CSR (partition-sorted) row order,
+        # M = len(tokenization.point_indices) >= N under spilling
         self.codes: Optional[np.ndarray] = None
         self._dataset: Optional[DenseDataset] = None
-        self._codes_dev = None
         self._norms_cache = None
+        self._csr_cache = None
 
     # -- build ----------------------------------------------------------------
     def build(self, dataset: DenseDataset) -> "TreeXHybridSearcher":
@@ -243,24 +308,34 @@ class TreeXHybridSearcher(Searcher):
             num_partitions=cfg.num_partitions,
             seed=cfg.hash_config.seed if cfg.hash_config.seed is not None else 42,
             max_partition_size=cfg.max_partition_size,
+            spilling=cfg.spilling,
+            spilling_threshold=cfg.spilling_threshold,
+            max_iterations=cfg.partition_max_iterations,
+            convergence_threshold=cfg.partition_convergence_threshold,
+            num_levels=cfg.partition_num_levels,
+            training_sample_size=cfg.partition_training_sample_size,
         )).build(dataset)
 
+        tk = self.partitioner.tokenization
+        row_tokens = np.repeat(
+            np.arange(tk.num_partitions, dtype=np.int32), tk.partition_sizes)
         if cfg.use_residuals:
-            tokens = self.partitioner.tokenization.tokens
-            # residuals on device — the host CPU may be far slower than the
-            # chip for a [N, D] gather+subtract at million scale
+            # per-assignment residuals on device — the host CPU may be far
+            # slower than the chip for a [M, D] gather+subtract at scale
             train_data = np.asarray(jax.jit(
-                lambda x, c, t: x - jnp.take(c, t, axis=0)
+                lambda x, c, pts, t: jnp.take(x, pts, axis=0)
+                - jnp.take(c, t, axis=0)
             )(jnp.asarray(data), jnp.asarray(self.partitioner.centers),
-              jnp.asarray(tokens)))
+              jnp.asarray(tk.point_indices), jnp.asarray(row_tokens)))
         else:
-            train_data = data
+            train_data = data[tk.point_indices]
 
         hc = cfg.hash_config
+        m = len(train_data)
         sample = train_data
-        if hc.training_sample_size < n:
+        if hc.training_sample_size < m:
             rng = np.random.default_rng(hc.seed if hc.seed is not None else 42)
-            sample = train_data[rng.choice(n, hc.training_sample_size, replace=False)]
+            sample = train_data[rng.choice(m, hc.training_sample_size, replace=False)]
 
         self.codebook = Codebook(CodebookConfig(
             num_codes=hc.num_codes,
@@ -270,7 +345,6 @@ class TreeXHybridSearcher(Searcher):
         )).train(sample)
 
         self.codes = self.codebook.encode_dataset(train_data)
-        self._codes_dev = None
         self._norms_cache = None
         self._csr_cache = None
         return self
@@ -296,52 +370,46 @@ class TreeXHybridSearcher(Searcher):
         db, n = self._dataset.device()
         if self._norms_cache is None or self._norms_cache[0] != n:
             self._norms_cache = (n, jax.jit(squared_norms)(db))
-        if self._codes_dev is None:
-            n_pad = align_up(max(n, 1), SUBLANE_I8)
-            codes = np.zeros((max(n_pad, db.shape[0]), self.codes.shape[1]), dtype=np.uint8)
-            codes[:n] = self.codes
-            # codes indexable by any db row id (incl. padding)
-            if codes.shape[0] < db.shape[0]:
-                codes = np.pad(codes, ((0, db.shape[0] - codes.shape[0]), (0, 0)))
-            self._codes_dev = jnp.asarray(codes[: db.shape[0]])
         return db, self._norms_cache[1], n
 
     def _csr_state(self):
-        """CSR device layout for the Pallas leaf-scoring fast path."""
-        if getattr(self, "_csr_cache", None) is None:
-            self._device_state()
+        """Aligned CSR device layout shared by both leaf-scoring paths:
+        row-major [N_csr, S_pad] codes, transposed [S_pad, N_csr] slab for
+        the Pallas DMA, aligned offsets, sizes, row->id perm, l_cap."""
+        if self._csr_cache is None:
             tk = self.partitioner.tokenization
-            l_cap = int(align_up(max(tk.max_partition_size, 8), 128))
-            # 128-align every partition's CSR start (DMA lane tiling)
+            l_tile = max(int(self.config.score_l_tile), 128)
+            l_cap = int(align_up(max(tk.max_partition_size, 8), l_tile))
             k = tk.num_partitions
             sizes = tk.partition_sizes
+            # 128-align every partition's CSR start (DMA lane tiling)
             aligned = np.zeros(k + 1, dtype=np.int64)
             aligned[1:] = np.cumsum(
                 ((sizes.astype(np.int64) + 127) // 128) * 128)
             total = int(aligned[-1]) + l_cap
+            s = self.codes.shape[1]
+            s_pad = int(align_up(s, 32))
+            codes_aligned = np.zeros((total, s_pad), dtype=np.uint8)
             perm_aligned = np.zeros(total, dtype=np.int32)
-            valid_rows = np.zeros(total, dtype=bool)
+            csr_off = tk.offsets
             for t in range(k):
                 lo, sz = int(aligned[t]), int(sizes[t])
+                codes_aligned[lo : lo + sz, :s] = \
+                    self.codes[csr_off[t] : csr_off[t] + sz]
                 perm_aligned[lo : lo + sz] = tk.partition_indices(t)
-                valid_rows[lo : lo + sz] = True
-            s_pad = int(align_up(self.codes.shape[1], 32))
-            perm = jnp.asarray(perm_aligned)
-            codes_csr = jax.jit(
-                lambda c, pm: jnp.pad(
-                    jnp.take(c, pm, axis=0),
-                    ((0, 0), (0, s_pad - c.shape[1]))).T
-            )(self._codes_dev, perm)
+            codes_rows = jnp.asarray(codes_aligned)
+            codes_csr = jax.jit(lambda cr: cr.T)(codes_rows)
             self._csr_cache = (
+                codes_rows,
                 codes_csr,
                 jnp.asarray(aligned[:-1].astype(np.int32)),
                 jnp.asarray(sizes.astype(np.int32)),
-                perm,
+                jnp.asarray(perm_aligned),
                 l_cap,
             )
         return self._csr_cache
 
-    def _use_csr_pallas(self) -> bool:
+    def _use_grouped_pallas(self) -> bool:
         try:
             return jax.devices()[0].platform == "tpu"
         except Exception:  # pragma: no cover
@@ -368,16 +436,28 @@ class TreeXHybridSearcher(Searcher):
             pre_k = int(params.pre_reordering_num_neighbors)
         else:
             pre_k = int(np.ceil(k * cfg.pre_reorder_multiplier))
+        pre_eps = np.float32(np.inf)
+        post_eps = np.float32(np.inf)
+        if params is not None:
+            if params.pre_reordering_epsilon is not None:
+                pre_eps = np.float32(params.pre_reordering_epsilon)
+            if params.post_reordering_epsilon is not None:
+                post_eps = np.float32(params.post_reordering_epsilon)
 
         db, norms, n_valid = self._device_state()
-        use_csr = self._use_csr_pallas()
-        if use_csr:
-            max_leaf = int(align_up(
-                max(self.partitioner.tokenization.max_partition_size, 8), 128))
-        else:
-            leaves = self.partitioner.tokenization.padded_leaves()
-            max_leaf = leaves.shape[1]
-        max_cand = p * max_leaf
+        codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = \
+            self._csr_state()
+        mult = self.partitioner.tokenization.max_multiplicity
+        if mult > 1:
+            pre_k = pre_k * mult
+
+        max_cand = p * l_cap
+        if pre_k > max_cand or k > max_cand:
+            warnings.warn(
+                f"requested pre_k={pre_k} / k={k} exceed the {max_cand} "
+                f"candidates reachable with p={p}, l_cap={l_cap}; clamping "
+                f"(raise partitions_to_search for more candidates)",
+                stacklevel=2)
         pre_k = min(max(pre_k, k), max_cand)
         k_eff = min(k, max_cand)
 
@@ -387,25 +467,23 @@ class TreeXHybridSearcher(Searcher):
             m[: len(allow_mask)] = np.asarray(allow_mask, dtype=bool)[:n_valid]
             mask_dev = jnp.asarray(m)
 
-        if use_csr:
-            codes_csr, csr_offsets, part_sizes, perm, l_cap = self._csr_state()
-            pre_k = min(pre_k, p * l_cap)
-            dists, idx = tree_ah_csr_kernel(
+        common = dict(p=p, pre_k=pre_k, k=k_eff, l_cap=l_cap,
+                      use_residuals=cfg.use_residuals,
+                      measure=cfg.distance_measure, multiplicity=mult,
+                      approx_select_min=cfg.approx_selection_min_partitions)
+        if self._use_grouped_pallas():
+            dists, idx = tree_ah_grouped_kernel(
                 db, norms, self.partitioner.centers_device(), codes_csr,
                 csr_offsets, part_sizes, perm,
                 self.codebook.centroids_device(), jnp.asarray(queries),
-                jnp.int32(n_valid), mask_dev,
-                p=p, pre_k=pre_k, k=k_eff, l_cap=l_cap,
-                use_residuals=cfg.use_residuals, measure=cfg.distance_measure,
-            )
+                jnp.int32(n_valid), mask_dev, pre_eps, post_eps,
+                q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile, **common)
         else:
             dists, idx = tree_ah_kernel(
-                db, norms, self.partitioner.centers_device(), leaves,
-                self._codes_dev, self.codebook.centroids_device(),
-                jnp.asarray(queries), jnp.int32(n_valid), mask_dev,
-                p=p, pre_k=pre_k, k=k_eff, use_residuals=cfg.use_residuals,
-                measure=cfg.distance_measure, reorder=True,
-            )
+                db, norms, self.partitioner.centers_device(), codes_rows,
+                csr_offsets, part_sizes, perm,
+                self.codebook.centroids_device(), jnp.asarray(queries),
+                jnp.int32(n_valid), mask_dev, pre_eps, post_eps, **common)
         return np.asarray(idx), np.asarray(dists)
 
     def _check_built(self):

@@ -7,8 +7,10 @@
 // immutable snapshots, so the mutable state lives host-side in this C++
 // core: an append-only float slab with a deleted bitset and a bounded
 // MPMC mutation queue. Readers take a shared lock (no copy); writers take
-// the exclusive lock only to grow the slab — add/update/remove are
-// shard-locked row operations.
+// the exclusive lock only to grow the slab. Row payload accesses
+// (update/get/snapshot) additionally take a striped per-row mutex so a
+// concurrent update and read of the same row can never observe a torn
+// (half-written) vector; deleted[] is only accessed atomically.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
@@ -20,6 +22,14 @@
 #include <shared_mutex>
 #include <vector>
 
+namespace {
+constexpr uint64_t kRowStripes = 64;
+
+inline uint8_t atomic_load_u8(const uint8_t* p) {
+  return __atomic_load_n(p, __ATOMIC_ACQUIRE);
+}
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -30,11 +40,12 @@ struct MDS {
   uint64_t dim;
   std::shared_mutex grow_mu;           // exclusive only while reallocating
   std::vector<float> slab;             // rows * dim, append-only
-  std::vector<uint8_t> deleted;        // per row
+  std::vector<uint8_t> deleted;        // per row, atomic access only
   std::atomic<uint64_t> rows{0};       // committed row count
   std::atomic<uint64_t> live{0};       // rows - deleted
   uint64_t capacity_rows;
   std::mutex append_mu;                // serializes appends (row id assignment)
+  std::mutex row_mu[kRowStripes];      // striped row-payload locks
 };
 
 void* mds_create(uint64_t dim, uint64_t initial_capacity) {
@@ -87,7 +98,8 @@ int mds_update(void* h, uint64_t idx, const float* data) {
   auto* m = static_cast<MDS*>(h);
   std::shared_lock<std::shared_mutex> sh(m->grow_mu);
   if (idx >= m->rows.load(std::memory_order_acquire)) return -1;
-  if (m->deleted[idx]) return -1;
+  if (atomic_load_u8(&m->deleted[idx])) return -1;
+  std::lock_guard<std::mutex> row(m->row_mu[idx % kRowStripes]);
   std::memcpy(&m->slab[idx * m->dim], data, m->dim * sizeof(float));
   return 0;
 }
@@ -96,7 +108,8 @@ int mds_get(void* h, uint64_t idx, float* out) {
   auto* m = static_cast<MDS*>(h);
   std::shared_lock<std::shared_mutex> sh(m->grow_mu);
   if (idx >= m->rows.load(std::memory_order_acquire)) return -1;
-  if (m->deleted[idx]) return -1;
+  if (atomic_load_u8(&m->deleted[idx])) return -1;
+  std::lock_guard<std::mutex> row(m->row_mu[idx % kRowStripes]);
   std::memcpy(out, &m->slab[idx * m->dim], m->dim * sizeof(float));
   return 0;
 }
@@ -104,7 +117,8 @@ int mds_get(void* h, uint64_t idx, float* out) {
 int mds_exists(void* h, uint64_t idx) {
   auto* m = static_cast<MDS*>(h);
   std::shared_lock<std::shared_mutex> sh(m->grow_mu);
-  return idx < m->rows.load(std::memory_order_acquire) && !m->deleted[idx];
+  return idx < m->rows.load(std::memory_order_acquire) &&
+         !atomic_load_u8(&m->deleted[idx]);
 }
 
 uint64_t mds_size(void* h) {  // live count
@@ -117,14 +131,24 @@ uint64_t mds_rows(void* h) {  // total committed rows incl. deleted
 
 // Copy the committed slab + deleted flags into caller buffers; returns rows
 // copied. This is the immutable snapshot handed to the device re-upload.
+// Rows are copied stripe-locked, so each individual row is torn-free; the
+// snapshot as a whole is some valid interleaving of concurrent updates.
 uint64_t mds_snapshot(void* h, float* out_data, uint8_t* out_deleted,
                       uint64_t max_rows) {
   auto* m = static_cast<MDS*>(h);
   std::shared_lock<std::shared_mutex> sh(m->grow_mu);
   uint64_t r = m->rows.load(std::memory_order_acquire);
   if (r > max_rows) r = max_rows;
-  if (out_data) std::memcpy(out_data, m->slab.data(), r * m->dim * sizeof(float));
-  if (out_deleted) std::memcpy(out_deleted, m->deleted.data(), r);
+  if (out_data) {
+    for (uint64_t i = 0; i < r; ++i) {
+      std::lock_guard<std::mutex> row(m->row_mu[i % kRowStripes]);
+      std::memcpy(out_data + i * m->dim, &m->slab[i * m->dim],
+                  m->dim * sizeof(float));
+    }
+  }
+  if (out_deleted) {
+    for (uint64_t i = 0; i < r; ++i) out_deleted[i] = atomic_load_u8(&m->deleted[i]);
+  }
   return r;
 }
 

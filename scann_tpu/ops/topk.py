@@ -93,6 +93,33 @@ def top_k_with_threshold(
     return jnp.where(good, vals, jnp.inf), jnp.where(good, idx, -1)
 
 
+def top_k_unique(
+    dists: jnp.ndarray, ids: jnp.ndarray, k: int, multiplicity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact smallest-k over candidates whose ids may repeat (partition
+    spilling duplicates a point into up to ``multiplicity`` leaves).
+
+    Over-fetches ``k * multiplicity`` — since each id appears at most
+    ``multiplicity`` times, the top ``k * multiplicity`` values contain at
+    least ``k`` distinct ids — then keeps the first occurrence per id.
+    Duplicate and missing slots return (inf, -1).
+    """
+    kp = min(k * max(int(multiplicity), 1), dists.shape[-1])
+    vals, pos = top_k_smallest(dists, kp)
+    cand = jnp.take_along_axis(ids, pos, axis=-1)
+    # dup[i] = some j < i has the same id (ascending order => j is closer)
+    eq = cand[..., :, None] == cand[..., None, :]
+    lower = jnp.tril(jnp.ones((kp, kp), dtype=bool), k=-1)
+    dup = jnp.any(eq & lower, axis=-1) & (cand >= 0)
+    vals = jnp.where(dup, jnp.inf, vals)
+    cand = jnp.where(dup, -1, cand)
+    # stable-push dups behind the (already ascending) unique entries
+    order = jnp.argsort(dup, axis=-1)
+    vals = jnp.take_along_axis(vals, order, axis=-1)[..., :k]
+    cand = jnp.take_along_axis(cand, order, axis=-1)[..., :k]
+    return vals, cand
+
+
 def merge_top_k(
     dists: jnp.ndarray, indices: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,188 @@
+"""Grouped MXU leaf-scoring kernel for tree-×-AH.
+
+Round-1's CSR kernel scored one (query, partition) pair per grid step with a
+VPU select-reduce — S·C·L VPU work per pair, MXU idle, and the one-hot code
+expansion rebuilt for every pair. This kernel restructures the work around
+the observation that **many queries probe the same partition**: pairs are
+grouped by partition (device-side sort, no host round trip), the one-hot
+expansion of a partition's codes is built once per group, and scoring
+becomes a real MXU contraction
+
+    [q_cap, S·C] residual LUTs  ×  [S·C, l_tile] code one-hots
+
+for every group × L-tile. Work is size-adaptive: L-tiles beyond a
+partition's size skip DMA + matmul entirely and just emit the masked
+sentinel, so skewed partitions cost what they contain, not l_cap.
+
+This is the TPU shape of the reference's per-partition scoring loop
+(reference: src/tree_x_hybrid/mod.rs:297-339) — its rayon threads become
+grid steps, its scalar LUT loop a matmul, its per-partition candidate
+vectors one CSR layout in HBM.
+
+Layout contract (same as ops/tree_ah_pallas.py):
+  - codes_csr [S_pad, N_csr] uint8, partition-contiguous columns, every
+    partition start 128-aligned, S_pad a multiple of 32;
+  - luts [B·p, S_pad·C] with zero rows for pad subspaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.types import MASKED_DISTANCE
+
+
+def group_pairs_by_partition(
+    parts: jnp.ndarray, num_partitions: int, q_cap: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Group the [B, p] selected-partition pairs by partition id, q_cap
+    pairs per group (a partition probed by more queries spans several
+    groups; every group holds pairs of exactly one partition).
+
+    Runs entirely on device (sort + scans) — no host sync between partition
+    selection and leaf scoring.
+
+    Returns:
+        grp_part: [NG] int32 partition id per group (0 for unused groups).
+        slot: [B*p] int32 row of each pair in the [NG*q_cap] grouped layout.
+        NG: static group-count upper bound,
+            min(T, B·p) + ceil(B·p / q_cap) — each distinct partition can
+            open at most one partially-filled group.
+    """
+    b, p = parts.shape
+    bp = b * p
+    ng = min(int(num_partitions), bp) + -(-bp // q_cap)
+    flat = parts.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(flat)                     # stable
+    sp = jnp.take(flat, order)
+    idx = jnp.arange(bp, dtype=jnp.int32)
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sp[1:] != sp[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, idx, 0))    # cummax of run heads
+    rank = idx - run_start
+    newgrp = newrun | (rank % q_cap == 0)
+    grp_id = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    slot_sorted = grp_id * q_cap + rank % q_cap
+    slot = jnp.zeros((bp,), jnp.int32).at[order].set(slot_sorted)
+    grp_part = jnp.zeros((ng,), jnp.int32).at[grp_id].set(sp)
+    return grp_part, slot, ng
+
+
+def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
+            *, num_codes: int, l_tile: int, n_ltiles: int, ng: int):
+    g = pl.program_id(0)
+    lt = pl.program_id(1)
+    flat = g * n_ltiles + lt
+    size = size_ref[g]
+    active = lt * l_tile < size
+
+    # Double-buffered DMA over the sequential (group, tile) walk: each step
+    # starts the next *active* step's copy before waiting on its own.
+    def dma_for(gg, tt, slot):
+        off = pl.multiple_of(off_ref[gg], 128) + tt * l_tile
+        return pltpu.make_async_copy(
+            codes_ref.at[:, pl.ds(off, l_tile)], scratch.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(flat, 2)
+    next_slot = jax.lax.rem(flat + 1, 2)
+
+    @pl.when((flat == 0) & active)
+    def _():
+        dma_for(g, lt, slot).start()
+
+    nxt = flat + 1
+    ng_next = nxt // n_ltiles
+    lt_next = jax.lax.rem(nxt, n_ltiles)
+    next_active = (nxt < ng * n_ltiles) & (
+        lt_next * l_tile < size_ref[jnp.minimum(ng_next, ng - 1)])
+
+    @pl.when(next_active)
+    def _():
+        dma_for(ng_next, lt_next, next_slot).start()
+
+    @pl.when(active)
+    def _():
+        dma_for(g, lt, slot).wait()
+        s_pad = scratch.shape[1]
+        codes = scratch[slot].astype(jnp.int32)                 # [S_pad, Lt]
+        iota_c = jax.lax.broadcasted_iota(
+            jnp.int32, (s_pad, num_codes, l_tile), 1)
+        onehot = (codes[:, None, :] == iota_c).astype(jnp.bfloat16)
+        onehot = onehot.reshape(s_pad * num_codes, l_tile)
+        # the MXU contraction: q_cap LUT rows against this tile's one-hots
+        scores = jnp.dot(luts_ref[0], onehot,
+                         preferred_element_type=jnp.float32)    # [q_cap, Lt]
+        col = lt * l_tile + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        out_ref[0] = jnp.where(col < size, scores, MASKED_DISTANCE)
+
+    @pl.when(~active)
+    def _():
+        out_ref[0] = jnp.full(out_ref.shape[1:], MASKED_DISTANCE,
+                              out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("l_cap", "l_tile", "q_cap", "interpret"))
+def tree_ah_grouped_scores_pallas(
+    luts_grouped: jnp.ndarray,   # [NG*q_cap, S_pad*C] bf16/f32 grouped LUTs
+    codes_csr: jnp.ndarray,      # [S_pad, N_csr] uint8 CSR layout
+    grp_offsets: jnp.ndarray,    # [NG] int32 CSR column start per group
+    grp_sizes: jnp.ndarray,      # [NG] int32 partition size per group
+    *, l_cap: int, l_tile: int = 256, q_cap: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[NG*q_cap, l_cap] f32 scores (MASKED_DISTANCE beyond each size).
+
+    Rows of unused group slots contain garbage — callers gather rows back
+    through the pair->slot map, which only references real pairs.
+    """
+    ngq, sc = luts_grouped.shape
+    s_pad = codes_csr.shape[0]
+    c = sc // s_pad
+    assert s_pad * c == sc, (s_pad, sc)
+    ng = ngq // q_cap
+    assert ng * q_cap == ngq
+    assert l_cap % l_tile == 0, (l_cap, l_tile)
+    n_ltiles = l_cap // l_tile
+
+    luts3 = luts_grouped.reshape(ng, q_cap, sc).astype(jnp.bfloat16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng, n_ltiles),
+        in_specs=[
+            pl.BlockSpec((1, q_cap, sc), lambda g, lt, off, sz: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q_cap, l_tile),
+                               lambda g, lt, off, sz: (g, 0, lt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, s_pad, l_tile), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_codes=c, l_tile=l_tile,
+                          n_ltiles=n_ltiles, ng=ng),
+        out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ng * q_cap * sc * l_cap,
+            bytes_accessed=ng * (s_pad * l_cap + q_cap * sc * 2
+                                 + q_cap * l_cap * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(grp_offsets.astype(jnp.int32), grp_sizes.astype(jnp.int32),
+      luts3, codes_csr)
+    return out.reshape(ngq, l_cap)

@@ -79,6 +79,19 @@ class DatabaseTokenization:
     def max_partition_size(self) -> int:
         return int(self.partition_sizes.max()) if len(self.partition_sizes) else 0
 
+    @property
+    def max_multiplicity(self) -> int:
+        """Largest number of leaves any single point is assigned to (1
+        without spilling). Searchers over-fetch by this factor and dedup so
+        spilled duplicates cannot consume result slots."""
+        if getattr(self, "_max_multiplicity", None) is None:
+            if len(self.point_indices) == 0:
+                self._max_multiplicity = 1
+            else:
+                self._max_multiplicity = int(
+                    np.bincount(self.point_indices).max())
+        return self._max_multiplicity
+
     def partition_indices(self, token: int) -> np.ndarray:
         """Point indices in one partition (reference: tree_partitioner.rs:196-213)."""
         return self.point_indices[self.offsets[token] : self.offsets[token + 1]]

@@ -163,3 +163,27 @@ def test_balancing_caps_partition_sizes(rng):
                             num_partitions_to_search=bal.num_partitions)
     idx, _ = s.search_batched_arrays(db[:5], 1)
     assert (idx[:, 0] == np.arange(5)).all()
+
+
+def test_spilling_results_unique(rng):
+    """Regression: a spilled point probed via two of its leaves must be
+    returned once — duplicates silently consumed result slots."""
+    from scann_tpu import BruteForceSearcher
+    from scann_tpu.models.partitioned import PartitionedSearcher
+
+    db = rng.normal(size=(2000, 16)).astype(np.float32)
+    q = rng.normal(size=(50, 16)).astype(np.float32)
+    ds = DenseDataset(db)
+    tp = TreePartitioner(TreePartitionerConfig(
+        num_partitions=16, seed=42, spilling=True,
+        spilling_threshold=0.8)).build(ds)
+    assert tp.tokenization.max_multiplicity > 1
+    s = PartitionedSearcher(ds, partitioner=tp, num_partitions_to_search=8)
+    idx, dist = s.search_batched_arrays(q, 10)
+    for row in idx:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real), row
+    # still exact over probed partitions: equal to brute force restricted
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
+    assert rec > 0.5  # 8/16 partitions probed with spilling

@@ -1,0 +1,86 @@
+"""Grouped MXU tree-AH leaf scoring: grouping math + kernel parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scann_tpu.ops.tree_ah_grouped import (
+    group_pairs_by_partition,
+    tree_ah_grouped_scores_pallas,
+)
+from scann_tpu.types import MASKED_DISTANCE
+
+
+def test_grouping_invariants(rng):
+    b, p, t, q_cap = 16, 5, 12, 4
+    parts = rng.integers(0, t, size=(b, p)).astype(np.int32)
+    grp_part, slot, ng = group_pairs_by_partition(jnp.asarray(parts), t, q_cap)
+    grp_part, slot = np.asarray(grp_part), np.asarray(slot)
+    bp = b * p
+    assert ng >= len(set(grp_part.tolist()))
+    # every pair has a distinct slot
+    assert len(set(slot.tolist())) == bp
+    # a slot's group holds the pair's own partition
+    flat = parts.reshape(-1)
+    for i in range(bp):
+        g, r = divmod(int(slot[i]), q_cap)
+        assert grp_part[g] == flat[i], (i, g)
+        assert r < q_cap
+    # group occupancy: at most one partially-filled group per partition
+    from collections import Counter
+
+    occ = Counter(slot // q_cap)
+    by_part = Counter(flat.tolist())
+    for part_id, count in by_part.items():
+        groups = [g for g in occ if grp_part[g] == part_id and occ[g]]
+        assert len(groups) == -(-count // q_cap)
+
+
+def _naive_scores(luts, codes, offsets, sizes, slot, q_cap, l_cap):
+    """Score every pair against its partition's codes via direct lookup."""
+    bp = luts.shape[0]
+    s = codes.shape[0]
+    out = np.full((bp, l_cap), MASKED_DISTANCE, np.float32)
+    for i in range(bp):
+        g = slot[i] // q_cap
+        off, size = offsets[g], sizes[g]
+        for l in range(min(size, l_cap)):
+            out[i, l] = sum(luts[i, ss * 16 + int(codes[ss, off + l])]
+                            for ss in range(s))
+    return out
+
+
+@pytest.mark.parametrize("q_cap,l_tile", [(4, 128), (8, 256)])
+def test_kernel_matches_naive(rng, q_cap, l_tile):
+    b, p, t = 6, 3, 5
+    s_pad, c = 32, 16
+    l_cap = 2 * l_tile
+    sizes_np = rng.integers(1, l_cap + 1, size=t).astype(np.int32)
+    aligned = np.zeros(t + 1, np.int64)
+    aligned[1:] = np.cumsum(((sizes_np + 127) // 128) * 128)
+    n_csr = int(aligned[-1]) + l_cap
+    codes_np = rng.integers(0, c, size=(s_pad, n_csr)).astype(np.uint8)
+
+    parts = rng.integers(0, t, size=(b, p)).astype(np.int32)
+    luts_np = rng.normal(size=(b * p, s_pad * c)).astype(np.float32)
+
+    grp_part, slot, ng = group_pairs_by_partition(jnp.asarray(parts), t, q_cap)
+    grp_off = jnp.take(jnp.asarray(aligned[:-1].astype(np.int32)), grp_part)
+    grp_size = jnp.take(jnp.asarray(sizes_np), grp_part)
+
+    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
+        jnp.arange(b * p, dtype=jnp.int32))
+    luts_grouped = jnp.take(jnp.asarray(luts_np), pair_of_slot, axis=0)
+
+    scores = tree_ah_grouped_scores_pallas(
+        luts_grouped, jnp.asarray(codes_np), grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=True)
+    got = np.asarray(jnp.take(scores, jnp.asarray(slot), axis=0))
+
+    want = _naive_scores(luts_np, codes_np, np.asarray(grp_off),
+                         np.asarray(grp_size), np.asarray(slot), q_cap, l_cap)
+    mask = want < MASKED_DISTANCE / 2
+    assert np.array_equal(mask, got < MASKED_DISTANCE / 2)
+    # bf16 LUT rows in the MXU contraction: per-term error ~2^-8 accumulated
+    # over s_pad subspaces bounds abs error, rel error unbounded near 0
+    np.testing.assert_allclose(got[mask], want[mask], rtol=2e-2, atol=0.1)

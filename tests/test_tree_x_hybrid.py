@@ -88,10 +88,13 @@ def test_residuals_beat_raw_pq():
     errs = []
     for cfg in cfgs:
         s = TreeXHybridSearcher(cfg).build(ds)
-        tokens = s.partitioner.tokenization.tokens
-        base = s.partitioner.centers[tokens] if cfg.use_residuals else 0.0
+        tk = s.partitioner.tokenization
+        # codes are per-assignment rows in CSR order: row r encodes
+        # db[point_indices[r]] (minus its partition's centroid)
+        row_tokens = np.repeat(np.arange(tk.num_partitions), tk.partition_sizes)
+        base = s.partitioner.centers[row_tokens] if cfg.use_residuals else 0.0
         rec = base + s.codebook.decode(s.codes)
-        errs.append(((rec - db) ** 2).sum(-1).mean())
+        errs.append(((rec - db[tk.point_indices]) ** 2).sum(-1).mean())
     assert errs[0] < errs[1]
 
 
@@ -126,3 +129,58 @@ def test_memory_usage(hybrid_setup):
     # 8 subspaces, 4-bit codes -> 4 bytes/point plus centroids+codebook
     assert s.memory_usage() >= 4000 * 4
     assert s.memory_usage() < 4000 * 4 + 100_000
+
+
+def test_spilling_unique_results_and_recall():
+    """Spilled points appear in several leaves; results must stay unique and
+    residual codes must match the probed partition (per-assignment codes)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 16)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 16, size=2000)
+    db = (centers[assign] + rng.normal(size=(2000, 16)) * 0.6).astype(np.float32)
+    q = (centers[rng.integers(0, 16, size=20)]
+         + rng.normal(size=(20, 16)) * 0.6).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=6,
+        spilling=True, spilling_threshold=0.5,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=3),
+    )).build(ds)
+    assert s.partitioner.tokenization.max_multiplicity > 1
+    idx, dist = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    for row in idx:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real), row
+    assert _recall(idx, gt) >= 0.9
+    # distances ascending per row
+    for row in dist:
+        fin = row[np.isfinite(row)]
+        assert (np.diff(fin) >= -1e-5).all()
+
+
+def test_epsilon_thresholds(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    base_idx, base_dist = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    cutoff = float(np.median(base_dist[np.isfinite(base_dist)]))
+    # post-reordering epsilon: exact distances beyond it become (-1, inf)
+    idx, dist = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120,
+                                post_reordering_epsilon=cutoff))
+    m = idx >= 0
+    assert (dist[m] <= cutoff + 1e-5).all()
+    want_masked = np.isfinite(base_dist) & (base_dist > cutoff + 1e-5)
+    assert (idx[want_masked] == -1).all()
+    assert np.isinf(dist[want_masked]).all()
+    # a generous pre-reordering epsilon keeps everything
+    idx2, dist2 = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120,
+                                pre_reordering_epsilon=1e9))
+    np.testing.assert_array_equal(idx2, base_idx)
+    # a tiny pre epsilon masks everything
+    idx3, dist3 = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120,
+                                pre_reordering_epsilon=-1.0))
+    assert (idx3 == -1).all()
