@@ -88,10 +88,34 @@ def sharded_kmeans_step(mesh: Mesh, k: int, db_axis: str = "db"):
     def _step(data_blk, centers):
         from scann_tpu.trees.kmeans import assign_clusters
 
+        # cluster sums via chunked one-hot matmuls, NOT segment_sum: XLA's
+        # TPU scatter-add lowering for a [1M, D] operand takes ~8 minutes to
+        # COMPILE (see trees/kmeans.py _lloyd_step); the one-hot contraction
+        # compiles in seconds, runs at MXU speed, and chunking keeps the
+        # [chunk, K] one-hot on-chip-sized for million-row shards
         assign, min_d = assign_clusters(data_blk, centers)
-        sums = jax.ops.segment_sum(data_blk, assign, num_segments=k)
-        counts = jax.ops.segment_sum(
-            jnp.ones(data_blk.shape[0], jnp.float32), assign, num_segments=k)
+        nb, d = data_blk.shape
+        chunk = min(65536, max(nb, 1))
+        n_chunks = -(-nb // chunk)
+        n_pad = n_chunks * chunk
+        data_p = jnp.pad(data_blk, ((0, n_pad - nb), (0, 0)))
+        # padded rows get assignment -1: matches no cluster column
+        assign_p = jnp.pad(assign, (0, n_pad - nb), constant_values=-1)
+        cols = jnp.arange(k, dtype=jnp.int32)[None, :]
+
+        def body(carry, xs):
+            sums_c, counts_c = carry
+            x, a = xs
+            onehot = (a[:, None] == cols).astype(jnp.float32)
+            sums_c = sums_c + jax.lax.dot_general(
+                onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (sums_c, counts_c + jnp.sum(onehot, axis=0)), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body, (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (data_p.reshape(n_chunks, chunk, d),
+             assign_p.reshape(n_chunks, chunk)))
         sums = jax.lax.psum(sums, db_axis)
         counts = jax.lax.psum(counts, db_axis)
         inertia = jax.lax.psum(jnp.sum(min_d), db_axis)

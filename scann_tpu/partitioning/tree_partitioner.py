@@ -43,11 +43,17 @@ class TreePartitionerConfig:
     spilling: bool = False
     spilling_threshold: float = 0.1
     # balance: split overloaded partitions (LBG-style center splitting +
-    # Lloyd refinement) until max partition size <= this cap. Skewed
-    # partitions directly cost search time in the padded-leaf/CSR layouts
-    # (every query pays p * L_max). None = off; "auto" = 1.5x mean.
+    # Lloyd refinement), then hard-enforce the cap by demoting each
+    # oversized partition's farthest members to their next-nearest center.
+    # Skewed partitions directly cost search time in the padded-leaf/CSR
+    # layouts (every query pays an l_cap term). None = off; "auto" = 1.5x
+    # mean of the final partition count.
     max_partition_size: Optional[object] = None
     balance_rounds: int = 4
+    # overflow-demotion passes and fallback choices per point; points that
+    # exhaust all choices stay put (bounded slack instead of livelock)
+    cap_enforce_rounds: int = 4
+    cap_enforce_choices: int = 4
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -123,6 +129,10 @@ class TreePartitioner:
 
         cfg = self.config
         n = len(data)
+        # the cap is fixed from the ORIGINAL partition count — recomputing
+        # it as splits grow K would shrink the target every round and
+        # explode the tree (a 32-partition build measured ballooning to
+        # 1536 partitions of mean size 3)
         cap = cfg.max_partition_size
         if cap == "auto":
             cap = max(int(1.5 * n / max(self.centers.shape[0], 1)), 8)
@@ -156,7 +166,68 @@ class TreePartitioner:
             self.centers = np.asarray(c_dev)
             self._centers_dev = c_dev
             tokens = self.tokenize(data)
-        return tokens
+        # LBG splitting alone may plateau above the cap (measured: max size
+        # 1664 vs an 885 cap at 1.18M); hard-enforce by demotion
+        return self._enforce_cap(data_dev, tokens, cap)
+
+    def _enforce_cap(self, data_dev, tokens: np.ndarray, cap: int) -> np.ndarray:
+        """Demote members of oversized partitions to their next-nearest
+        center, a few rounds, entirely on device. Within a partition the
+        *lowest-regret* members move (smallest distance gap to their next
+        choice — near-boundary points lose the least locality). Points that
+        exhaust ``cap_enforce_choices`` fallbacks stay put, bounding the
+        final max size by cap + stragglers instead of risking livelock."""
+        cfg = self.config
+        r = min(max(cfg.cap_enforce_choices, 1), self.centers.shape[0])
+        rounds = max(cfg.cap_enforce_rounds, 0)
+        if rounds == 0 or r <= 1:
+            return tokens
+        sizes = np.bincount(tokens, minlength=self.centers.shape[0])
+        if sizes.max() <= cap:
+            return tokens
+
+        # top-r nearest centers per point, chunked (full [N, K] would be GBs)
+        centers = self.centers_device()
+        ch_d, ch_t = [], []
+        chunk = 131072
+        for lo in range(0, data_dev.shape[0], chunk):
+            d, t = select_partitions_kernel(
+                centers, data_dev[lo : lo + chunk],
+                measure=self.config.distance_measure, p=r)
+            ch_d.append(d)
+            ch_t.append(t)
+        dists = jnp.concatenate(ch_d, axis=0)       # [N, r] ascending
+        choices = jnp.concatenate(ch_t, axis=0)     # [N, r]
+
+        @jax.jit
+        def demote_round(choice_idx, choices, dists):
+            nn = choice_idx.shape[0]
+            cur_t = jnp.take_along_axis(choices, choice_idx[:, None], axis=1)[:, 0]
+            cur_d = jnp.take_along_axis(dists, choice_idx[:, None], axis=1)[:, 0]
+            nxt_i = jnp.minimum(choice_idx + 1, r - 1)
+            nxt_d = jnp.take_along_axis(dists, nxt_i[:, None], axis=1)[:, 0]
+            # keep the cap members that need this partition most (largest
+            # regret if moved); exhausted points sort as unmovable
+            regret = jnp.where(choice_idx < r - 1, nxt_d - cur_d, jnp.inf)
+            order = jnp.lexsort((-regret, cur_t))
+            sorted_t = jnp.take(cur_t, order)
+            idx = jnp.arange(nn, dtype=jnp.int32)
+            newrun = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), sorted_t[1:] != sorted_t[:-1]])
+            run_start = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(newrun, idx, 0))
+            rank_sorted = idx - run_start
+            rank = jnp.zeros((nn,), jnp.int32).at[order].set(rank_sorted)
+            demote = (rank >= cap) & (choice_idx < r - 1)
+            return jnp.where(demote, choice_idx + 1, choice_idx), demote.any()
+
+        choice_idx = jnp.zeros((data_dev.shape[0],), jnp.int32)
+        for _ in range(rounds):
+            choice_idx, changed = demote_round(choice_idx, choices, dists)
+            if not bool(changed):
+                break
+        final = jnp.take_along_axis(choices, choice_idx[:, None], axis=1)[:, 0]
+        return np.asarray(final).astype(np.int32)
 
     def _spill_pairs(self, data: np.ndarray, tokens: np.ndarray,
                      threshold: float, chunk: int = 65536) -> np.ndarray:
