@@ -105,26 +105,27 @@ def main():
 
 
 def _run_glove_scale(log):
-    """1.18M x 100d LUT16 full sweep + exact re-rank (stderr report)."""
+    """1.18M x 100d fused LUT16 sweep + exact re-rank (stderr report)."""
     import jax
     import jax.numpy as jnp
 
     from scann_tpu import BruteForceSearcher, DenseDataset
     from scann_tpu.hashes import AsymmetricHasher, AsymmetricHasherConfig
-    from scann_tpu.hashes.hasher import ah_search_reorder_kernel
+    from scann_tpu.hashes.hasher import ah_search_fused_kernel
     from scann_tpu.ops.distances import DistanceMeasure, squared_norms
 
-    N, D, B = 1_180_000, 100, 128
+    N, D = 1_180_000, 100
     key = jax.random.PRNGKey(42)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     NC = 5000
+    B_MAX = 1024
     centers = jax.random.normal(k1, (NC, D)) * 2.5
     a = jax.random.randint(k2, (N,), 0, NC)
     db_dev = jnp.take(centers, a, axis=0) + jax.random.normal(k3, (N, D))
-    aq = jax.random.randint(k4, (B,), 0, NC)
-    q_dev = jnp.take(centers, aq, axis=0) + jax.random.normal(k5, (B, D))
+    aq = jax.random.randint(k4, (B_MAX,), 0, NC)
+    q_all = jnp.take(centers, aq, axis=0) + jax.random.normal(k5, (B_MAX, D))
     db = np.asarray(db_dev)
-    q = np.asarray(q_dev)
+    q_np = np.asarray(q_all)
     ds = DenseDataset(db)
 
     t0 = time.perf_counter()
@@ -133,32 +134,37 @@ def _run_glove_scale(log):
         training_sample_size=100_000)).build(ds)
     log(f"glove-scale build: {time.perf_counter()-t0:.1f}s")
 
-    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q_np[:256], 10)
     dbd, _ = ds.device()
     norms = jax.jit(squared_norms)(dbd)
     cent = h.codebook.centroids_device()
-    ct = h._device_codes_t()
+    packed = h._device_codes_packed_t()
     kw = dict(pre_k=300, k=10, measure=DistanceMeasure.SQUARED_L2,
-              codes_transposed=True)
-    _, i0 = ah_search_reorder_kernel(cent, ct, dbd, norms, jnp.int32(h._n), q_dev, **kw)
-    recall = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(np.asarray(i0), gt)])
+              r=h.FUSED_R, tile_n=h.FUSED_TILE_N)
+    _, i0 = ah_search_fused_kernel(cent, packed, dbd, norms, jnp.int32(h._n),
+                                   q_all[:256], **kw)
+    recall = np.mean([len(set(x) & set(y)) / 10
+                      for x, y in zip(np.asarray(i0), gt)])
 
-    def make_scan(iters):
-        @jax.jit
-        def run(qq, c, codes, dbx, nx):
-            def body(acc, i):
-                vals, _ = ah_search_reorder_kernel(
-                    c, codes, dbx, nx, jnp.int32(h._n),
-                    qq + acc * 1e-20 + i * 1e-6, **kw)
-                return acc + vals.sum(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0),
-                                  jnp.arange(iters, dtype=jnp.float32))
-            return acc
-        return lambda: run(q_dev, cent, ct, dbd, norms)
+    for b in (128, 1024):
+        q_dev = q_all[:b]
 
-    dt = scan_time(make_scan, iters=16, rounds=3)
-    log(f"glove-scale 1.18Mx100d full-sweep+rerank: recall@10={recall:.4f} "
-        f"{dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
+        def make_scan(iters):
+            @jax.jit
+            def run(qq, c, codes, dbx, nx):
+                def body(acc, i):
+                    vals, _ = ah_search_fused_kernel(
+                        c, codes, dbx, nx, jnp.int32(h._n),
+                        qq + acc * 1e-20 + i * 1e-6, **kw)
+                    return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jnp.arange(iters, dtype=jnp.float32))
+                return acc
+            return lambda: run(q_dev, cent, packed, dbd, norms)
+
+        dt = scan_time(make_scan, iters=16, rounds=3)
+        log(f"glove-scale 1.18Mx100d fused-sweep+rerank B={b}: "
+            f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
 
 if __name__ == "__main__":

@@ -107,6 +107,105 @@ def lut16_score_auto(luts: jnp.ndarray, codes_t: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fused int8 LUT16 sweep with in-kernel block-min reduction
+# ---------------------------------------------------------------------------
+
+# Sentinel for masked-out blocks in the combined output. Any real combined
+# value is <= (255*S_max + 128*S_pad)*r + r < 2^24, far below this.
+INVALID_COMBINED = 1e9
+
+
+def _lut16_fused_kernel(nv_ref, luts_ref, codes_ref, out_ref, *,
+                        num_codes: int, r: int, tile_n: int):
+    """One tile of the fused sweep.
+
+    The score matrix never reaches HBM: the int8 one-hot contraction runs on
+    the MXU and the [TN, B] integer accumulator is reduced r:1 in VMEM. Value
+    and local argmin are packed into ONE exact-integer f32:
+
+        combined = (acc + 128*S_pad) * r + local_index   (< 2^24, exact)
+
+    so min() selects the best (value, index) pair in a single reduction and
+    the output is a single [TN/r, B] f32 block (HBM write traffic drops
+    ~{2*r}x vs materializing bf16 scores + reading them back for top-k).
+
+    This is the TPU shape of the reference's u8-quantized PSHUFB tables
+    (reference: src/hashes/lut16_simd.rs:172-299): u8 tables (stored biased
+    as i8 so the MXU can consume them), integer accumulation, one dequant at
+    the end — done by the caller on the pre_k survivors only.
+    """
+    sh, tn = codes_ref.shape                        # [S_pad/2, TN]
+    v = codes_ref[:].astype(jnp.int32)
+    # packed low-nibble-first along S (reference layout, lut16.rs:43-61):
+    # byte j holds subspaces 2j (low) and 2j+1 (high) -> concat gives the
+    # even-first subspace order the caller's LUT rows are permuted to match
+    codes = jnp.concatenate([v & 0xF, v >> 4], axis=0)   # [S_pad, TN]
+    s = 2 * sh
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s, num_codes, tn), 1)
+    onehot = (codes[:, None, :] == iota).astype(jnp.int8)
+    onehot = onehot.reshape(s * num_codes, tn)
+    acc = jax.lax.dot_general(
+        onehot, luts_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                               # [TN, B] integer sums
+    b = acc.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tn, b), 0)
+    comb = ((acc + 128 * s) * r + row % r).astype(jnp.float32)
+    gidx = pl.program_id(0) * tile_n + row
+    comb = jnp.where(gidx < nv_ref[0], comb, INVALID_COMBINED)
+    out_ref[:] = jnp.min(comb.reshape(tn // r, r, b), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "r", "interpret"))
+def lut16_fused_sweep_pallas(luts_i8: jnp.ndarray, codes_packed_t: jnp.ndarray,
+                             n_valid, tile_n: int = 1024, r: int = 32,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused LUT16 sweep + block-min. Returns [N/r, B] f32 combined values.
+
+    Args:
+        luts_i8: [B, S_pad*C] int8 quantized tables in even-first subspace
+            order, biased by -128 (see hashes/lut.py::luts_i8_evenfirst).
+        codes_packed_t: [S_pad/2, N] uint8 packed nibbles, N % tile_n == 0.
+        n_valid: int32 scalar — points >= n_valid emit INVALID_COMBINED.
+
+    Decode: sumq = int(out) // r; point = block*r + int(out) % r;
+    distance = sumq * multiplier + bias * S_real.
+    """
+    b = luts_i8.shape[0]
+    sh, n = codes_packed_t.shape
+    c = luts_i8.shape[1] // (2 * sh)
+    grid = (_cdiv(n, tile_n),)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        functools.partial(_lut16_fused_kernel, num_codes=c, r=r, tile_n=tile_n),
+        out_shape=jax.ShapeDtypeStruct((n // r, b), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 2 * sh * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sh, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n // r, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 2 * sh * c * n,
+            bytes_accessed=sh * n + (n // r) * b * 4 + b * 2 * sh * c,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, luts_i8, codes_packed_t)
+
+
+def lut16_fused_sweep_auto(luts_i8: jnp.ndarray, codes_packed_t: jnp.ndarray,
+                           n_valid, tile_n: int = 1024, r: int = 32) -> jnp.ndarray:
+    return lut16_fused_sweep_pallas(luts_i8, codes_packed_t, n_valid,
+                                    tile_n=tile_n, r=r, interpret=not _is_tpu())
+
+
+# ---------------------------------------------------------------------------
 # int8 asymmetric dots
 # ---------------------------------------------------------------------------
 
