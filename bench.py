@@ -166,6 +166,47 @@ def _run_glove_scale(log):
         log(f"glove-scale 1.18Mx100d fused-sweep+rerank B={b}: "
             f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
+    _run_block_sweep(log, ds, q_np, gt, N)
+
+
+def _run_block_sweep(log, ds, q_np, gt, n):
+    """bf16 block-min sweep + exact re-rank — the flagship serving path."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+    from scann_tpu.ops.distances import DistanceMeasure
+    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
+
+    t0 = time.perf_counter()
+    s = BlockSweepSearcher(ds)
+    aug, dbd, norms, n_valid = s._device_state()
+    log(f"block-sweep build (bf16 augmented copy): {time.perf_counter()-t0:.1f}s")
+
+    idx, _ = s.search_batched_arrays(q_np[:256], 10)
+    recall = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(idx, gt)])
+
+    for b in (128, 1024):
+        q_dev = jnp.asarray(q_np[:b])
+
+        def make_scan(iters):
+            @jax.jit
+            def run(qq, augx, dbx, nx):
+                def body(acc, i):
+                    vals, _ = sweep_search_kernel(
+                        augx, dbx, nx, jnp.int32(n),
+                        qq + acc * 1e-20 + i * 1e-6,
+                        pre_k=100, k=10, measure=DistanceMeasure.SQUARED_L2)
+                    return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jnp.arange(iters, dtype=jnp.float32))
+                return acc
+            return lambda: run(q_dev, aug, dbd, norms)
+
+        dt = scan_time(make_scan, iters=16, rounds=3)
+        log(f"glove-scale 1.18Mx100d block-sweep+rerank B={b}: "
+            f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+
 
 if __name__ == "__main__":
     main()

@@ -55,6 +55,7 @@ from scann_tpu.models.scalar_quantized import (
     ScalarQuantizedBruteForceSearcher,
     ScalarQuantizedConfig,
 )
+from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
 from scann_tpu.models.partitioned import PartitionedSearcher
 from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
 from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode
@@ -82,6 +83,8 @@ __all__ = [
     "BruteForceSearcher",
     "ScalarQuantizedBruteForceSearcher",
     "ScalarQuantizedConfig",
+    "BlockSweepConfig",
+    "BlockSweepSearcher",
     "PartitionedSearcher",
     "TreeXHybridConfig",
     "TreeXHybridSearcher",

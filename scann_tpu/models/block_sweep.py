@@ -1,0 +1,147 @@
+"""Block-sweep searcher: bf16 streaming sweep + exact re-rank.
+
+The TPU-native production searcher for databases that fit HBM. Stores the
+database once as bf16 rows augmented with their squared norm
+(ops/sweep_pallas.py) so the whole first pass is one bandwidth-bound MXU
+program, then exactly re-ranks ``pre_k`` survivors in f32.
+
+Capability position vs the reference: sits between the exact
+``BruteForceSearcher`` (src/brute_force/searcher.rs) and its approximate
+modes — near-perfect recall (~0.995 @ 1.18M x 100d) at ~3.5x the QPS of the
+best PQ sweep on the same chip, because at moderate D an exact bf16 matmul
+costs fewer FLOPs *and* fewer HBM bytes than PQ one-hot scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.errors import ScannError
+from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.ops.distances import DistanceMeasure, squared_norms
+from scann_tpu.ops.sweep_pallas import (
+    build_augmented_db,
+    sweep_search_kernel,
+)
+from scann_tpu.types import SUBLANE_BF16, align_up
+
+
+@dataclasses.dataclass
+class BlockSweepConfig:
+    distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
+    # candidates kept per query for the exact re-rank; raise for higher
+    # recall on adversarial data (block collisions), lower for speed
+    pre_reorder_k: int = 100
+    # r:1 in-kernel reduction — one candidate survives per r-point block
+    block_r: int = 32
+    tile_n: int = 2048
+    # VMEM holds a [tile_n, B] f32 score block; cap the per-program batch
+    max_batch: int = 1024
+
+
+class BlockSweepSearcher(Searcher):
+    """bf16 block-min sweep + exact f32 re-rank (see module docstring)."""
+
+    def __init__(self, dataset: DenseDataset,
+                 config: Optional[BlockSweepConfig] = None):
+        if not isinstance(dataset, DenseDataset):
+            raise ScannError.invalid_argument(
+                "BlockSweepSearcher needs a DenseDataset")
+        cfg = config or BlockSweepConfig()
+        if cfg.distance_measure not in (
+                DistanceMeasure.SQUARED_L2, DistanceMeasure.DOT_PRODUCT,
+                DistanceMeasure.GENERAL_INNER_PRODUCT, DistanceMeasure.COSINE):
+            raise ScannError.invalid_argument(
+                f"BlockSweepSearcher does not support {cfg.distance_measure}")
+        if cfg.tile_n % cfg.block_r:
+            raise ScannError.invalid_argument("tile_n must be divisible by r")
+        self._config = cfg
+        self._dataset = dataset
+        self._measure = cfg.distance_measure
+        self._aug_dev = None
+        self._norms_cache = None
+
+    # -- metadata -----------------------------------------------------------
+    @property
+    def dataset(self) -> DenseDataset:
+        return self._dataset
+
+    def dataset_size(self) -> int:
+        return self._dataset.size
+
+    def dimensionality(self) -> int:
+        return self._dataset.dimensionality
+
+    def _docids(self):
+        return self._dataset.docids
+
+    def memory_usage(self) -> int:
+        """Device bytes beyond the raw dataset: the bf16 augmented copy."""
+        if self._aug_dev is None:
+            return 0
+        return self._aug_dev.size * 2
+
+    # -- device state ---------------------------------------------------------
+    def _device_state(self):
+        db, n = self._dataset.device()
+        if self._aug_dev is None or self._norms_cache is None or \
+                self._norms_cache[0] != n:
+            aug = build_augmented_db(self._dataset.numpy(), n, self._measure,
+                                     tile_n=self._config.tile_n)
+            self._aug_dev = jnp.asarray(aug)
+            self._norms_cache = (n, jax.jit(squared_norms)(db))
+        return self._aug_dev, db, self._norms_cache[1], n
+
+    @staticmethod
+    def _interpret() -> bool:
+        try:
+            return jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            return True
+
+    # -- search -----------------------------------------------------------------
+    def search_batched_arrays(self, queries: np.ndarray, k: int,
+                              params: Optional[SearchParameters] = None):
+        queries = self._validate_queries(queries)
+        n = self.dataset_size()
+        k = min(int(k), n)
+        if k <= 0:
+            raise ScannError.invalid_argument(f"k must be positive, got {k}")
+        cfg = self._config
+        pre_k = max(cfg.pre_reorder_k, k)
+        pre_eps = post_eps = np.inf
+        if params is not None:
+            if params.pre_reordering_num_neighbors is not None:
+                pre_k = max(int(params.pre_reordering_num_neighbors), k)
+            if params.pre_reordering_epsilon is not None:
+                pre_eps = float(params.pre_reordering_epsilon)
+            if params.post_reordering_epsilon is not None:
+                post_eps = float(params.post_reordering_epsilon)
+        aug, db, norms, n_valid = self._device_state()
+        # one survivor per r-block caps usable pre_k
+        pre_k = min(pre_k, aug.shape[0] // cfg.block_r)
+
+        out_i, out_d = [], []
+        for lo in range(0, len(queries), cfg.max_batch):
+            q = queries[lo: lo + cfg.max_batch]
+            b = len(q)
+            b_pad = align_up(b, SUBLANE_BF16)
+            if b_pad != b:
+                q = np.concatenate(
+                    [q, np.zeros((b_pad - b, q.shape[1]), np.float32)])
+            dists, idx = sweep_search_kernel(
+                aug, db, norms, jnp.int32(n_valid), jnp.asarray(q),
+                jnp.float32(pre_eps), jnp.float32(post_eps),
+                pre_k=pre_k, k=k, measure=self._measure,
+                r=cfg.block_r, tile_n=cfg.tile_n,
+                interpret=self._interpret(),
+            )
+            out_i.append(np.asarray(idx)[:b])
+            out_d.append(np.asarray(dists)[:b])
+        return np.concatenate(out_i), np.concatenate(out_d)

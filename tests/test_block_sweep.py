@@ -1,0 +1,114 @@
+"""bf16 block-min sweep: kernel parity + searcher recall/semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scann_tpu import (
+    BlockSweepConfig,
+    BlockSweepSearcher,
+    BruteForceSearcher,
+    DenseDataset,
+    DistanceMeasure,
+    SearchParameters,
+)
+from scann_tpu.ops.sweep_pallas import (
+    BLOCK_MASK_VALUE,
+    _augment_queries,
+    block_min_sweep_pallas,
+    build_augmented_db,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_block_min_sweep_matches_jnp(rng):
+    """Pallas kernel vs a jnp program with identical numerics."""
+    n, d, b, r, tile_n = 1024, 24, 16, 8, 256
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    n_valid = n - 100
+    aug = jnp.asarray(build_augmented_db(db, n_valid, DistanceMeasure.SQUARED_L2,
+                                         tile_n=tile_n))
+    q_aug = _augment_queries(jnp.asarray(q), DistanceMeasure.SQUARED_L2,
+                             aug.shape[1])
+    vals, locs = block_min_sweep_pallas(q_aug, aug, tile_n=tile_n, r=r,
+                                        interpret=True)
+    scores = jnp.dot(aug.astype(jnp.float32), q_aug.astype(jnp.float32).T)
+    s3 = np.asarray(scores).reshape(aug.shape[0] // r, r, -1)
+    # ULP-level accumulation-order differences between the two programs
+    np.testing.assert_allclose(np.asarray(vals), s3.min(axis=1),
+                               rtol=1e-5, atol=1e-5)
+    # argmin comparison via achieved value
+    pick = np.take_along_axis(s3, np.asarray(locs)[:, None, :], axis=1)[:, 0]
+    np.testing.assert_allclose(pick, s3.min(axis=1), rtol=1e-5, atol=1e-5)
+    # masked tail blocks carry the sentinel
+    assert np.all(np.asarray(vals)[(n_valid // r) + 1:] >= BLOCK_MASK_VALUE / 2)
+
+
+@pytest.mark.parametrize("measure", [DistanceMeasure.SQUARED_L2,
+                                     DistanceMeasure.DOT_PRODUCT,
+                                     DistanceMeasure.COSINE])
+def test_block_sweep_searcher_recall(rng, measure):
+    n, d, b, k = 4096, 32, 24, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, gtd = BruteForceSearcher(ds, measure).search_batched_arrays(q, k)
+
+    s = BlockSweepSearcher(ds, BlockSweepConfig(
+        distance_measure=measure, pre_reorder_k=256, block_r=8, tile_n=256))
+    idx, dist = s.search_batched_arrays(q, k)
+    recall = np.mean([len(set(a) & set(g)) / k for a, g in zip(idx, gt)])
+    assert recall >= 0.95, (measure, recall)
+    # returned distances are exact f32 in the measure's units
+    hit = idx == gt
+    np.testing.assert_allclose(dist[hit], gtd[hit], rtol=1e-4, atol=1e-4)
+    assert np.all(np.diff(dist, axis=1) >= -1e-6)
+
+
+def test_block_sweep_padded_tail_excluded(rng):
+    n, d = 1000, 16  # pads to tile_n
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=64, block_r=8, tile_n=256))
+    idx, dist = s.search_batched_arrays(db[:5], 3)
+    assert np.all(idx < n)
+    assert np.all(idx >= 0)
+    # self-match at distance ~0
+    np.testing.assert_array_equal(idx[:, 0], np.arange(5))
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-3)
+
+
+def test_block_sweep_epsilons_and_params(rng):
+    n, d, b, k = 2048, 16, 8, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=64, block_r=8, tile_n=256))
+    idx, dist = s.search_batched_arrays(q, k)
+    eps = float(np.median(dist[:, k // 2]))
+    idx2, dist2 = s.search_batched_arrays(
+        q, k, SearchParameters(post_reordering_epsilon=eps))
+    assert np.isinf(dist2).any()
+    assert np.all((dist2 <= eps) | np.isinf(dist2))
+    assert np.all((idx2 >= 0) | np.isinf(dist2))
+    # pre_reordering_num_neighbors widens the candidate pool
+    idx3, _ = s.search_batched_arrays(
+        q, k, SearchParameters(pre_reordering_num_neighbors=n // 8))
+    gt, _ = BruteForceSearcher(DenseDataset(db)).search_batched_arrays(q, k)
+    r3 = np.mean([len(set(a) & set(g)) / k for a, g in zip(idx3, gt)])
+    assert r3 >= 0.95
+
+
+def test_block_sweep_odd_batch_and_single_query(rng):
+    db = rng.normal(size=(512, 8)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=32, block_r=8, tile_n=128))
+    idx, dist = s.search_batched_arrays(db[:3], 2)
+    assert idx.shape == (3, 2)
+    res = s.search(db[7], 1)
+    assert res.indices()[0] == 7
