@@ -157,6 +157,34 @@ def bench_mutator():
     print(f"mutator/get: {dt*1e6:8.2f} us/op")
 
 
+def bench_dynamic():
+    """Mixed add/search at serving batch size: the dynamic merge is one
+    device program (candidates rescore + delta brute force + dedup + top-k),
+    so B=1024 must not hit a per-query host loop cliff."""
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.mutator import DynamicSearcher
+
+    rng = np.random.default_rng(0)
+    db = rng.normal(size=(200_000, 64)).astype(np.float32)
+    ds = DynamicSearcher(DenseDataset(db), lambda d: BruteForceSearcher(d),
+                         rebuild_threshold=100_000)
+    q = rng.normal(size=(1024, 64)).astype(np.float32)
+    # grow the delta slab into a stable padding bucket (e_pad = 768), then
+    # warm up the jitted merge program for that bucket
+    for _ in range(520):
+        ds.add(rng.normal(size=64).astype(np.float32))
+    ds.search_batched_arrays(q, 10)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ds.add(rng.normal(size=64).astype(np.float32))
+        ds.search_batched_arrays(q, 10)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"dynamic/mixed add+search B=1024 (200k main + 520 delta): "
+          f"{dt*1e3:8.2f} ms/op-pair -> {1024/dt:,.0f} QPS")
+
+
 GROUPS = {
     "brute_force": bench_brute_force,
     "distances": bench_distances,
@@ -165,6 +193,7 @@ GROUPS = {
     "int8": bench_int8,
     "topk": bench_topk,
     "mutator": bench_mutator,
+    "dynamic": bench_dynamic,
 }
 
 

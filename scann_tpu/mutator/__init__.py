@@ -384,6 +384,80 @@ class IncrementalUpdater:
             self._pending.clear()
 
 
+def _dynamic_search_kernel(queries, snap_db, cand_ids, extra_rows,
+                           extra_ids, extra_valid, *, k, measure):
+    """One device program for the dynamic merge: exact rescoring of main
+    candidates (gathered on device from the snapshot) + brute force over the
+    extra slab + dedup + top-k. Only queries, candidate ids and the (small)
+    extra slab cross the host-device boundary per call — the snapshot array
+    stays resident between rebuilds."""
+    import functools
+
+    import jax
+
+    global _DYNAMIC_KERNEL
+    if _DYNAMIC_KERNEL is None:
+        from scann_tpu.ops.distances import gathered_distances, many_to_many
+        from scann_tpu.ops.topk import top_k_smallest
+        from scann_tpu.types import MASKED_DISTANCE
+
+        @functools.partial(jax.jit, static_argnames=("k", "measure"))
+        def kern(queries, snap_db, cand_ids, extra_rows, extra_ids,
+                 extra_valid, *, k, measure):
+            import jax.numpy as jnp
+
+            # rows updated since build are dup-masked below (their current
+            # value lives in the extra slab), so the stale snapshot gather is
+            # correct for every candidate that survives masking
+            cand_rows = snap_db[jnp.clip(cand_ids, 0, snap_db.shape[0] - 1)]
+            cd = gathered_distances(measure, queries, cand_rows)
+            cand_ok = cand_ids >= 0
+            # a candidate that also sits in the extra slab keeps only the
+            # (authoritative, current-data) extra copy
+            dup = jnp.any(
+                cand_ids[:, :, None] == jnp.where(extra_valid, extra_ids,
+                                                  -2)[None, None, :], axis=-1)
+            cd = jnp.where(cand_ok & ~dup, cd, MASKED_DISTANCE)
+            from scann_tpu.ops.distances import DistanceMeasure
+            if measure in (DistanceMeasure.SQUARED_L2, DistanceMeasure.L2):
+                # Exact diff formulation: the matmul+norms form cancels
+                # catastrophically for near-duplicate rows (the delta slab's
+                # common case — an update followed by a search for it).
+                # Chunked scan bounds the [B, chunk, D] broadcast on-chip.
+                chunks = extra_rows.reshape(-1, 256, extra_rows.shape[-1])
+
+                def _chunk(_, rows):
+                    d = jnp.sum(
+                        (queries[:, None, :] - rows[None, :, :]) ** 2, -1)
+                    return None, d
+
+                _, eds = jax.lax.scan(_chunk, None, chunks)
+                ed = jnp.moveaxis(eds, 0, 1).reshape(queries.shape[0], -1)
+                if measure == DistanceMeasure.L2:
+                    ed = jnp.sqrt(ed)
+            else:
+                ed = many_to_many(measure, queries, extra_rows)
+            ed = jnp.where(extra_valid[None, :], ed, MASKED_DISTANCE)
+            all_d = jnp.concatenate([cd, ed], axis=1)
+            all_i = jnp.concatenate(
+                [cand_ids,
+                 jnp.broadcast_to(extra_ids[None, :],
+                                  (queries.shape[0], extra_ids.shape[0]))],
+                axis=1)
+            vals, pos = top_k_smallest(all_d, k)
+            idx = jnp.take_along_axis(all_i, pos, axis=1)
+            missing = vals >= MASKED_DISTANCE / 2
+            return (jnp.where(missing, jnp.inf, vals),
+                    jnp.where(missing, -1, idx))
+
+        _DYNAMIC_KERNEL = kern
+    return _DYNAMIC_KERNEL(queries, snap_db, cand_ids, extra_rows,
+                           extra_ids, extra_valid, k=k, measure=measure)
+
+
+_DYNAMIC_KERNEL = None
+
+
 class DynamicSearcher:
     """Serving wrapper: main index over the last snapshot + exact delta.
 
@@ -396,22 +470,32 @@ class DynamicSearcher:
 
     def __init__(self, dataset: DenseDataset,
                  searcher_factory: Callable[[DenseDataset], "object"],
-                 rebuild_threshold: int = 1000):
+                 rebuild_threshold: int = 1000,
+                 distance_measure=None):
         self._factory = searcher_factory
         self._mutable = MutableDataset.from_dataset(dataset)
         self.rebuild_threshold = int(rebuild_threshold)
+        # None -> read from the built searcher (falls back to squared-L2);
+        # delta scoring and rescoring always use this measure
+        self._distance_measure = distance_measure
         self._lock = threading.Lock()
         self._rebuild()
 
     def _rebuild(self):
         data, deleted = self._mutable.snapshot()
         self._snapshot_rows = len(data)
-        self._deleted_at_build = deleted.copy()
-        self._main = self._factory(DenseDataset(data))
+        self._deleted_at_build = deleted.astype(bool)
+        # snapshot rows stay device-resident between rebuilds; per-search
+        # uploads are then just queries + candidate ids + the small delta slab
+        self._snapshot_ds = DenseDataset(data)
+        self._main = self._factory(self._snapshot_ds)
         self._mutable.flush_mutations()
         # rows updated since build: the main index ranks them by their stale
         # snapshot vector, so they are rescored as explicit delta candidates
         self._updated_since_build = set()
+        # candidate invalidation mask: deleted-at-build rows (the factory
+        # indexes their stale vectors) plus any snapshot row removed later
+        self._cand_invalid = deleted.astype(bool)
 
     # -- mutations ----------------------------------------------------------
     def add(self, data) -> int:
@@ -423,6 +507,8 @@ class DynamicSearcher:
     def remove(self, index: int) -> None:
         with self._lock:
             self._mutable.remove(index)
+            if index < self._snapshot_rows:
+                self._cand_invalid[index] = True
             self._maybe_rebuild()
 
     def update(self, index: int, data) -> None:
@@ -446,42 +532,79 @@ class DynamicSearcher:
 
     # -- search -------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int):
+        """Main-index candidates + exact device scoring of the delta slab.
+
+        One jitted program per (B, fetch, extra-bucket) shape: exact
+        rescoring of main candidates from *current* data (handles rows
+        updated since build), brute force over the extra slab (delta adds +
+        updated rows), dedup, and the final top-k — no per-query host loop
+        (reference semantics: src/mutator/mod.rs:494-546).
+        """
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
+        b, d = queries.shape
         with self._lock:
-            data, deleted = self._mutable.snapshot()
             snap_rows = self._snapshot_rows
+            total_rows = self._mutable.total_rows
+            measure = self._measure_of_main()
             # 1. main index candidates (over-fetch to survive masking)
             fetch = min(max(2 * k, k + 8), snap_rows) if snap_rows else 0
-            cand_i, cand_d = (np.zeros((len(queries), 0), np.int64),
-                              np.zeros((len(queries), 0), np.float32))
             if fetch > 0:
-                cand_i, cand_d = self._main.search_batched_arrays(queries, fetch)
-            # rows mutated since build -> rescore exactly from current data
-            delta = data[snap_rows:]
-            out_i = np.full((len(queries), k), -1, dtype=np.int64)
-            out_d = np.full((len(queries), k), np.inf, dtype=np.float32)
-            for bi, q in enumerate(queries):
-                pairs = []
-                for j in range(cand_i.shape[1]):
-                    i = int(cand_i[bi, j])
-                    if i < 0 or i >= len(deleted) or deleted[i]:
-                        continue
-                    # row may have been updated since build: rescore exactly
-                    d = float(((q - data[i]) ** 2).sum())
-                    pairs.append((d, i))
-                if len(delta):
-                    dd = ((q[None, :] - delta) ** 2).sum(-1)
-                    for j in range(len(delta)):
-                        gi = snap_rows + j
-                        if not deleted[gi]:
-                            pairs.append((float(dd[j]), gi))
-                seen = {i for _, i in pairs}
-                for i in self._updated_since_build:
-                    if i not in seen and i < len(deleted) and not deleted[i]:
-                        pairs.append((float(((q - data[i]) ** 2).sum()), i))
-                pairs.sort()
-                for w, (d, i) in enumerate(pairs[:k]):
-                    out_i[bi, w], out_d[bi, w] = i, d
+                cand_i, _ = self._main.search_batched_arrays(queries, fetch)
+                cand_i = np.asarray(cand_i, np.int64)
+            else:
+                cand_i = np.zeros((b, 0), np.int64)
+            f_pad = max(cand_i.shape[1], 1)
+            if cand_i.shape[1] < f_pad:
+                cand_i = np.concatenate(
+                    [cand_i, np.full((b, f_pad - cand_i.shape[1]), -1,
+                                     np.int64)], axis=1)
+            in_range = (cand_i >= 0) & (cand_i < snap_rows)
+            safe_c = np.clip(cand_i, 0, max(snap_rows - 1, 0))
+            cand_valid = in_range & ~self._cand_invalid[safe_c] \
+                if snap_rows else np.zeros_like(cand_i, bool)
+
+            # 2. extra slab: delta adds + rows updated since build (shared
+            # across queries; removed rows come back None -> stay invalid)
+            extra_ids = np.concatenate([
+                np.arange(snap_rows, total_rows, dtype=np.int64),
+                np.fromiter(sorted(self._updated_since_build), np.int64,
+                            len(self._updated_since_build)),
+            ])
+            e_pad = -(-max(len(extra_ids), 1) // 256) * 256
+            extra_valid = np.zeros(e_pad, bool)
+            extra_rows = np.zeros((e_pad, d), np.float32)
+            for j, row in enumerate(self._mutable.get_batch(extra_ids)):
+                if row is not None:
+                    extra_valid[j] = True
+                    extra_rows[j] = row
+            ids_pad = np.zeros(e_pad, np.int64)
+            ids_pad[: len(extra_ids)] = extra_ids
+
+            import jax.numpy as jnp
+
+            if snap_rows:
+                snap_db = self._snapshot_ds.device()[0]
+            else:
+                snap_db = jnp.zeros((8, d), jnp.float32)
+            k_eff = min(k, f_pad + e_pad)
+            vals, idx = _dynamic_search_kernel(
+                jnp.asarray(queries), snap_db,
+                jnp.asarray(np.where(cand_valid, cand_i, -1).astype(np.int32)),
+                jnp.asarray(extra_rows), jnp.asarray(ids_pad.astype(np.int32)),
+                jnp.asarray(extra_valid), k=k_eff, measure=measure)
+            out_i = np.full((b, k), -1, np.int64)
+            out_d = np.full((b, k), np.inf, np.float32)
+            out_i[:, :k_eff] = np.asarray(idx)
+            out_d[:, :k_eff] = np.asarray(vals)
             return out_i, out_d
+
+    def _measure_of_main(self):
+        from scann_tpu.ops.distances import DistanceMeasure
+
+        if self._distance_measure is not None:
+            return self._distance_measure
+        m = getattr(self._main, "distance_measure", None) \
+            or getattr(self._main, "_measure", None)
+        return m if m is not None else DistanceMeasure.SQUARED_L2
