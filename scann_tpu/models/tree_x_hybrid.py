@@ -204,13 +204,15 @@ def tree_ah_search(
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
     rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
     codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
+    # leaf-major interleave — see tree_ah_search_grouped: partition-major
+    # order breaks approx_min_k's layout assumption in _finalize
     scores = lut_score_gathered(
         luts_flat.reshape(b * p, s_pad, c),
         codes_g.reshape(b * p, l_cap, s_pad),
-    ).reshape(b, p * l_cap)
+    ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
 
-    valid = (iota_l < szs[:, :, None]).reshape(b, p * l_cap)
-    cand = jnp.take(perm, rows.reshape(b, p * l_cap), axis=0)
+    valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(b, p * l_cap)
+    cand = jnp.take(perm, rows.transpose(0, 2, 1).reshape(b, p * l_cap), axis=0)
     if allow_mask is not None:
         valid = valid & jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
     flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
@@ -258,12 +260,20 @@ def tree_ah_search_grouped(
     scores_g = tree_ah_grouped_scores_pallas(
         luts_grouped, codes_csr, grp_off, grp_size,
         l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret)
-    flat_scores = jnp.take(scores_g, slot, axis=0).reshape(b, p * l_cap)
+    # Interleave partitions across the flat candidate axis (leaf-major, not
+    # partition-major): lax.approx_min_k's recall guarantee assumes the top
+    # elements are spread roughly uniformly, but partition-major order
+    # concentrates them in the best partition's contiguous block — measured
+    # recall@10 0.9988 -> 0.9309 at 1.18M, worsening with p*l_cap. The
+    # transpose is free relative to leaf scoring and restores the guarantee.
+    flat_scores = jnp.take(scores_g, slot, axis=0).reshape(
+        b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
 
     offs = jnp.take(csr_offsets, parts, axis=0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
     rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
-    cand = jnp.take(perm, rows.reshape(b, p * l_cap), axis=0)
+    rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+    cand = jnp.take(perm, rows_il, axis=0)
     if allow_mask is not None:
         allowed = jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)

@@ -206,13 +206,16 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
         rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
         codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
+        # leaf-major interleave — see tree_x_hybrid.tree_ah_search_grouped:
+        # partition-major order breaks approx_min_k's layout assumption
         scores = lut_score_gathered(
             luts_flat.reshape(b * p, s_pad, c),
             codes_g.reshape(b * p, l_cap, s_pad),
-        ).reshape(b, p * l_cap)
-        valid = (iota_l < szs[:, :, None]).reshape(b, p * l_cap)
+        ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
+        valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(
+            b, p * l_cap)
         flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
-        flat_rows = rows.reshape(b, p * l_cap)
+        flat_rows = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
 
         pk = min(pre_k, p * l_cap)
         pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pk)
