@@ -1,16 +1,23 @@
 """Gaussian mixture model via EM (reference: src/utils/gmm.rs:12-601).
 
-Covariance types: full / diagonal / spherical. E-step and M-step are
-vectorized numpy (datasets used for GMM training here are modest); predict
-and scoring use log-sum-exp responsibilities. BIC/AIC for model selection.
+TPU-native: the entire EM fit is ONE jitted device program — a
+``lax.while_loop`` whose body runs the E-step (vectorized log densities +
+log-sum-exp responsibilities over all components at once) and the M-step
+(MXU contractions ``resp.T @ x`` / batched covariance einsums) — so a fit
+is a single dispatch regardless of iteration count. Covariance types:
+full (batched Cholesky) / diagonal / spherical. BIC/AIC for model
+selection; sampling stays host-side (np RNG).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from scann_tpu.errors import ScannError
@@ -34,6 +41,85 @@ class GmmConfig:
     seed: Optional[int] = None
 
 
+def _log_prob_device(x, weights, means, covs, cov_type: CovarianceType,
+                     ):
+    """[N, K] per-component log densities, all components at once."""
+    n, d = x.shape
+    k = means.shape[0]
+    diff = x[:, None, :] - means[None, :, :]                    # [N, K, D]
+    if cov_type == CovarianceType.FULL:
+        chol = jnp.linalg.cholesky(covs)                         # [K, D, D]
+        # solve L y = diff per component; [K, D, N]
+        y = jax.lax.linalg.triangular_solve(
+            chol, jnp.transpose(diff, (1, 2, 0)),
+            left_side=True, lower=True)
+        maha = jnp.sum(y * y, axis=1).T                          # [N, K]
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)
+    elif cov_type == CovarianceType.DIAGONAL:
+        maha = jnp.sum(diff * diff / covs[None, :, :], axis=-1)
+        logdet = jnp.sum(jnp.log(covs), axis=-1)
+    else:
+        maha = jnp.sum(diff * diff, axis=-1) / covs[None, :]
+        logdet = d * jnp.log(covs)
+    return -0.5 * (d * jnp.log(2.0 * jnp.pi) + logdet[None, :] + maha)
+
+
+def _log_resp_device(x, weights, means, covs, cov_type):
+    wlp = _log_prob_device(x, weights, means, covs, cov_type) \
+        + jnp.log(weights)[None, :]
+    norm = jax.nn.logsumexp(wlp, axis=1)
+    return wlp - norm[:, None], jnp.mean(norm)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cov_type", "max_iterations", "convergence_threshold",
+                     "reg_covar"))
+def _em_fit(x, weights0, means0, covs0, *, cov_type: CovarianceType,
+            max_iterations: int, convergence_threshold: float,
+            reg_covar: float):
+    """Full EM fit as one device program. Matches the loop semantics of the
+    reference (gmm.rs:200-280): E-step with current params, M-step update,
+    then convergence check on the E-step log-likelihood sequence."""
+    n, d = x.shape
+    k = means0.shape[0]
+
+    def m_step(resp):
+        nk = jnp.sum(resp, axis=0) + 1e-10                       # [K]
+        weights = nk / n
+        means = (resp.T @ x) / nk[:, None]
+        diff = x[:, None, :] - means[None, :, :]                 # [N, K, D]
+        if cov_type == CovarianceType.FULL:
+            covs = jnp.einsum("nk,nkd,nke->kde", resp, diff, diff,
+                              optimize=True) / nk[:, None, None]
+            covs = covs + jnp.eye(d)[None] * reg_covar
+        elif cov_type == CovarianceType.DIAGONAL:
+            covs = jnp.einsum("nk,nkd->kd", resp, diff * diff) \
+                / nk[:, None] + reg_covar
+        else:
+            covs = jnp.einsum("nk,nkd->k", resp, diff * diff) \
+                / (nk * d) + reg_covar
+        return weights, means, covs
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iterations) & ~done
+
+    def body(state):
+        it, done, weights, means, covs, prev_ll, _ = state
+        log_resp, ll = _log_resp_device(x, weights, means, covs, cov_type)
+        weights, means, covs = m_step(jnp.exp(log_resp))
+        done = jnp.abs(ll - prev_ll) < convergence_threshold
+        return (it + 1, done, weights, means, covs, ll, ll)
+
+    init = (jnp.int32(0), jnp.bool_(False), weights0, means0, covs0,
+            jnp.float32(-jnp.inf), jnp.float32(-jnp.inf))
+    it, done, weights, means, covs, _, ll = jax.lax.while_loop(
+        cond, body, init)
+    return weights, means, covs, ll, it, done
+
+
 class GaussianMixture:
     """(reference: gmm.rs:100-601)."""
 
@@ -46,40 +132,18 @@ class GaussianMixture:
         self.num_iterations = 0
         self._log_likelihood = -np.inf
 
-    # -- log density -------------------------------------------------------
-    def _log_prob(self, x: np.ndarray) -> np.ndarray:
-        """[N, K] per-component log densities."""
-        k, d = self.means.shape
-        n = x.shape[0]
-        out = np.empty((n, k))
-        ct = self.config.covariance_type
-        for j in range(k):
-            diff = x - self.means[j]
-            if ct == CovarianceType.FULL:
-                cov = self.covariances[j]
-                sign, logdet = np.linalg.slogdet(cov)
-                sol = np.linalg.solve(cov, diff.T).T
-                maha = np.einsum("nd,nd->n", diff, sol)
-            elif ct == CovarianceType.DIAGONAL:
-                var = self.covariances[j]
-                logdet = np.log(var).sum()
-                maha = (diff * diff / var).sum(-1)
-            else:
-                var = self.covariances[j]
-                logdet = d * np.log(var)
-                maha = (diff * diff).sum(-1) / var
-            out[:, j] = -0.5 * (d * np.log(2 * np.pi) + logdet + maha)
-        return out
-
     def _estimate_log_resp(self, x: np.ndarray) -> Tuple[np.ndarray, float]:
-        wlp = self._log_prob(x) + np.log(self.weights)[None, :]
-        norm = np.logaddexp.reduce(wlp, axis=1)
-        return wlp - norm[:, None], float(norm.mean())
+        lr, ll = _log_resp_device(
+            jnp.asarray(x, jnp.float32), jnp.asarray(self.weights, jnp.float32),
+            jnp.asarray(self.means, jnp.float32),
+            jnp.asarray(self.covariances, jnp.float32),
+            self.config.covariance_type)
+        return np.asarray(lr), float(ll)
 
     # -- fit ----------------------------------------------------------------
     def fit(self, data) -> "GaussianMixture":
-        x = data.numpy() if hasattr(data, "numpy") else np.asarray(data, np.float64)
-        x = np.asarray(x, dtype=np.float64)
+        x = data.numpy() if hasattr(data, "numpy") else np.asarray(data)
+        x = np.asarray(x, dtype=np.float32)
         n, d = x.shape
         cfg = self.config
         k = cfg.num_components
@@ -87,68 +151,45 @@ class GaussianMixture:
             raise ScannError.invalid_argument("fewer points than components")
 
         rng = np.random.default_rng(cfg.seed)
-        self.weights = np.full(k, 1.0 / k)
-        self.means = x[rng.choice(n, k, replace=False)].copy()
+        weights0 = np.full(k, 1.0 / k, np.float32)
+        means0 = x[rng.choice(n, k, replace=False)].copy()
         gvar = x.var(axis=0) + cfg.reg_covar
         if cfg.covariance_type == CovarianceType.FULL:
-            self.covariances = np.stack([np.diag(gvar)] * k)
+            covs0 = np.stack([np.diag(gvar)] * k).astype(np.float32)
         elif cfg.covariance_type == CovarianceType.DIAGONAL:
-            self.covariances = np.stack([gvar] * k)
+            covs0 = np.stack([gvar] * k).astype(np.float32)
         else:
-            self.covariances = np.full(k, float(gvar.mean()))
+            covs0 = np.full(k, float(gvar.mean()), np.float32)
 
-        prev_ll = -np.inf
-        self.converged = False
-        for it in range(cfg.max_iterations):
-            self.num_iterations = it + 1
-            log_resp, ll = self._estimate_log_resp(x)
-            resp = np.exp(log_resp)
-            nk = resp.sum(axis=0) + 1e-10
-            self.weights = nk / n
-            self.means = (resp.T @ x) / nk[:, None]
-            if cfg.covariance_type == CovarianceType.FULL:
-                covs = []
-                for j in range(k):
-                    diff = x - self.means[j]
-                    cov = (resp[:, j : j + 1] * diff).T @ diff / nk[j]
-                    covs.append(cov + np.eye(d) * cfg.reg_covar)
-                self.covariances = np.stack(covs)
-            elif cfg.covariance_type == CovarianceType.DIAGONAL:
-                covs = []
-                for j in range(k):
-                    diff = x - self.means[j]
-                    covs.append((resp[:, j] @ (diff * diff)) / nk[j] + cfg.reg_covar)
-                self.covariances = np.stack(covs)
-            else:
-                covs = []
-                for j in range(k):
-                    diff = x - self.means[j]
-                    covs.append(float((resp[:, j] @ (diff * diff).sum(-1))
-                                      / (nk[j] * d)) + cfg.reg_covar)
-                self.covariances = np.asarray(covs)
-
-            self._log_likelihood = ll
-            if abs(ll - prev_ll) < cfg.convergence_threshold:
-                self.converged = True
-                break
-            prev_ll = ll
+        weights, means, covs, ll, it, done = _em_fit(
+            jnp.asarray(x), jnp.asarray(weights0), jnp.asarray(means0),
+            jnp.asarray(covs0), cov_type=cfg.covariance_type,
+            max_iterations=cfg.max_iterations,
+            convergence_threshold=float(cfg.convergence_threshold),
+            reg_covar=float(cfg.reg_covar))
+        self.weights = np.asarray(weights, np.float64)
+        self.means = np.asarray(means, np.float64)
+        self.covariances = np.asarray(covs, np.float64)
+        self._log_likelihood = float(ll)
+        self.num_iterations = int(it)
+        self.converged = bool(done)
         return self
 
     # -- inference ----------------------------------------------------------
     def predict(self, x: np.ndarray) -> np.ndarray:
         self._check()
-        lr, _ = self._estimate_log_resp(np.asarray(x, np.float64))
+        lr, _ = self._estimate_log_resp(np.asarray(x, np.float32))
         return lr.argmax(axis=1).astype(np.int32)
 
     def predict_proba(self, x: np.ndarray) -> np.ndarray:
         self._check()
-        lr, _ = self._estimate_log_resp(np.asarray(x, np.float64))
+        lr, _ = self._estimate_log_resp(np.asarray(x, np.float32))
         return np.exp(lr)
 
     def score(self, x: np.ndarray) -> float:
         """Mean log-likelihood."""
         self._check()
-        _, ll = self._estimate_log_resp(np.asarray(x, np.float64))
+        _, ll = self._estimate_log_resp(np.asarray(x, np.float32))
         return ll
 
     def sample(self, n: int, seed: Optional[int] = None) -> np.ndarray:
@@ -186,11 +227,11 @@ class GaussianMixture:
 
     def bic(self, x: np.ndarray) -> float:
         """(reference: gmm.rs:540-560)."""
-        x = np.asarray(x, np.float64)
+        x = np.asarray(x, np.float32)
         return -2.0 * self.score(x) * len(x) + self._n_parameters() * np.log(len(x))
 
     def aic(self, x: np.ndarray) -> float:
-        x = np.asarray(x, np.float64)
+        x = np.asarray(x, np.float32)
         return -2.0 * self.score(x) * len(x) + 2.0 * self._n_parameters()
 
     def _check(self):
