@@ -72,10 +72,20 @@ class BruteForceConfig(_JsonMixin):
 
     scalar_quantization: bool = False
     quantization_bits: int = 0
+    # TPU extension: bf16 block-min sweep + exact re-rank — the flagship
+    # HBM-resident serving path (models/block_sweep.py); approximate
+    # (recall ~0.998 at pre-reorder depth 100), not exact brute force
+    block_sweep: bool = False
+    block_sweep_pre_k: int = 100
 
     def with_scalar_quantization(self, bits: int = 8) -> "BruteForceConfig":
         self.scalar_quantization = True
         self.quantization_bits = bits
+        return self
+
+    def with_block_sweep(self, pre_k: int = 100) -> "BruteForceConfig":
+        self.block_sweep = True
+        self.block_sweep_pre_k = pre_k
         return self
 
 

@@ -195,6 +195,9 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
                       distance_measure=_measure_for(getattr(args, "distance", "squared-l2")))
     if algorithm == "brute-force":
         cfg.with_brute_force()
+    elif algorithm == "block-sweep":
+        cfg.with_brute_force()
+        cfg.brute_force.with_block_sweep(pre_k=args.reorder or 100)
     elif algorithm == "partitioned":
         cfg.with_partitioning(PartitioningConfig(
             num_partitions=args.num_partitions,
@@ -271,7 +274,8 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="scann_tpu ANN benchmark harness")
     p.add_argument("--algorithm", default="brute-force",
-                   choices=["brute-force", "partitioned", "hashed", "tree-ah"])
+                   choices=["brute-force", "block-sweep", "partitioned",
+                            "hashed", "tree-ah"])
     p.add_argument("--distance", default="squared-l2",
                    choices=["squared-l2", "l2", "cosine", "dot-product"])
     p.add_argument("--dataset", default=None, help="ANN-Benchmarks JSON path")

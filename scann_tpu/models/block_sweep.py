@@ -43,6 +43,10 @@ class BlockSweepConfig:
     tile_n: int = 2048
     # VMEM holds a [tile_n, B] f32 score block; cap the per-program batch
     max_batch: int = 1024
+    # re-rank the two smallest per block: removes the collision ceiling
+    # (~0.998 recall@10 at 1.18M) for ~2x block-minima writes + re-rank
+    # width. The tournament tree needs extra VMEM -> smaller max_batch.
+    top2: bool = False
 
 
 class BlockSweepSearcher(Searcher):
@@ -128,8 +132,9 @@ class BlockSweepSearcher(Searcher):
         pre_k = min(pre_k, aug.shape[0] // cfg.block_r)
 
         out_i, out_d = [], []
-        for lo in range(0, len(queries), cfg.max_batch):
-            q = queries[lo: lo + cfg.max_batch]
+        max_batch = cfg.max_batch // 2 if cfg.top2 else cfg.max_batch
+        for lo in range(0, len(queries), max_batch):
+            q = queries[lo: lo + max_batch]
             b = len(q)
             b_pad = align_up(b, SUBLANE_BF16)
             if b_pad != b:
@@ -140,7 +145,7 @@ class BlockSweepSearcher(Searcher):
                 jnp.float32(pre_eps), jnp.float32(post_eps),
                 pre_k=pre_k, k=k, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
-                interpret=self._interpret(),
+                interpret=self._interpret(), top2=cfg.top2,
             )
             out_i.append(np.asarray(idx)[:b])
             out_d.append(np.asarray(dists)[:b])

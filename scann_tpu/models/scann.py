@@ -63,7 +63,17 @@ class Scann(Searcher):
         self._config = config
         measure = config.distance_measure
 
-        if config.brute_force is not None and config.brute_force.scalar_quantization:
+        if config.brute_force is not None and config.brute_force.block_sweep:
+            from scann_tpu.models.block_sweep import (
+                BlockSweepConfig,
+                BlockSweepSearcher,
+            )
+
+            self._impl = BlockSweepSearcher(dataset, BlockSweepConfig(
+                distance_measure=measure,
+                pre_reorder_k=int(config.brute_force.block_sweep_pre_k)))
+            self.search_mode = SearchMode.BRUTE_FORCE
+        elif config.brute_force is not None and config.brute_force.scalar_quantization:
             self._impl: Searcher = ScalarQuantizedBruteForceSearcher(
                 dataset,
                 ScalarQuantizedConfig(

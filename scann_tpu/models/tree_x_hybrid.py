@@ -52,6 +52,7 @@ from scann_tpu.ops.lut16_scoring import lut_score_gathered
 from scann_tpu.ops.topk import (
     approx_top_k_smallest,
     top_k_smallest,
+    dedup_top_k,
     top_k_unique,
 )
 from scann_tpu.ops.tree_ah_grouped import (
@@ -140,21 +141,34 @@ def _residual_luts(queries, centers, parts, codebook, *, s_pad: int,
     return luts.reshape(b * p, s_pad * c)
 
 
-def _finalize(db, db_sq_norms, queries, flat_scores, flat_cand, pre_eps,
-              post_eps, *, pre_k: int, k: int, measure: DistanceMeasure,
-              reorder: bool, multiplicity: int):
-    """approx candidate select -> exact re-rank -> (dedup) top-k."""
+def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
+              pre_eps, post_eps, *, pre_k: int, k: int,
+              measure: DistanceMeasure, reorder: bool, multiplicity: int):
+    """approx candidate select -> exact re-rank -> (dedup) top-k.
+
+    Position-based: ``flat_rows`` are CSR row positions (pure arithmetic,
+    never gathered); candidate point ids resolve through ``perm`` only for
+    the pre_k survivors. Translating ALL p*l_cap candidates up front was the
+    tree path's dominant cost — a [B, p*l_cap] scalar gather (10.5M random
+    accesses at B=1024, p=10, l_cap=1024) measured ~80 ms/batch, 8x the rest
+    of the pipeline combined."""
     if not reorder:
+        kp = min(k * max(int(multiplicity), 1), flat_scores.shape[-1])
+        vals, pos = top_k_smallest(flat_scores, kp)
+        rows_sel = jnp.take_along_axis(flat_rows, pos, axis=1)
+        idx = jnp.take(perm, rows_sel, axis=0)
         if multiplicity > 1:
-            vals, idx = top_k_unique(flat_scores, flat_cand, k, multiplicity)
+            vals, idx = dedup_top_k(vals, idx, k)
         else:
-            vals, pos = top_k_smallest(flat_scores, k)
-            idx = jnp.take_along_axis(flat_cand, pos, axis=1)
+            vals, idx = vals[..., :k], idx[..., :k]
+        vals = vals.astype(jnp.float32)   # scores may arrive bf16
         missing = (vals >= MASKED_DISTANCE / 2) | (vals > pre_eps)
         return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
     pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
-    pre_cand = jnp.take_along_axis(flat_cand, pre_pos, axis=1)  # [B, pre_k]
+    pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)  # [B, pre_k]
+    pre_cand = jnp.take(perm, pre_rows, axis=0)
+    pre_vals = pre_vals.astype(jnp.float32)
     pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_vals <= pre_eps)
     pre_safe = jnp.maximum(pre_cand, 0)
 
@@ -212,12 +226,13 @@ def tree_ah_search(
     ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
 
     valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(b, p * l_cap)
-    cand = jnp.take(perm, rows.transpose(0, 2, 1).reshape(b, p * l_cap), axis=0)
+    rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
     if allow_mask is not None:
-        valid = valid & jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
+        allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
+        valid = valid & jnp.take(allow_csr, rows_il, axis=0)
     flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
-    return _finalize(db, db_sq_norms, queries, flat_scores, cand, pre_eps,
-                     post_eps, pre_k=pre_k, k=k, measure=measure,
+    return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
+                     pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
                      reorder=reorder, multiplicity=multiplicity)
 
 
@@ -251,11 +266,17 @@ def tree_ah_search_grouped(
 
     grp_part, slot, ng = group_pairs_by_partition(
         parts, centers.shape[0], q_cap)
-    grp_off = jnp.take(csr_offsets, grp_part)
-    grp_size = jnp.take(part_sizes, grp_part)
+    grp_safe = jnp.maximum(grp_part, 0)
+    grp_off = jnp.take(csr_offsets, grp_safe)
+    # unused groups (grp_part == -1) get size 0: the kernel then skips
+    # their DMA and matmul entirely
+    grp_size = jnp.where(grp_part >= 0, jnp.take(part_sizes, grp_safe), 0)
     pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
         jnp.arange(b * p, dtype=jnp.int32))
-    luts_grouped = jnp.take(luts_flat, pair_of_slot, axis=0)
+    # bf16 before the grouped gather: the kernel contracts in bf16 anyway,
+    # casting first halves the gather's HBM traffic
+    luts_grouped = jnp.take(luts_flat.astype(jnp.bfloat16), pair_of_slot,
+                            axis=0)
 
     scores_g = tree_ah_grouped_scores_pallas(
         luts_grouped, codes_csr, grp_off, grp_size,
@@ -273,12 +294,15 @@ def tree_ah_search_grouped(
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
     rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
     rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
-    cand = jnp.take(perm, rows_il, axis=0)
     if allow_mask is not None:
-        allowed = jnp.take(allow_mask, jnp.maximum(cand, 0), axis=0)
+        # restricts are pre-selection hard filters (reference semantics):
+        # the bit gather is per-candidate and costs what the unmasked
+        # fast path deliberately avoids — acceptable for filtered queries
+        allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
+        allowed = jnp.take(allow_csr, rows_il, axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
-    return _finalize(db, db_sq_norms, queries, flat_scores, cand, pre_eps,
-                     post_eps, pre_k=pre_k, k=k, measure=measure,
+    return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
+                     pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
                      reorder=reorder, multiplicity=multiplicity)
 
 

@@ -107,6 +107,15 @@ def top_k_unique(
     kp = min(k * max(int(multiplicity), 1), dists.shape[-1])
     vals, pos = top_k_smallest(dists, kp)
     cand = jnp.take_along_axis(ids, pos, axis=-1)
+    return dedup_top_k(vals, cand, k)
+
+
+def dedup_top_k(
+    vals: jnp.ndarray, cand: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep-first-occurrence dedup over an ascending candidate list, then
+    truncate to k. Duplicate and missing slots return (inf, -1)."""
+    kp = cand.shape[-1]
     # dup[i] = some j < i has the same id (ascending order => j is closer)
     eq = cand[..., :, None] == cand[..., None, :]
     lower = jnp.tril(jnp.ones((kp, kp), dtype=bool), k=-1)

@@ -49,7 +49,11 @@ def group_pairs_by_partition(
     selection and leaf scoring.
 
     Returns:
-        grp_part: [NG] int32 partition id per group (0 for unused groups).
+        grp_part: [NG] int32 partition id per group, **-1 for unused
+            groups** — callers must zero those groups' sizes so the kernel
+            skips their DMA and compute entirely (an early version scored
+            partition 0's codes for every unused group: ~44% wasted grid
+            steps at B=1024, p=10, 3.8k partitions).
         slot: [B*p] int32 row of each pair in the [NG*q_cap] grouped layout.
         NG: static group-count upper bound,
             min(T, B·p) + ceil(B·p / q_cap) — each distinct partition can
@@ -71,7 +75,7 @@ def group_pairs_by_partition(
     grp_id = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
     slot_sorted = grp_id * q_cap + rank % q_cap
     slot = jnp.zeros((bp,), jnp.int32).at[order].set(slot_sorted)
-    grp_part = jnp.zeros((ng,), jnp.int32).at[grp_id].set(sp)
+    grp_part = jnp.full((ng,), -1, jnp.int32).at[grp_id].set(sp)
     return grp_part, slot, ng
 
 
@@ -121,7 +125,11 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
                          preferred_element_type=jnp.float32)    # [q_cap, Lt]
         col = lt * l_tile + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 1)
-        out_ref[0] = jnp.where(col < size, scores, MASKED_DISTANCE)
+        # bf16 output: these are PQ-approximate pre-rank scores (error
+        # already >> bf16 ulp) and the [NG*q_cap, l_cap] buffer dominates
+        # the kernel's HBM writes
+        out_ref[0] = jnp.where(col < size, scores,
+                               MASKED_DISTANCE).astype(out_ref.dtype)
 
     @pl.when(~active)
     def _():
@@ -139,7 +147,7 @@ def tree_ah_grouped_scores_pallas(
     *, l_cap: int, l_tile: int = 256, q_cap: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[NG*q_cap, l_cap] f32 scores (MASKED_DISTANCE beyond each size).
+    """[NG*q_cap, l_cap] bf16 scores (MASKED_DISTANCE beyond each size).
 
     Rows of unused group slots contain garbage — callers gather rows back
     through the pair->slot map, which only references real pairs.
@@ -174,7 +182,7 @@ def tree_ah_grouped_scores_pallas(
     out = pl.pallas_call(
         functools.partial(_kernel, num_codes=c, l_tile=l_tile,
                           n_ltiles=n_ltiles, ng=ng),
-        out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), jnp.bfloat16),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ng * q_cap * sc * l_cap,

@@ -112,3 +112,54 @@ def test_block_sweep_odd_batch_and_single_query(rng):
     assert idx.shape == (3, 2)
     res = s.search(db[7], 1)
     assert res.indices()[0] == 7
+
+
+def test_block_min2_matches_exhaustive(rng):
+    """Top-2 tournament kernel: (v1,l1,v2,l2) vs a numpy partial sort."""
+    from scann_tpu.ops.sweep_pallas import block_min2_sweep_pallas
+
+    n, d, b, r, tile_n = 512, 16, 16, 8, 128
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    aug = jnp.asarray(build_augmented_db(db, n, DistanceMeasure.SQUARED_L2,
+                                         tile_n=tile_n))
+    q_aug = _augment_queries(jnp.asarray(q), DistanceMeasure.SQUARED_L2,
+                             aug.shape[1])
+    v1, l1, v2, l2 = block_min2_sweep_pallas(q_aug, aug, tile_n=tile_n, r=r,
+                                             interpret=True)
+    scores = np.asarray(jnp.dot(aug.astype(jnp.float32),
+                                q_aug.astype(jnp.float32).T))
+    s3 = scores.reshape(-1, r, b)
+    order = np.argsort(s3, axis=1, kind="stable")
+    want1 = np.take_along_axis(s3, order[:, :1], axis=1)[:, 0]
+    want2 = np.take_along_axis(s3, order[:, 1:2], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(v1), want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), want2, rtol=1e-5, atol=1e-5)
+    # locations achieve their values and differ
+    got1 = np.take_along_axis(s3, np.asarray(l1)[:, None, :], axis=1)[:, 0]
+    got2 = np.take_along_axis(s3, np.asarray(l2)[:, None, :], axis=1)[:, 0]
+    np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(l1) != np.asarray(l2))
+
+
+def test_block_sweep_top2_beats_collision_ceiling(rng):
+    """With few blocks, same-block GT pairs are common; top2 recovers them."""
+    n, d, b, k = 2048, 16, 32, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = db[rng.integers(0, n, size=b)] + 0.05 * rng.normal(
+        size=(b, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, k)
+
+    kw = dict(pre_reorder_k=n // 32, block_r=32, tile_n=256)
+    r1 = BlockSweepSearcher(ds, BlockSweepConfig(**kw))
+    r2 = BlockSweepSearcher(ds, BlockSweepConfig(top2=True, **kw))
+
+    def recall(s):
+        idx, _ = s.search_batched_arrays(q, k)
+        return np.mean([len(set(a) & set(g)) / k for a, g in zip(idx, gt)])
+
+    rec1, rec2 = recall(r1), recall(r2)
+    assert rec2 >= rec1
+    assert rec2 >= 0.97, (rec1, rec2)

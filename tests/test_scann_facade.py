@@ -98,6 +98,31 @@ def test_harness_tree_ah_end_to_end():
     assert report.index_device_bytes is not None
 
 
+def test_harness_block_sweep_end_to_end():
+    # pre_k covers every 32-point block, so the only recall loss is
+    # same-block collisions (one candidate per block survives the sweep)
+    args = make_parser().parse_args(
+        ["--algorithm", "block-sweep", "--reorder", "100",
+         "--batch-size", "20"])
+    data = generate_synthetic_dataset(3000, 20, 16, 10, 42)
+    report = run_benchmark("block-sweep", data, args)
+    assert report.recall_at_k >= 0.9
+    assert report.qps > 0
+
+
+def test_block_sweep_facade_mode(small_db):
+    cfg = ScannConfig(num_neighbors=5).with_brute_force()
+    cfg.brute_force.with_block_sweep(pre_k=64)
+    s = Scann(DenseDataset(small_db), cfg)
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+
+    assert isinstance(s.impl, BlockSweepSearcher)
+    idx, dist = s.search_batched_arrays(small_db[:4], 5)
+    assert idx.shape == (4, 5)
+    # each query's own row must be its nearest neighbor
+    assert all(idx[i, 0] == i for i in range(4))
+
+
 def test_harness_json_round_trip(tmp_path):
     import json
     data = generate_synthetic_dataset(100, 5, 4, 3, 1)
