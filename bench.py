@@ -167,6 +167,7 @@ def _run_glove_scale(log):
             f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
     _run_block_sweep(log, ds, q_np, gt, N)
+    _run_tree_ah(log, ds, q_all, q_np, gt)
 
 
 def _run_block_sweep(log, ds, q_np, gt, n):
@@ -206,6 +207,69 @@ def _run_block_sweep(log, ds, q_np, gt, n):
         dt = scan_time(make_scan, iters=16, rounds=3)
         log(f"glove-scale 1.18Mx100d block-sweep+rerank B={b}: "
             f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+
+
+def _run_tree_ah(log, ds, q_all, q_np, gt):
+    """Tree-×-AH full pipeline (grouped-MXU leaf scoring) at 1.18M."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.searcher import SearchParameters
+    from scann_tpu.models.tree_x_hybrid import (
+        TreeXHybridConfig,
+        TreeXHybridSearcher,
+        tree_ah_grouped_kernel,
+    )
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    t0 = time.perf_counter()
+    cfg = TreeXHybridConfig(
+        num_partitions=2000, partitions_to_search=10,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
+            training_sample_size=100_000))
+    s = TreeXHybridSearcher(cfg).build(ds)
+    log(f"tree-AH build: {time.perf_counter()-t0:.1f}s")
+
+    db_d, norms, n_valid = s._device_state()
+    _, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
+    cent = s.partitioner.centers_device()
+    cb = s.codebook.centroids_device()
+
+    for p, pre_k in ((10, 150), (20, 200)):
+        idx, _ = s.search_batched_arrays(
+            q_np[:256], 10,
+            params=SearchParameters(num_leaves_to_search=p,
+                                    pre_reordering_num_neighbors=pre_k))
+        recall = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(idx, gt)])
+        kw = dict(p=p, pre_k=pre_k, k=10, l_cap=l_cap, use_residuals=True,
+                  measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
+                  approx_select_min=cfg.approx_selection_min_partitions,
+                  q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
+        for b in (128, 1024):
+            q_dev = q_all[:b]
+
+            def make_scan(iters):
+                @jax.jit
+                def run(qq, dbx, nx, c, codes, off, sz, pm, cbx):
+                    def body(acc, i):
+                        vals, _ = tree_ah_grouped_kernel(
+                            dbx, nx, c, codes, off, sz, pm, cbx,
+                            qq + acc * 1e-20 + i * 1e-6,
+                            jnp.int32(n_valid), None,
+                            jnp.float32(np.inf), jnp.float32(np.inf), **kw)
+                        return acc + jnp.where(
+                            jnp.isfinite(vals), vals, 0.0).sum(), None
+                    acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                          jnp.arange(iters, dtype=jnp.float32))
+                    return acc
+                return lambda: run(q_dev, db_d, norms, cent, codes_csr,
+                                   csr_offsets, part_sizes, perm, cb)
+
+            dt = scan_time(make_scan, iters=8, rounds=3)
+            log(f"glove-scale 1.18Mx100d tree-AH p={p} pre_k={pre_k} B={b}: "
+                f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
 
 if __name__ == "__main__":

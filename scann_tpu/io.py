@@ -116,6 +116,17 @@ def _serialize(searcher):
              "hash_config": dataclasses.asdict(searcher.config.hash_config),
              "measure": searcher.config.distance_measure.value},
         )
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+
+    if isinstance(searcher, BlockSweepSearcher):
+        cfg = searcher._config
+        return (
+            {"data": searcher.dataset.numpy()},
+            {"kind": "block_sweep", "measure": cfg.distance_measure.value,
+             "pre_reorder_k": cfg.pre_reorder_k, "block_r": cfg.block_r,
+             "tile_n": cfg.tile_n, "max_batch": cfg.max_batch,
+             "top2": cfg.top2},
+        )
     raise ScannError.unimplemented(f"cannot serialize {type(searcher).__name__}")
 
 
@@ -162,6 +173,17 @@ def load_index(path: str):
     if kind == "brute_force":
         return BruteForceSearcher(DenseDataset(arrays["data"]),
                                   DistanceMeasure(meta["measure"]))
+    if kind == "block_sweep":
+        from scann_tpu.models.block_sweep import (
+            BlockSweepConfig,
+            BlockSweepSearcher,
+        )
+
+        return BlockSweepSearcher(DenseDataset(arrays["data"]), BlockSweepConfig(
+            distance_measure=DistanceMeasure(meta["measure"]),
+            pre_reorder_k=int(meta["pre_reorder_k"]),
+            block_r=int(meta["block_r"]), tile_n=int(meta["tile_n"]),
+            max_batch=int(meta["max_batch"]), top2=bool(meta["top2"])))
     if kind == "scalar_quantized":
         if "codes" in arrays:
             quant = ScalarQuantizer(ScalarQuantizerConfig(bits=meta["bits"]))

@@ -134,19 +134,28 @@ def _block_min2_kernel(db_ref, q_ref, v1_ref, l1_ref, v2_ref, l2_ref,
     tn, b = scores.shape
     s3 = scores.reshape(tn // r, r, b)
     iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+
+    def _pairs(x):
+        """[TB, m, b] -> ([TB, m/2, b], [TB, m/2, b]) via contiguous pairs
+        (strided slices lower to unsupported gathers in mosaic; reshape +
+        static index lowers to plain slices)."""
+        tb, m, bb_ = x.shape
+        x4 = x.reshape(tb, m // 2, 2, bb_)
+        return x4[:, :, 0], x4[:, :, 1]
+
     # level 1: adjacent pairs -> (winner, loser)
-    a, bb = s3[:, 0::2], s3[:, 1::2]
-    ia, ib = iota[:, 0::2], iota[:, 1::2]
+    a, bb = _pairs(s3)
+    ia, ib = _pairs(iota)
     ta = a <= bb
     m1, l1 = jnp.where(ta, a, bb), jnp.where(ta, ia, ib)
     m2, l2 = jnp.where(ta, bb, a), jnp.where(ta, ib, ia)
     # higher levels: merge (m1, m2) runs — the two smallest of the union
     # are min(m1a, m1b) and min(loser-of-that, m2a, m2b)
     while m1.shape[1] > 1:
-        m1a, m1b = m1[:, 0::2], m1[:, 1::2]
-        l1a, l1b = l1[:, 0::2], l1[:, 1::2]
-        m2a, m2b = m2[:, 0::2], m2[:, 1::2]
-        l2a, l2b = l2[:, 0::2], l2[:, 1::2]
+        m1a, m1b = _pairs(m1)
+        l1a, l1b = _pairs(l1)
+        m2a, m2b = _pairs(m2)
+        l2a, l2b = _pairs(l2)
         ta = m1a <= m1b
         m1 = jnp.where(ta, m1a, m1b)
         l1 = jnp.where(ta, l1a, l1b)

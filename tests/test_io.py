@@ -111,3 +111,21 @@ def test_partitioned_round_trip_with_spilling(tmp_path, db, rng):
     np.testing.assert_array_equal(
         s.partitioner.tokenization.offsets, s2.partitioner.tokenization.offsets)
     _same_results(s, s2, rng.normal(size=(4, 16)).astype(np.float32))
+
+
+def test_block_sweep_round_trip(tmp_path, rng):
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+
+    db = rng.normal(size=(1024, 16)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=64, block_r=8, tile_n=128, top2=True))
+    p = str(tmp_path / "bs.npz")
+    save_index(p, s)
+    s2 = load_index(p)
+    assert isinstance(s2, BlockSweepSearcher)
+    assert s2._config.top2 and s2._config.block_r == 8
+    q = db[:6]
+    i1, d1 = s.search_batched_arrays(q, 5)
+    i2, d2 = s2.search_batched_arrays(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
