@@ -132,10 +132,17 @@ class Codebook:
 
     # -- encode / decode ----------------------------------------------------
     def encode_dataset(self, data) -> np.ndarray:
-        """[N, D] -> [N, S] uint8 codes."""
+        """[N, D] -> [N, S] uint8 codes. Accepts numpy, DenseDataset, or an
+        already-device jnp array (no host round trip — a 5M x 100d residual
+        tensor is 2GB; downloading it just to re-upload dominated build)."""
         self._check_trained()
-        arr = data.numpy() if hasattr(data, "numpy") else np.asarray(data, np.float32)
-        codes = encode_kernel(jnp.asarray(arr), self.centroids_device())
+        if hasattr(data, "numpy"):
+            arr = jnp.asarray(data.numpy())
+        elif isinstance(data, jnp.ndarray):
+            arr = data.astype(jnp.float32)
+        else:
+            arr = jnp.asarray(np.asarray(data, np.float32))
+        codes = encode_kernel(arr, self.centroids_device())
         return np.asarray(codes).astype(np.uint8)
 
     def encode(self, point: np.ndarray) -> np.ndarray:

@@ -47,6 +47,10 @@ class BlockSweepConfig:
     # (~0.998 recall@10 at 1.18M) for ~2x block-minima writes + re-rank
     # width. The tournament tree needs extra VMEM -> smaller max_batch.
     top2: bool = False
+    # stride-shuffle rows at build so cluster-SORTED datasets (crawl/label
+    # order) keep approx_min_k's uniform-layout assumption; the inverse is
+    # arithmetic, so query-time cost is zero (ops/sweep_pallas.py)
+    shuffle: bool = True
 
 
 class BlockSweepSearcher(Searcher):
@@ -70,6 +74,7 @@ class BlockSweepSearcher(Searcher):
         self._measure = cfg.distance_measure
         self._aug_dev = None
         self._norms_cache = None
+        self._shuffle_inv = 0
 
     # -- metadata -----------------------------------------------------------
     @property
@@ -93,11 +98,19 @@ class BlockSweepSearcher(Searcher):
 
     # -- device state ---------------------------------------------------------
     def _device_state(self):
+        from scann_tpu.ops.sweep_pallas import shuffle_stride_for
+
         db, n = self._dataset.device()
         if self._aug_dev is None or self._norms_cache is None or \
                 self._norms_cache[0] != n:
+            if self._config.shuffle and n > 1:
+                stride = shuffle_stride_for(n)
+                self._shuffle_inv = pow(stride, -1, n)
+            else:
+                stride, self._shuffle_inv = 0, 0
             aug = build_augmented_db(self._dataset.numpy(), n, self._measure,
-                                     tile_n=self._config.tile_n)
+                                     tile_n=self._config.tile_n,
+                                     shuffle_stride=stride)
             self._aug_dev = jnp.asarray(aug)
             self._norms_cache = (n, jax.jit(squared_norms)(db))
         return self._aug_dev, db, self._norms_cache[1], n
@@ -146,6 +159,7 @@ class BlockSweepSearcher(Searcher):
                 pre_k=pre_k, k=k, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 interpret=self._interpret(), top2=cfg.top2,
+                shuffle_inv=self._shuffle_inv,
             )
             out_i.append(np.asarray(idx)[:b])
             out_d.append(np.asarray(dists)[:b])

@@ -353,23 +353,29 @@ class TreeXHybridSearcher(Searcher):
         tk = self.partitioner.tokenization
         row_tokens = np.repeat(
             np.arange(tk.num_partitions, dtype=np.int32), tk.partition_sizes)
+        # per-assignment residuals computed AND kept on device: the dataset
+        # device copy is reused (DenseDataset.device() cache), the [M, D]
+        # residual tensor never visits the host (2GB at 5M x 100d), and the
+        # codebook trains on a device-gathered sample
+        db_dev = dataset.device()[0]
         if cfg.use_residuals:
-            # per-assignment residuals on device — the host CPU may be far
-            # slower than the chip for a [M, D] gather+subtract at scale
-            train_data = np.asarray(jax.jit(
+            train_dev = jax.jit(
                 lambda x, c, pts, t: jnp.take(x, pts, axis=0)
                 - jnp.take(c, t, axis=0)
-            )(jnp.asarray(data), jnp.asarray(self.partitioner.centers),
-              jnp.asarray(tk.point_indices), jnp.asarray(row_tokens)))
+            )(db_dev, jnp.asarray(self.partitioner.centers),
+              jnp.asarray(tk.point_indices), jnp.asarray(row_tokens))
         else:
-            train_data = data[tk.point_indices]
+            train_dev = jax.jit(lambda x, pts: jnp.take(x, pts, axis=0))(
+                db_dev, jnp.asarray(tk.point_indices))
 
         hc = cfg.hash_config
-        m = len(train_data)
-        sample = train_data
+        m = train_dev.shape[0]
         if hc.training_sample_size < m:
             rng = np.random.default_rng(hc.seed if hc.seed is not None else 42)
-            sample = train_data[rng.choice(m, hc.training_sample_size, replace=False)]
+            sel = rng.choice(m, hc.training_sample_size, replace=False)
+            sample = np.asarray(jnp.take(train_dev, jnp.asarray(sel), axis=0))
+        else:
+            sample = np.asarray(train_dev)
 
         self.codebook = Codebook(CodebookConfig(
             num_codes=hc.num_codes,
@@ -378,7 +384,7 @@ class TreeXHybridSearcher(Searcher):
             seed=hc.seed,
         )).train(sample)
 
-        self.codes = self.codebook.encode_dataset(train_data)
+        self.codes = self.codebook.encode_dataset(train_dev)
         self._norms_cache = None
         self._csr_cache = None
         return self

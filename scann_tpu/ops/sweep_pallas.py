@@ -64,26 +64,56 @@ def augmented_dim(d: int) -> int:
     return align_up(d + 1, 8)
 
 
+def shuffle_stride_for(n: int) -> int:
+    """A multiplicative stride coprime with n, near the golden ratio of n —
+    the seedless analog of a random row shuffle. ``i -> (i * s) % n`` spreads
+    any cluster-sorted input across the whole array so block minima satisfy
+    lax.approx_min_k's uniform-layout assumption, and the inverse is pure
+    arithmetic (``pow(s, -1, n)``) — candidate ids translate for free."""
+    import math
+
+    s = max(int(0.6180339887 * n) | 1, 1)
+    while math.gcd(s, n) != 1:
+        s += 2
+    return s
+
+
 def build_augmented_db(db: np.ndarray, n_valid: int, measure: DistanceMeasure,
-                       tile_n: int = 2048) -> np.ndarray:
+                       tile_n: int = 2048,
+                       shuffle_stride: int = 0) -> np.ndarray:
     """[N_pad, D1] bf16 augmented rows (built once at index time).
 
     The norm slot holds ||x||^2 for SQUARED_L2, 0 for DOT_PRODUCT/COSINE
     (cosine rows are L2-normalized here so the sweep scores -cos similarity),
     and BLOCK_MASK_VALUE for padded/invalid rows.
+
+    ``shuffle_stride`` > 0 stores row i at permuted position (i*s) % n_valid
+    — see :func:`shuffle_stride_for`. Real-world datasets often arrive
+    cluster-sorted (crawl order, label order); without the shuffle the best
+    blocks for a query cluster in contiguous block-minima columns and the
+    approximate candidate selection degrades (same hazard as the tree-AH
+    partition-major layout, BENCH_NOTES round 2).
     """
     db = np.asarray(db, dtype=np.float32)
     n, d = db.shape
     d1 = augmented_dim(d)
     n_pad = align_up(max(n_valid, 1), tile_n)
     out = np.zeros((n_pad, d1), dtype=np.float32)
+    rows = db
     if measure == DistanceMeasure.COSINE:
         norms = np.sqrt(np.einsum("nd,nd->n", db, db))
-        out[:n, :d] = db / np.maximum(norms, 1e-30)[:, None]
+        rows = db / np.maximum(norms, 1e-30)[:, None]
+    if shuffle_stride:
+        pos = (np.arange(n, dtype=np.int64) * shuffle_stride) % max(n_valid, 1)
+        out[pos[:n_valid], :d] = rows[:n_valid]
     else:
-        out[:n, :d] = db
-        if measure == DistanceMeasure.SQUARED_L2:
-            out[:n, d] = np.einsum("nd,nd->n", db, db)
+        out[:n, :d] = rows
+    if measure == DistanceMeasure.SQUARED_L2:
+        sq = np.einsum("nd,nd->n", db, db)
+        if shuffle_stride:
+            out[pos[:n_valid], d] = sq[:n_valid]
+        else:
+            out[:n, d] = sq
     out[n_valid:, d] = BLOCK_MASK_VALUE
     return out.astype(jnp.bfloat16)
 
@@ -243,12 +273,13 @@ def block_min2_sweep_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure", "r",
-                                             "tile_n", "interpret", "top2"))
+                                             "tile_n", "interpret", "top2",
+                                             "shuffle_inv"))
 def sweep_search_kernel(
     db_aug, db, db_sq_norms, n_valid, queries,
     pre_eps=jnp.inf, post_eps=jnp.inf, *, pre_k: int, k: int,
     measure: DistanceMeasure, r: int = 32, tile_n: int = 2048,
-    interpret: bool = False, top2: bool = False,
+    interpret: bool = False, top2: bool = False, shuffle_inv: int = 0,
 ):
     """Full pipeline: bf16 block-min sweep -> approx top-pre_k over block
     minima -> exact f32 re-rank -> top-k. One device program.
@@ -279,6 +310,12 @@ def sweep_search_kernel(
         pv, blk = approx_top_k_smallest(vals.T, pre_k)   # [B, pre_k]
         local = jnp.take_along_axis(locs.T, blk, axis=1)
         cand = blk * r + local                           # global point ids
+
+    if shuffle_inv:
+        # stored positions are (id * stride) % n_valid; invert with pure
+        # arithmetic (out-of-range slots are masked by pre_valid below)
+        nv = jnp.maximum(n_valid, 1).astype(jnp.int64)
+        cand = ((cand.astype(jnp.int64) * shuffle_inv) % nv).astype(jnp.int32)
 
     # approximate distance in the measure's own units for pre_eps
     if measure == DistanceMeasure.SQUARED_L2:

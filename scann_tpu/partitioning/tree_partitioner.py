@@ -102,23 +102,33 @@ class TreePartitioner:
         result = km.fit(train)
         self.centers = result.centers
 
+        # upload the dataset ONCE; every tokenize/balance round reuses the
+        # device copy (re-uploading 2GB per round through a host link
+        # dominated 5M-scale build time). DenseDataset inputs share their
+        # cached device array (also reused later by the searcher).
+        if hasattr(dataset, "device"):
+            padded, n_dev = dataset.device()
+            data_dev = padded if padded.shape[0] == n else padded[:n]
+        else:
+            data_dev = jnp.asarray(data, dtype=jnp.float32)
         if train is data:
             tokens = result.assignments
         else:
-            tokens = self.tokenize(data)
+            tokens = self.tokenize(data_dev)
 
         if cfg.max_partition_size is not None:
-            tokens = self._balance(data, tokens)
+            tokens = self._balance(data, tokens, data_dev=data_dev)
 
         extra = None
         if cfg.spilling:
-            extra = self._spill_pairs(data, tokens, cfg.spilling_threshold)
+            extra = self._spill_pairs(data_dev, tokens, cfg.spilling_threshold)
         self.tokenization = DatabaseTokenization(
             tokens, self.centers.shape[0], extra_pairs=extra)
         self._centers_dev = jnp.asarray(self.centers)
         return self
 
-    def _balance(self, data: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+    def _balance(self, data: np.ndarray, tokens: np.ndarray,
+                 data_dev=None) -> np.ndarray:
         """Split overloaded partitions: add jittered member copies of every
         oversized centroid, pad K to a 256 bucket (stable compiled shapes),
         re-run a few Lloyd iterations, re-tokenize. Repeats up to
@@ -138,7 +148,8 @@ class TreePartitioner:
             cap = max(int(1.5 * n / max(self.centers.shape[0], 1)), 8)
         cap = int(cap)
         rng = np.random.default_rng(cfg.seed)
-        data_dev = jnp.asarray(data, dtype=jnp.float32)
+        if data_dev is None:
+            data_dev = jnp.asarray(data, dtype=jnp.float32)
 
         for _ in range(max(cfg.balance_rounds, 0)):
             sizes = np.bincount(tokens, minlength=self.centers.shape[0])
@@ -165,7 +176,7 @@ class TreePartitioner:
                 c_dev, _ = _lloyd_step(data_dev, c_dev, k=k_pad)
             self.centers = np.asarray(c_dev)
             self._centers_dev = c_dev
-            tokens = self.tokenize(data)
+            tokens = self.tokenize(data_dev)
         # LBG splitting alone may plateau above the cap (measured: max size
         # 1664 vs an 885 cap at 1.18M); hard-enforce by demotion
         return self._enforce_cap(data_dev, tokens, cap)

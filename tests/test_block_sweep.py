@@ -163,3 +163,42 @@ def test_block_sweep_top2_beats_collision_ceiling(rng):
     rec1, rec2 = recall(r1), recall(r2)
     assert rec2 >= rec1
     assert rec2 >= 0.97, (rec1, rec2)
+
+
+def test_shuffle_stride_properties():
+    from scann_tpu.ops.sweep_pallas import shuffle_stride_for
+
+    for n in (2, 7, 1000, 4096, 1_180_000):
+        s = shuffle_stride_for(n)
+        inv = pow(s, -1, n)
+        pos = (np.arange(n, dtype=np.int64) * s) % n
+        assert len(np.unique(pos)) == n  # a permutation
+        back = (pos * inv) % n
+        np.testing.assert_array_equal(back, np.arange(n))
+
+
+def test_block_sweep_shuffle_fixes_sorted_data(rng):
+    """Cluster-sorted input: a query's true neighbors are ADJACENT rows, so
+    without the shuffle they collide in the same r-block and only one
+    survives per block (recall caps well below 1 even with exact selection);
+    the stride shuffle spreads them across blocks and restores recall. Also
+    checks the permuted-position -> id arithmetic translation is exact."""
+    centers = rng.normal(size=(8, 12)).astype(np.float32) * 4
+    db = np.concatenate([c + 0.3 * rng.normal(size=(250, 12)).astype(np.float32)
+                         for c in centers])  # sorted by cluster
+    q = db[rng.integers(0, len(db), size=16)] + 0.01 * rng.normal(
+        size=(16, 12)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 5)
+
+    def recall(shuffle):
+        s = BlockSweepSearcher(ds, BlockSweepConfig(
+            pre_reorder_k=len(db) // 8, block_r=8, tile_n=128,
+            shuffle=shuffle))
+        idx, _ = s.search_batched_arrays(q, 5)
+        assert np.all(idx < len(db))
+        return np.mean([len(set(a) & set(g)) / 5 for a, g in zip(idx, gt)])
+
+    rec_off, rec_on = recall(False), recall(True)
+    assert rec_on >= 0.95, rec_on
+    assert rec_on > rec_off, (rec_on, rec_off)
