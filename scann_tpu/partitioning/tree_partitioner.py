@@ -183,11 +183,18 @@ class TreePartitioner:
 
     def _enforce_cap(self, data_dev, tokens: np.ndarray, cap: int) -> np.ndarray:
         """Demote members of oversized partitions to their next-nearest
-        center, a few rounds, entirely on device. Within a partition the
-        *lowest-regret* members move (smallest distance gap to their next
-        choice — near-boundary points lose the least locality). Points that
-        exhaust ``cap_enforce_choices`` fallbacks stay put, bounding the
-        final max size by cap + stragglers instead of risking livelock."""
+        center, a few rounds. Within a partition the *lowest-regret* members
+        move (smallest distance gap to their next choice — near-boundary
+        points lose the least locality). Points that exhaust
+        ``cap_enforce_choices`` fallbacks stay put, bounding the final max
+        size by cap + stragglers instead of risking livelock.
+
+        The top-r candidate selection is chunked device work (the [N, K]
+        matrix never materializes); the demote loop itself is host numpy —
+        it runs once per build, and its device formulation needed either a
+        multi-million-element scatter or a variadic lexsort, both of which
+        XLA compiles pathologically slowly at 5M+ scale (same class as the
+        kmeans segment_sum pathology, trees/kmeans.py)."""
         cfg = self.config
         r = min(max(cfg.cap_enforce_choices, 1), self.centers.shape[0])
         rounds = max(cfg.cap_enforce_rounds, 0)
@@ -205,40 +212,32 @@ class TreePartitioner:
             d, t = select_partitions_kernel(
                 centers, data_dev[lo : lo + chunk],
                 measure=self.config.distance_measure, p=r)
-            ch_d.append(d)
-            ch_t.append(t)
-        dists = jnp.concatenate(ch_d, axis=0)       # [N, r] ascending
-        choices = jnp.concatenate(ch_t, axis=0)     # [N, r]
+            ch_d.append(np.asarray(d))
+            ch_t.append(np.asarray(t))
+        dists = np.concatenate(ch_d, axis=0)        # [N, r] ascending
+        choices = np.concatenate(ch_t, axis=0)      # [N, r]
 
-        @jax.jit
-        def demote_round(choice_idx, choices, dists):
-            nn = choice_idx.shape[0]
-            cur_t = jnp.take_along_axis(choices, choice_idx[:, None], axis=1)[:, 0]
-            cur_d = jnp.take_along_axis(dists, choice_idx[:, None], axis=1)[:, 0]
-            nxt_i = jnp.minimum(choice_idx + 1, r - 1)
-            nxt_d = jnp.take_along_axis(dists, nxt_i[:, None], axis=1)[:, 0]
-            # keep the cap members that need this partition most (largest
-            # regret if moved); exhausted points sort as unmovable
-            regret = jnp.where(choice_idx < r - 1, nxt_d - cur_d, jnp.inf)
-            order = jnp.lexsort((-regret, cur_t))
-            sorted_t = jnp.take(cur_t, order)
-            idx = jnp.arange(nn, dtype=jnp.int32)
-            newrun = jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), sorted_t[1:] != sorted_t[:-1]])
-            run_start = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(newrun, idx, 0))
-            rank_sorted = idx - run_start
-            rank = jnp.zeros((nn,), jnp.int32).at[order].set(rank_sorted)
-            demote = (rank >= cap) & (choice_idx < r - 1)
-            return jnp.where(demote, choice_idx + 1, choice_idx), demote.any()
-
-        choice_idx = jnp.zeros((data_dev.shape[0],), jnp.int32)
+        nn = len(choices)
+        rows = np.arange(nn)
+        choice_idx = np.zeros(nn, np.int32)
         for _ in range(rounds):
-            choice_idx, changed = demote_round(choice_idx, choices, dists)
-            if not bool(changed):
+            cur_t = choices[rows, choice_idx]
+            cur_d = dists[rows, choice_idx]
+            nxt_d = dists[rows, np.minimum(choice_idx + 1, r - 1)]
+            regret = np.where(choice_idx < r - 1, nxt_d - cur_d, np.inf)
+            order = np.lexsort((-regret, cur_t))
+            sorted_t = cur_t[order]
+            newrun = np.empty(nn, bool)
+            newrun[0] = True
+            np.not_equal(sorted_t[1:], sorted_t[:-1], out=newrun[1:])
+            run_start = np.maximum.accumulate(np.where(newrun, rows, 0))
+            rank = np.empty(nn, np.int64)
+            rank[order] = rows - run_start
+            demote = (rank >= cap) & (choice_idx < r - 1)
+            if not demote.any():
                 break
-        final = jnp.take_along_axis(choices, choice_idx[:, None], axis=1)[:, 0]
-        return np.asarray(final).astype(np.int32)
+            choice_idx = np.where(demote, choice_idx + 1, choice_idx)
+        return choices[rows, choice_idx].astype(np.int32)
 
     def _spill_pairs(self, data: np.ndarray, tokens: np.ndarray,
                      threshold: float, chunk: int = 65536) -> np.ndarray:
