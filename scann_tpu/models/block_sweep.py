@@ -48,8 +48,9 @@ class BlockSweepConfig:
     # width. The tournament tree needs extra VMEM -> smaller max_batch.
     top2: bool = False
     # stride-shuffle rows at build so cluster-SORTED datasets (crawl/label
-    # order) keep approx_min_k's uniform-layout assumption; the inverse is
-    # arithmetic, so query-time cost is zero (ops/sweep_pallas.py)
+    # order) keep approx_min_k's uniform-layout assumption; survivors'
+    # true ids resolve via a small device inverse-table gather
+    # (ops/sweep_pallas.py)
     shuffle: bool = True
 
 
@@ -74,7 +75,7 @@ class BlockSweepSearcher(Searcher):
         self._measure = cfg.distance_measure
         self._aug_dev = None
         self._norms_cache = None
-        self._shuffle_inv = 0
+        self._inv_perm = None
 
     # -- metadata -----------------------------------------------------------
     @property
@@ -105,9 +106,12 @@ class BlockSweepSearcher(Searcher):
                 self._norms_cache[0] != n:
             if self._config.shuffle and n > 1:
                 stride = shuffle_stride_for(n)
-                self._shuffle_inv = pow(stride, -1, n)
+                pos = (np.arange(n, dtype=np.int64) * stride) % n
+                inv = np.empty(n, np.int32)
+                inv[pos] = np.arange(n, dtype=np.int32)
+                self._inv_perm = jnp.asarray(inv)
             else:
-                stride, self._shuffle_inv = 0, 0
+                stride, self._inv_perm = 0, None
             aug = build_augmented_db(self._dataset.numpy(), n, self._measure,
                                      tile_n=self._config.tile_n,
                                      shuffle_stride=stride)
@@ -159,7 +163,7 @@ class BlockSweepSearcher(Searcher):
                 pre_k=pre_k, k=k, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 interpret=self._interpret(), top2=cfg.top2,
-                shuffle_inv=self._shuffle_inv,
+                inv_perm=self._inv_perm,
             )
             out_i.append(np.asarray(idx)[:b])
             out_d.append(np.asarray(dists)[:b])

@@ -68,8 +68,13 @@ def shuffle_stride_for(n: int) -> int:
     """A multiplicative stride coprime with n, near the golden ratio of n —
     the seedless analog of a random row shuffle. ``i -> (i * s) % n`` spreads
     any cluster-sorted input across the whole array so block minima satisfy
-    lax.approx_min_k's uniform-layout assumption, and the inverse is pure
-    arithmetic (``pow(s, -1, n)``) — candidate ids translate for free."""
+    lax.approx_min_k's uniform-layout assumption.
+
+    Candidate ids translate back through a device inverse-permutation table
+    gather on the pre_k survivors only. (NOT via modular arithmetic on
+    device: without x64, int64 silently truncates to int32 and ``pos * s``
+    overflows past ~2^31 — measured as recall collapsing to 0.003 at 1.18M
+    while small-n CPU tests stayed green.)"""
     import math
 
     s = max(int(0.6180339887 * n) | 1, 1)
@@ -273,13 +278,12 @@ def block_min2_sweep_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure", "r",
-                                             "tile_n", "interpret", "top2",
-                                             "shuffle_inv"))
+                                             "tile_n", "interpret", "top2"))
 def sweep_search_kernel(
     db_aug, db, db_sq_norms, n_valid, queries,
-    pre_eps=jnp.inf, post_eps=jnp.inf, *, pre_k: int, k: int,
+    pre_eps=jnp.inf, post_eps=jnp.inf, inv_perm=None, *, pre_k: int, k: int,
     measure: DistanceMeasure, r: int = 32, tile_n: int = 2048,
-    interpret: bool = False, top2: bool = False, shuffle_inv: int = 0,
+    interpret: bool = False, top2: bool = False,
 ):
     """Full pipeline: bf16 block-min sweep -> approx top-pre_k over block
     minima -> exact f32 re-rank -> top-k. One device program.
@@ -311,11 +315,13 @@ def sweep_search_kernel(
         local = jnp.take_along_axis(locs.T, blk, axis=1)
         cand = blk * r + local                           # global point ids
 
-    if shuffle_inv:
-        # stored positions are (id * stride) % n_valid; invert with pure
-        # arithmetic (out-of-range slots are masked by pre_valid below)
-        nv = jnp.maximum(n_valid, 1).astype(jnp.int64)
-        cand = ((cand.astype(jnp.int64) * shuffle_inv) % nv).astype(jnp.int32)
+    if inv_perm is not None:
+        # stored positions are (id * stride) % n_valid; resolve true ids via
+        # the inverse-permutation table — a [B, pre_k]-sized gather from a
+        # few-MB array, ~1% of the rerank row gather's traffic.
+        # (Out-of-range slots are masked by pre_valid below.)
+        cand = jnp.take(inv_perm, jnp.clip(cand, 0, inv_perm.shape[0] - 1),
+                        axis=0)
 
     # approximate distance in the measure's own units for pre_eps
     if measure == DistanceMeasure.SQUARED_L2:

@@ -202,3 +202,19 @@ def test_block_sweep_shuffle_fixes_sorted_data(rng):
     rec_off, rec_on = recall(False), recall(True)
     assert rec_on >= 0.95, rec_on
     assert rec_on > rec_off, (rec_on, rec_off)
+
+
+def test_block_sweep_shuffle_id_translation_full_range(rng):
+    """Self-queries across the whole id range: every translated id must be
+    exact. (Regression: a modular-arithmetic device translation silently
+    overflowed int32 at large n — small-n tests stayed green while 1.18M
+    recall collapsed to ~0.003.)"""
+    n, d = 16384, 8
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=64, block_r=8, tile_n=512, shuffle=True))
+    sel = np.concatenate([np.arange(5), n // 2 + np.arange(5),
+                          n - 5 + np.arange(5)])
+    idx, dist = s.search_batched_arrays(db[sel], 1)
+    np.testing.assert_array_equal(idx[:, 0], sel)
+    np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-3)
