@@ -334,6 +334,18 @@ class TreeXHybridSearcher(Searcher):
         if dataset.is_empty:
             raise ScannError.invalid_argument("Cannot build from empty dataset")
         cfg = self.config
+        if cfg.distance_measure == DistanceMeasure.COSINE:
+            # L2-normalize at build so the L2-based partition selection,
+            # residual PQ, and leaf scores all rank identically to cosine
+            # (cos(q, x) is invariant to the normalization; unnormalized
+            # data measured recall@10 0.24 — candidate generation ranked by
+            # a different metric than the rerank). Queries normalize at
+            # search time symmetrically.
+            raw = dataset.numpy()
+            norms = np.sqrt(np.einsum("nd,nd->n", raw, raw))
+            dataset = DenseDataset(
+                (raw / np.maximum(norms, 1e-30)[:, None]).astype(np.float32),
+                docids=dataset.docids)
         self._dataset = dataset
         data = dataset.numpy()
         n = len(data)
@@ -462,6 +474,11 @@ class TreeXHybridSearcher(Searcher):
         self._check_built()
         queries = self._validate_queries(queries)
         cfg = self.config
+        if cfg.distance_measure == DistanceMeasure.COSINE:
+            # symmetric to the build-time normalization: L2 partition
+            # selection and residual LUTs then rank identically to cosine
+            qn = np.sqrt(np.einsum("bd,bd->b", queries, queries))
+            queries = queries / np.maximum(qn, 1e-30)[:, None]
         n = self.dataset_size()
         k = min(int(k), n)
         if k <= 0:

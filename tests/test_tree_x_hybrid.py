@@ -184,3 +184,36 @@ def test_epsilon_thresholds(hybrid_setup):
         q, 10, SearchParameters(pre_reordering_num_neighbors=120,
                                 pre_reordering_epsilon=-1.0))
     assert (idx3 == -1).all()
+
+
+def test_tree_ah_cosine_normalized_pipeline(rng):
+    """Cosine tree-AH: the build L2-normalizes rows and search normalizes
+    queries, so partition selection and residual-PQ scores rank identically
+    to cosine (regression: unnormalized candidate generation measured
+    recall@10 0.24 on out-of-cluster queries)."""
+    from scann_tpu.models.searcher import SearchParameters
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    centers = rng.normal(size=(20, 24)).astype(np.float32) * 3
+    db = np.concatenate(
+        [c + rng.normal(size=(200, 24)).astype(np.float32) for c in centers])
+    rng.shuffle(db)
+    q = rng.normal(size=(24, 24)).astype(np.float32) * 2
+    ds = DenseDataset(db)
+    gt, gtd = BruteForceSearcher(
+        ds, DistanceMeasure.COSINE).search_batched_arrays(q, 10)
+
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=12,
+        distance_measure=DistanceMeasure.COSINE,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=8, seed=0, max_iterations=8),
+    )).build(ds)
+    idx, dist = s.search_batched_arrays(
+        q, 10, params=SearchParameters(pre_reordering_num_neighbors=200))
+    recall = np.mean([len(set(a) & set(g)) / 10
+                      for a, g in zip(np.asarray(idx), np.asarray(gt))])
+    assert recall >= 0.9, recall
+    hit = np.asarray(idx) == np.asarray(gt)
+    np.testing.assert_allclose(np.asarray(dist)[hit], np.asarray(gtd)[hit],
+                               rtol=1e-4, atol=1e-4)
