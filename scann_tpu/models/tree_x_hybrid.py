@@ -87,9 +87,12 @@ class TreeXHybridConfig:
     partition_num_levels: int = 1
     partition_training_sample_size: Optional[int] = None
     # grouped-kernel shape knobs: queries per group row-block and the code
-    # L-tile (tiles past a partition's size skip DMA + matmul entirely)
-    group_q_cap: int = 32
-    score_l_tile: int = 256
+    # L-tile (tiles past a partition's size skip DMA + matmul entirely).
+    # Swept at 1.18M, B=1024: q_cap 8 / l_tile 512 beat 32/256 by ~13%
+    # (most partitions hold only a few pairs, so small q_cap wastes fewer
+    # padded LUT rows; bigger L-tiles amortize grid/DMA overhead)
+    group_q_cap: int = 8
+    score_l_tile: int = 512
     # approximate top-p centroid selection (lax.approx_min_k) once the
     # centroid count makes the sort-based exact top-k the bottleneck
     approx_selection_min_partitions: int = 1024
