@@ -252,12 +252,22 @@ def tree_ah_search_grouped(
     *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
     approx_select_min: int = 1024, q_cap: int = 32, l_tile: int = 256,
-    interpret: bool = False,
+    interpret: bool = False, int8_luts: bool = False,
 ):
     """TPU fast path: grouped MXU leaf scoring (ops/tree_ah_grouped.py).
 
     codes_csr: [S_pad, N_csr] uint8 — the transposed CSR slab (candidates on
     the lane dimension for the in-kernel DMA).
+
+    int8_luts: quantize the per-pair LUTs to u8-biased int8 with one global
+    (lo, scale) per batch (reference analog: lut16_simd.rs:39-141's
+    bias/multiplier tables). The i16 scores map back to real distance units
+    by a single affine, so epsilon semantics are preserved; ranking inside
+    the quantization grid loses < one LUT step, recovered by the exact
+    re-rank. Halves LUT gather traffic and VMEM — but measured 5-10% SLOWER
+    end-to-end at s_pad=64 (the quantize min/max passes and i16->f32 affine
+    outweigh the int8-MXU gain), so it is off by default; turn on when LUT
+    VMEM is the binding constraint (large S*C or q_cap).
     """
     b, d = queries.shape
     parts = _select_partitions(centers, queries, p=p,
@@ -276,10 +286,20 @@ def tree_ah_search_grouped(
     grp_size = jnp.where(grp_part >= 0, jnp.take(part_sizes, grp_safe), 0)
     pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
         jnp.arange(b * p, dtype=jnp.int32))
-    # bf16 before the grouped gather: the kernel contracts in bf16 anyway,
-    # casting first halves the gather's HBM traffic
-    luts_grouped = jnp.take(luts_flat.astype(jnp.bfloat16), pair_of_slot,
-                            axis=0)
+    if int8_luts:
+        # global per-batch affine: lut_i8 = round((lut - lo)/scale) - 128.
+        # score_real = scale*(score_i16 + 128*s_pad) + s_pad*lo — the pad
+        # subspaces' zero rows quantize to a constant that the affine
+        # absorbs, so real units (and epsilon thresholds) survive exactly
+        lo = jnp.min(luts_flat)
+        scale = jnp.maximum(jnp.max(luts_flat) - lo, 1e-6) / 255.0
+        luts_q = jnp.clip(jnp.round((luts_flat - lo) / scale), 0, 255)
+        luts_cast = (luts_q - 128.0).astype(jnp.int8)
+    else:
+        # bf16 before the grouped gather: the kernel contracts in bf16
+        # anyway, casting first halves the gather's HBM traffic
+        luts_cast = luts_flat.astype(jnp.bfloat16)
+    luts_grouped = jnp.take(luts_cast, pair_of_slot, axis=0)
 
     scores_g = tree_ah_grouped_scores_pallas(
         luts_grouped, codes_csr, grp_off, grp_size,
@@ -292,6 +312,13 @@ def tree_ah_search_grouped(
     # transpose is free relative to leaf scoring and restores the guarantee.
     flat_scores = jnp.take(scores_g, slot, axis=0).reshape(
         b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
+    if int8_luts:
+        from scann_tpu.ops.tree_ah_grouped import I16_MASK
+
+        real = scale * (flat_scores.astype(jnp.float32) + 128.0 * s_pad) \
+            + s_pad * lo
+        flat_scores = jnp.where(flat_scores == I16_MASK, MASKED_DISTANCE,
+                                real)
 
     offs = jnp.take(csr_offsets, parts, axis=0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
@@ -313,7 +340,7 @@ tree_ah_grouped_kernel = jax.jit(
     tree_ah_search_grouped,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
                      "reorder", "multiplicity", "approx_select_min", "q_cap",
-                     "l_tile", "interpret"),
+                     "l_tile", "interpret", "int8_luts"),
 )
 
 

@@ -37,6 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.types import MASKED_DISTANCE
 
+# int16 sentinel for masked slots on the int8-LUT path: real scores are
+# bounded by s_pad * 255 (asserted < 32767 in the wrapper)
+I16_MASK = 32767
+
 
 def group_pairs_by_partition(
     parts: jnp.ndarray, num_partitions: int, q_cap: int
@@ -111,6 +115,9 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
     def _():
         dma_for(ng_next, lt_next, next_slot).start()
 
+    int8_path = luts_ref.dtype == jnp.int8
+    masked = I16_MASK if int8_path else MASKED_DISTANCE
+
     @pl.when(active)
     def _():
         dma_for(g, lt, slot).wait()
@@ -118,23 +125,29 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
         codes = scratch[slot].astype(jnp.int32)                 # [S_pad, Lt]
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (s_pad, num_codes, l_tile), 1)
-        onehot = (codes[:, None, :] == iota_c).astype(jnp.bfloat16)
-        onehot = onehot.reshape(s_pad * num_codes, l_tile)
-        # the MXU contraction: q_cap LUT rows against this tile's one-hots
-        scores = jnp.dot(luts_ref[0], onehot,
-                         preferred_element_type=jnp.float32)    # [q_cap, Lt]
+        if int8_path:
+            # int8 MXU contraction: LUT bytes are quantized (lut-lo)/scale
+            # - 128; the i32 result maps back to real units by one affine
+            # (see tree_x_hybrid._finalize caller) — rank-exact either way
+            onehot = (codes[:, None, :] == iota_c).astype(jnp.int8)
+            onehot = onehot.reshape(s_pad * num_codes, l_tile)
+            scores = jnp.dot(luts_ref[0], onehot,
+                             preferred_element_type=jnp.int32)
+        else:
+            onehot = (codes[:, None, :] == iota_c).astype(jnp.bfloat16)
+            onehot = onehot.reshape(s_pad * num_codes, l_tile)
+            scores = jnp.dot(luts_ref[0], onehot,
+                             preferred_element_type=jnp.float32)
         col = lt * l_tile + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 1)
-        # bf16 output: these are PQ-approximate pre-rank scores (error
-        # already >> bf16 ulp) and the [NG*q_cap, l_cap] buffer dominates
-        # the kernel's HBM writes
+        # narrow output (i16 / bf16): these are PQ-approximate pre-rank
+        # scores and the [NG*q_cap, l_cap] buffer dominates HBM writes
         out_ref[0] = jnp.where(col < size, scores,
-                               MASKED_DISTANCE).astype(out_ref.dtype)
+                               masked).astype(out_ref.dtype)
 
     @pl.when(~active)
     def _():
-        out_ref[0] = jnp.full(out_ref.shape[1:], MASKED_DISTANCE,
-                              out_ref.dtype)
+        out_ref[0] = jnp.full(out_ref.shape[1:], masked, out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -147,10 +160,13 @@ def tree_ah_grouped_scores_pallas(
     *, l_cap: int, l_tile: int = 256, q_cap: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[NG*q_cap, l_cap] bf16 scores (MASKED_DISTANCE beyond each size).
+    """[NG*q_cap, l_cap] scores (masked beyond each size).
 
-    Rows of unused group slots contain garbage — callers gather rows back
-    through the pair->slot map, which only references real pairs.
+    int8 LUT input -> int16 scores (I16_MASK sentinel for masked slots,
+    real scores bounded by s_pad*255); float input -> bf16 scores with
+    MASKED_DISTANCE. Rows of unused group slots contain garbage — callers
+    gather rows back through the pair->slot map, which only references
+    real pairs.
     """
     ngq, sc = luts_grouped.shape
     s_pad = codes_csr.shape[0]
@@ -161,7 +177,16 @@ def tree_ah_grouped_scores_pallas(
     assert l_cap % l_tile == 0, (l_cap, l_tile)
     n_ltiles = l_cap // l_tile
 
-    luts3 = luts_grouped.reshape(ng, q_cap, sc).astype(jnp.bfloat16)
+    int8_path = luts_grouped.dtype == jnp.int8
+    if int8_path:
+        assert s_pad * 255 < I16_MASK, s_pad
+        luts3 = luts_grouped.reshape(ng, q_cap, sc)
+        out_dtype = jnp.int16
+        lut_bytes = 1
+    else:
+        luts3 = luts_grouped.reshape(ng, q_cap, sc).astype(jnp.bfloat16)
+        out_dtype = jnp.bfloat16
+        lut_bytes = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -182,12 +207,12 @@ def tree_ah_grouped_scores_pallas(
     out = pl.pallas_call(
         functools.partial(_kernel, num_codes=c, l_tile=l_tile,
                           n_ltiles=n_ltiles, ng=ng),
-        out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), out_dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ng * q_cap * sc * l_cap,
-            bytes_accessed=ng * (s_pad * l_cap + q_cap * sc * 2
-                                 + q_cap * l_cap * 4),
+            bytes_accessed=ng * (s_pad * l_cap + q_cap * sc * lut_bytes
+                                 + q_cap * l_cap * 2),
             transcendentals=0,
         ),
         interpret=interpret,

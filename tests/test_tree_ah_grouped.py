@@ -84,3 +84,94 @@ def test_kernel_matches_naive(rng, q_cap, l_tile):
     # bf16 LUT rows in the MXU contraction: per-term error ~2^-8 accumulated
     # over s_pad subspaces bounds abs error, rel error unbounded near 0
     np.testing.assert_allclose(got[mask], want[mask], rtol=2e-2, atol=0.1)
+
+
+def test_kernel_int8_luts_matches_float(rng):
+    """int8-LUT path: i16 scores map back to real units by the documented
+    affine; must match the float-LUT kernel within one quantization step
+    per subspace."""
+    b, p, t = 6, 3, 5
+    s_pad, c = 32, 16
+    q_cap, l_tile = 4, 128
+    l_cap = 2 * l_tile
+    sizes_np = rng.integers(1, l_cap + 1, size=t).astype(np.int32)
+    aligned = np.zeros(t + 1, np.int64)
+    aligned[1:] = np.cumsum(((sizes_np + 127) // 128) * 128)
+    n_csr = int(aligned[-1]) + l_cap
+    codes_np = rng.integers(0, c, size=(s_pad, n_csr)).astype(np.uint8)
+    parts = rng.integers(0, t, size=(b, p)).astype(np.int32)
+    luts_np = rng.normal(size=(b * p, s_pad * c)).astype(np.float32) * 3
+
+    grp_part, slot, ng = group_pairs_by_partition(jnp.asarray(parts), t, q_cap)
+    grp_safe = jnp.maximum(grp_part, 0)
+    grp_off = jnp.take(jnp.asarray(aligned[:-1].astype(np.int32)), grp_safe)
+    grp_size = jnp.where(grp_part >= 0,
+                         jnp.take(jnp.asarray(sizes_np), grp_safe), 0)
+    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
+        jnp.arange(b * p, dtype=jnp.int32))
+
+    # float reference
+    lg_f = jnp.take(jnp.asarray(luts_np), pair_of_slot, axis=0)
+    want = np.asarray(jnp.take(tree_ah_grouped_scores_pallas(
+        lg_f, jnp.asarray(codes_np), grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=True),
+        jnp.asarray(slot), axis=0)).astype(np.float32)
+
+    # int8 path + affine recovery
+    lo = luts_np.min()
+    scale = max(luts_np.max() - lo, 1e-6) / 255.0
+    luts_i8 = (np.clip(np.round((luts_np - lo) / scale), 0, 255)
+               - 128).astype(np.int8)
+    lg_q = jnp.take(jnp.asarray(luts_i8), pair_of_slot, axis=0)
+    from scann_tpu.ops.tree_ah_grouped import I16_MASK
+
+    raw = np.asarray(jnp.take(tree_ah_grouped_scores_pallas(
+        lg_q, jnp.asarray(codes_np), grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=True),
+        jnp.asarray(slot), axis=0))
+    got = scale * (raw.astype(np.float32) + 128.0 * s_pad) + s_pad * lo
+
+    mask = want < MASKED_DISTANCE / 2
+    assert np.array_equal(mask, raw != I16_MASK)
+    np.testing.assert_allclose(got[mask], want[mask],
+                               atol=scale * s_pad + 0.2, rtol=0.05)
+
+
+def test_search_grouped_int8_end_to_end(rng):
+    """Full grouped pipeline (interpret) with int8 LUTs vs exact GT."""
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.tree_x_hybrid import (
+        TreeXHybridConfig, TreeXHybridSearcher, tree_ah_search_grouped)
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    centers = rng.normal(size=(12, 16)).astype(np.float32) * 3
+    db = np.concatenate(
+        [c + rng.normal(size=(120, 16)).astype(np.float32) for c in centers])
+    rng.shuffle(db)
+    q = db[rng.integers(0, len(db), size=16)] + 0.05 * rng.normal(
+        size=(16, 16)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=4, seed=0, max_iterations=6),
+    )).build(ds)
+    db_d, norms, n_valid = s._device_state()
+    _, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
+    import jax
+
+    dists, idx = tree_ah_search_grouped(
+        db_d, norms, s.partitioner.centers_device(), codes_csr, csr_offsets,
+        part_sizes, perm, s.codebook.centroids_device(), jnp.asarray(q),
+        jnp.int32(n_valid), None, jnp.float32(np.inf), jnp.float32(np.inf),
+        p=8, pre_k=100, k=10, l_cap=l_cap, use_residuals=True,
+        measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
+        approx_select_min=10**9, q_cap=4, l_tile=128, interpret=True,
+        int8_luts=True)
+    recall = np.mean([len(set(a) & set(g)) / 10
+                      for a, g in zip(np.asarray(idx), np.asarray(gt))])
+    assert recall >= 0.9, recall
