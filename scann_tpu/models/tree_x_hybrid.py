@@ -115,29 +115,59 @@ class TreeXHybridConfig:
 # ---------------------------------------------------------------------------
 
 
-def _select_partitions(centers, queries, *, p: int, approx_min: int):
-    """Top-p nearest centroids. Sort-based exact selection over thousands of
-    centroids costs more than the leaf scoring it feeds (measured 3.5 ms at
-    [128, 3840]); approx_min_k does the same candidate selection in sub-ms
-    and a missed 20th-best partition is recovered by the re-rank."""
-    cd = many_to_many(DistanceMeasure.SQUARED_L2, queries, centers)
+_MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
+
+
+def _select_partitions(centers, queries, *, p: int, approx_min: int,
+                       measure: DistanceMeasure = DistanceMeasure.SQUARED_L2):
+    """Top-p centroids by the searcher's measure: L2-nearest for metric
+    searches, largest dot for MIPS (many_to_many returns -dot as the
+    distance, so smallest-k is correct either way). Sort-based exact
+    selection over thousands of centroids costs more than the leaf scoring
+    it feeds (measured 3.5 ms at [128, 3840]); approx_min_k does the same
+    candidate selection in sub-ms and a missed 20th-best partition is
+    recovered by the re-rank."""
+    sel_measure = measure if measure in _MIPS else DistanceMeasure.SQUARED_L2
+    cd = many_to_many(sel_measure, queries, centers)
     if centers.shape[0] >= approx_min and p < centers.shape[0]:
         return approx_top_k_smallest(cd, p)[1]
     return top_k_smallest(cd, p)[1]
 
 
 def _residual_luts(queries, centers, parts, codebook, *, s_pad: int,
-                   use_residuals: bool):
+                   use_residuals: bool,
+                   measure: DistanceMeasure = DistanceMeasure.SQUARED_L2):
     """Per-(query, partition) LUTs, flattened to [B*p, s_pad*C] with zero
-    rows for pad subspaces (pad code 0 then contributes nothing)."""
+    rows for pad subspaces (pad code 0 then contributes nothing).
+
+    L2 (and cosine after upstream normalization): residual-query L2 tables,
+    so Σ_s lut[s][code_s] = ||q - (c_t + r̂)||² exactly.
+    MIPS: tables hold -dot(q_s, codebook[s][c]); with residual codes the
+    per-partition constant -dot(q, c_t) is folded into subspace 0's row so
+    Σ_s lut = -dot(q, c_t + r̂) and scores stay comparable ACROSS
+    partitions (the reference builds L2 tables unconditionally, lut.rs:
+    47-70 — its tree-AH under dot product returns unrelated points)."""
     b, d = queries.shape
     p = parts.shape[1]
-    if use_residuals:
-        sel = jnp.take(centers, parts, axis=0)          # [B, p, D]
-        q_eff = queries[:, None, :] - sel
+    if measure in _MIPS:
+        s, c, dsub = codebook.shape
+        qs = queries.reshape(b, s, dsub)
+        luts = -jnp.einsum("bsd,scd->bsc", qs, codebook,
+                           precision=jax.lax.Precision.HIGHEST)  # [B, S, C]
+        luts = jnp.broadcast_to(luts[:, None], (b, p, s, c))
+        if use_residuals:
+            sel = jnp.take(centers, parts, axis=0)               # [B, p, D]
+            bias = -jnp.einsum("bd,bpd->bp", queries, sel,
+                               precision=jax.lax.Precision.HIGHEST)
+            luts = luts.at[:, :, 0, :].add(bias[:, :, None])
+        luts = luts.reshape(b * p, s, c)
     else:
-        q_eff = jnp.broadcast_to(queries[:, None, :], (b, p, d))
-    luts = lut_kernel(q_eff.reshape(b * p, d), codebook)  # [B*p, S, C]
+        if use_residuals:
+            sel = jnp.take(centers, parts, axis=0)          # [B, p, D]
+            q_eff = queries[:, None, :] - sel
+        else:
+            q_eff = jnp.broadcast_to(queries[:, None, :], (b, p, d))
+        luts = lut_kernel(q_eff.reshape(b * p, d), codebook)  # [B*p, S, C]
     s, c = luts.shape[1], luts.shape[2]
     if s_pad != s:
         luts = jnp.pad(luts, ((0, 0), (0, s_pad - s), (0, 0)))
@@ -210,11 +240,13 @@ def tree_ah_search(
     """
     b, d = queries.shape
     parts = _select_partitions(centers, queries, p=p,
-                               approx_min=approx_select_min)     # [B, p]
+                               approx_min=approx_select_min,
+                               measure=measure)                  # [B, p]
     s_pad = codes_rows.shape[1]
     c = codebook.shape[1]
     luts_flat = _residual_luts(queries, centers, parts, codebook,
-                               s_pad=s_pad, use_residuals=use_residuals)
+                               s_pad=s_pad, use_residuals=use_residuals,
+                               measure=measure)
 
     offs = jnp.take(csr_offsets, parts, axis=0)                  # [B, p]
     szs = jnp.take(part_sizes, parts, axis=0)
@@ -271,11 +303,13 @@ def tree_ah_search_grouped(
     """
     b, d = queries.shape
     parts = _select_partitions(centers, queries, p=p,
-                               approx_min=approx_select_min)     # [B, p]
+                               approx_min=approx_select_min,
+                               measure=measure)                  # [B, p]
     s_pad = codes_csr.shape[0]
     c = codebook.shape[1]
     luts_flat = _residual_luts(queries, centers, parts, codebook,
-                               s_pad=s_pad, use_residuals=use_residuals)
+                               s_pad=s_pad, use_residuals=use_residuals,
+                               measure=measure)
 
     grp_part, slot, ng = group_pairs_by_partition(
         parts, centers.shape[0], q_cap)

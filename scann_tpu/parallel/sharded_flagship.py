@@ -195,11 +195,13 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
 
         b = queries.shape[0]
         parts = _select_partitions(centers, queries, p=p,
-                                   approx_min=approx_select_min)
+                                   approx_min=approx_select_min,
+                                   measure=measure)
         s_pad = codes_rows.shape[1]
         c = codebook.shape[1]
         luts_flat = _residual_luts(queries, centers, parts, codebook,
-                                   s_pad=s_pad, use_residuals=use_residuals)
+                                   s_pad=s_pad, use_residuals=use_residuals,
+                                   measure=measure)
 
         offs = jnp.take(offsets, parts, axis=0)
         szs = jnp.take(sizes, parts, axis=0)
