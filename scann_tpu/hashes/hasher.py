@@ -53,13 +53,34 @@ class AsymmetricHasherConfig:
     max_iterations: int = 25
     training_sample_size: int = 100_000
     store_dataset: bool = True  # needed for exact reordering
+    # TPU extension beyond the reference (hasher.rs:208 hardcodes SquaredL2):
+    # COSINE normalizes rows at build + queries at search (L2 LUTs then rank
+    # identically to cosine); DOT_PRODUCT/GIP use -dot LUTs
+    distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "codes_transposed"))
+_AH_MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
+
+
+def _ah_luts(queries, centroids, measure):
+    """[B, S, C] LUTs in the searcher's measure: squared-L2 tables (also
+    used for cosine after upstream normalization) or -dot tables for MIPS."""
+    if measure in _AH_MIPS:
+        b = queries.shape[0]
+        s, c, dsub = centroids.shape
+        qs = queries.reshape(b, s, dsub)
+        return -jnp.einsum("bsd,scd->bsc", qs, centroids,
+                           precision=jax.lax.Precision.HIGHEST)
+    return lut_kernel(queries, centroids)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "codes_transposed", "measure"))
 def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int,
-                     codes_transposed: bool = False):
+                     codes_transposed: bool = False,
+                     measure: DistanceMeasure = DistanceMeasure.SQUARED_L2):
     """Approximate-only search: LUT build + scoring + top-k."""
-    luts = lut_kernel(queries, centroids)
+    luts = _ah_luts(queries, centroids, measure)
     if codes_transposed:
         from scann_tpu.ops.pallas_kernels import lut16_score_auto
 
@@ -78,7 +99,7 @@ def ah_search_reorder_kernel(
     measure: DistanceMeasure, codes_transposed: bool = False,
 ):
     """Approximate top-pre_k then exact re-rank to top-k, one program."""
-    luts = lut_kernel(queries, centroids)
+    luts = _ah_luts(queries, centroids, measure)
     if codes_transposed:
         from scann_tpu.ops.pallas_kernels import lut16_score_auto
 
@@ -131,7 +152,7 @@ def ah_search_fused_kernel(
     )
 
     s_real = centroids.shape[0]
-    luts = lut_kernel(queries, centroids)              # [B, S, C] f32
+    luts = _ah_luts(queries, centroids, measure)       # [B, S, C] f32
     q_u8, mult, bias = quantize_luts_u8_device(luts)
     luts_i8 = luts_i8_evenfirst(q_u8)                  # [B, S_pad*C] i8
 
@@ -174,6 +195,17 @@ class AsymmetricHasher(Searcher):
         if dataset.is_empty:
             raise ScannError.invalid_argument("Cannot build from empty dataset")
         cfg = self.config
+        if cfg.distance_measure not in (
+                DistanceMeasure.SQUARED_L2, DistanceMeasure.COSINE,
+                *_AH_MIPS):
+            raise ScannError.invalid_argument(
+                f"AsymmetricHasher does not support {cfg.distance_measure}")
+        if cfg.distance_measure == DistanceMeasure.COSINE:
+            raw = dataset.numpy()
+            nr = np.sqrt(np.einsum("nd,nd->n", raw, raw))
+            dataset = DenseDataset(
+                (raw / np.maximum(nr, 1e-30)[:, None]).astype(np.float32),
+                docids=dataset.docids)
         self._dim = dataset.dimensionality
         self._n = dataset.size
 
@@ -265,6 +297,9 @@ class AsymmetricHasher(Searcher):
                               params: Optional[SearchParameters] = None):
         self._check_built()
         queries = self._validate_queries(queries)
+        if self.config.distance_measure == DistanceMeasure.COSINE:
+            qn = np.sqrt(np.einsum("bd,bd->b", queries, queries))
+            queries = queries / np.maximum(qn, 1e-30)[:, None]
         k = min(int(k), self._n)
         if k <= 0:
             raise ScannError.invalid_argument(f"k must be positive, got {k}")
@@ -283,6 +318,7 @@ class AsymmetricHasher(Searcher):
             self.codebook.centroids_device(), codes,
             jnp.int32(self._n), jnp.asarray(queries), k=k,
             codes_transposed=transposed,
+            measure=self.config.distance_measure,
         )
         dists, idx = np.asarray(dists), np.asarray(idx)
         if params is not None and params.pre_reordering_epsilon is not None:
@@ -294,6 +330,9 @@ class AsymmetricHasher(Searcher):
     def search_with_reordering(self, query, k: int, pre_reorder_k: int):
         """(reference: hasher.rs:188-229)."""
         q = self._validate_queries(np.asarray(query))
+        if self.config.distance_measure == DistanceMeasure.COSINE:
+            qn = np.sqrt(np.einsum("bd,bd->b", q, q))
+            q = q / np.maximum(qn, 1e-30)[:, None]
         idx, dist = self._search_reorder(q, min(k, self._n), min(pre_reorder_k, self._n))
         return self._to_results(idx, dist)[0]
 
@@ -320,7 +359,7 @@ class AsymmetricHasher(Searcher):
                     cent, packed, db, norms, jnp.int32(self._n),
                     jnp.asarray(q[lo: lo + 1024]),
                     jnp.float32(pre_eps), jnp.float32(post_eps),
-                    pre_k=pre_k, k=k, measure=DistanceMeasure.SQUARED_L2,
+                    pre_k=pre_k, k=k, measure=self.config.distance_measure,
                     r=self.FUSED_R, tile_n=self.FUSED_TILE_N,
                 )
                 out_i.append(np.asarray(idx))
@@ -332,7 +371,7 @@ class AsymmetricHasher(Searcher):
             cent, codes, db, norms,
             jnp.int32(self._n), jnp.asarray(queries),
             jnp.float32(pre_eps), jnp.float32(post_eps), pre_k=pre_k, k=k,
-            measure=DistanceMeasure.SQUARED_L2, codes_transposed=transposed,
+            measure=self.config.distance_measure, codes_transposed=transposed,
         )
         return np.asarray(idx), np.asarray(dists)
 

@@ -21,6 +21,23 @@ from scann_tpu.errors import ScannError
 _FORMAT_VERSION = 1
 
 
+def _ah_cfg_dict(cfg) -> dict:
+    """AsymmetricHasherConfig -> JSON-safe dict (enum measure -> value)."""
+    d = dataclasses.asdict(cfg)
+    d["distance_measure"] = cfg.distance_measure.value
+    return d
+
+
+def _ah_cfg_load(d: dict):
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    d = dict(d)
+    if "distance_measure" in d:
+        d["distance_measure"] = DistanceMeasure(d["distance_measure"])
+    return AsymmetricHasherConfig(**d)
+
+
 def _cfg_json(obj) -> str:
     if hasattr(obj, "to_json"):
         return obj.to_json()
@@ -95,7 +112,7 @@ def _serialize(searcher):
         if searcher._dataset is not None:
             arrays["data"] = searcher._dataset.numpy()
         return arrays, {"kind": "hashed", "dim": searcher._dim,
-                        "config": dataclasses.asdict(searcher.config)}
+                        "config": _ah_cfg_dict(searcher.config)}
     if isinstance(searcher, TreeXHybridSearcher):
         return (
             {"data": searcher._dataset.numpy(),
@@ -113,7 +130,7 @@ def _serialize(searcher):
              "partitions_to_search": searcher.config.partitions_to_search,
              "use_residuals": searcher.config.use_residuals,
              "pre_reorder_multiplier": searcher.config.pre_reorder_multiplier,
-             "hash_config": dataclasses.asdict(searcher.config.hash_config),
+             "hash_config": _ah_cfg_dict(searcher.config.hash_config),
              "measure": searcher.config.distance_measure.value},
         )
     from scann_tpu.models.block_sweep import BlockSweepSearcher
@@ -211,7 +228,7 @@ def load_index(path: str):
             distance_measure=DistanceMeasure(meta["measure"]))
     if kind == "hashed":
         cfgd = dict(meta["config"])
-        h = AsymmetricHasher(AsymmetricHasherConfig(**cfgd))
+        h = AsymmetricHasher(_ah_cfg_load(cfgd))
         cb = Codebook(CodebookConfig(num_codes=arrays["codebook"].shape[1],
                                      num_subspaces=arrays["codebook"].shape[0]))
         cb.centroids = arrays["codebook"]
@@ -227,7 +244,7 @@ def load_index(path: str):
         h._codes_t_dev = None
         return h
     if kind == "tree_ah":
-        hc = AsymmetricHasherConfig(**dict(meta["hash_config"]))
+        hc = _ah_cfg_load(meta["hash_config"])
         cfg = TreeXHybridConfig(
             num_partitions=meta["num_partitions"],
             partitions_to_search=meta["partitions_to_search"],

@@ -38,7 +38,9 @@ class SearchMode(enum.Enum):
     TREE_AH = "TreeAH"
 
 
-def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool) -> AsymmetricHasherConfig:
+def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
+                       measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
+                       ) -> AsymmetricHasherConfig:
     """HashConfig(num_buckets, num_blocks) -> AH(num_codes, num_subspaces).
 
     For tree-AH the reference's production setting is 16-code (LUT16) blocks;
@@ -49,6 +51,7 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool) -> AsymmetricHasherCon
         num_subspaces=int(hc.num_blocks),
         training_sample_size=int(hc.training_sample_size),
         seed=42,
+        distance_measure=measure,
     )
 
 
@@ -124,7 +127,8 @@ class Scann(Searcher):
             self.search_mode = SearchMode.PARTITIONED
         elif config.hash is not None:
             self._impl = AsymmetricHasher(
-                _hash_to_ah_config(config.hash, for_tree_ah=False)
+                _hash_to_ah_config(config.hash, for_tree_ah=False,
+                                   measure=measure)
             ).build(dataset)
             self.search_mode = SearchMode.HASHED
         else:

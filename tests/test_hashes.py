@@ -16,6 +16,7 @@ from scann_tpu.hashes import (
     PackedCodes4Bit,
 )
 from scann_tpu.hashes.lut16 import pack_codes_4bit, unpack_codes_4bit
+from scann_tpu.ops.distances import DistanceMeasure
 from scann_tpu.ops.lut16_scoring import lut_score, lut_score_gathered
 
 import jax.numpy as jnp
@@ -222,3 +223,35 @@ def test_hasher_packed_memory(rng):
 def test_hasher_unbuilt_rejected():
     with pytest.raises(ScannError):
         AsymmetricHasher().search(np.zeros(8, np.float32), 1)
+
+
+def test_hasher_cosine_and_mips(rng):
+    """AsymmetricHasher measure support (TPU extension — the reference
+    hardcodes SquaredL2, hasher.rs:208): cosine via build/search
+    normalization, MIPS via -dot LUTs."""
+    n, d, b, k = 4000, 32, 24, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    db *= rng.uniform(0.5, 2.0, size=(n, 1)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    for measure in (DistanceMeasure.COSINE, DistanceMeasure.DOT_PRODUCT):
+        gt, gtd = BruteForceSearcher(ds, measure).search_batched_arrays(q, k)
+        h = AsymmetricHasher(AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=16, seed=0, max_iterations=8,
+            distance_measure=measure)).build(ds)
+        idx, dist = h.search_batched_arrays(
+            q, k, SearchParameters(pre_reordering_num_neighbors=300))
+        recall = np.mean([len(set(a) & set(g)) / k
+                          for a, g in zip(np.asarray(idx), np.asarray(gt))])
+        assert recall >= 0.9, (measure, recall)
+        hit = np.asarray(idx) == np.asarray(gt)
+        np.testing.assert_allclose(np.asarray(dist)[hit],
+                                   np.asarray(gtd)[hit], rtol=1e-3, atol=1e-3)
+
+
+def test_hasher_rejects_unsupported_measure(rng):
+    db = rng.normal(size=(100, 8)).astype(np.float32)
+    with pytest.raises(ScannError):
+        AsymmetricHasher(AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=4,
+            distance_measure=DistanceMeasure.L1)).build(DenseDataset(db))
