@@ -26,7 +26,11 @@ from scann_tpu.errors import ScannError
 from scann_tpu.hashes.codebook import Codebook, CodebookConfig, lut_kernel
 from scann_tpu.hashes.lut16 import PackedCodes4Bit
 from scann_tpu.models.searcher import SearchParameters, Searcher
-from scann_tpu.ops.distances import DistanceMeasure, gathered_distances
+from scann_tpu.ops.distances import (
+    DistanceMeasure,
+    approx_to_measure_units,
+    gathered_distances,
+)
 from scann_tpu.ops.lut16_scoring import lut_score
 from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
 from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
@@ -87,6 +91,8 @@ def ah_search_kernel(centroids, codes, n_valid, queries, *, k: int,
         dists = lut16_score_auto(luts, codes)  # codes [S, N_pad]
     else:
         dists = lut_score(luts, codes)  # [B, N_pad]
+    # returned values (and any host-side epsilon compare) in measure units
+    dists = approx_to_measure_units(dists, measure)
     col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
     dists = jnp.where(col < n_valid, dists, MASKED_DISTANCE)
     return top_k_smallest(dists, k)
@@ -118,7 +124,8 @@ def ah_search_reorder_kernel(
     rows = jnp.take(db, cand, axis=0)                  # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, cand, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
-    valid = (cand < n_valid) & (pre_vals.astype(jnp.float32) <= pre_eps)
+    pre_m = approx_to_measure_units(pre_vals.astype(jnp.float32), measure)
+    valid = (cand < n_valid) & (pre_m <= pre_eps)
     exact = jnp.where(valid, exact, MASKED_DISTANCE)
     vals, pos = top_k_smallest(exact, k)
     idx = jnp.take_along_axis(cand, pos, axis=1)
@@ -162,6 +169,7 @@ def ah_search_fused_kernel(
     iv = vals.astype(jnp.int32)
     sumq = iv // r
     approx = sumq.astype(jnp.float32) * mult[:, None] + bias[:, None] * s_real
+    approx = approx_to_measure_units(approx, measure)
     cand = blk * r + (iv % r)                          # global point ids
     pre_valid = (vals < INVALID_COMBINED / 2) & (approx <= pre_eps)
 

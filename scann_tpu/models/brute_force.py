@@ -31,14 +31,16 @@ from scann_tpu.types import MASKED_DISTANCE
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "k"))
-def _search_kernel(db, db_sq_norms, n_valid, queries, allow_mask=None, *,
-                   measure: DistanceMeasure, k: int):
+def _search_kernel(db, db_sq_norms, n_valid, queries, allow_mask=None,
+                   eps=jnp.inf, *, measure: DistanceMeasure, k: int):
     dists = many_to_many(measure, queries, db, db_sq_norms)
     dists = mask_padded_rows(dists, n_valid, MASKED_DISTANCE)
     if allow_mask is not None:
         dists = jnp.where(allow_mask[None, :], dists, MASKED_DISTANCE)
     vals, idx = top_k_smallest(dists, k)
-    missing = vals >= MASKED_DISTANCE / 2
+    # epsilon threshold on the exact distances (reference:
+    # src/brute_force/top_k.rs:263-393 FastTopNeighbors semantics)
+    missing = (vals >= MASKED_DISTANCE / 2) | (vals > eps)
     return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
 
@@ -106,6 +108,7 @@ class BruteForceSearcher(Searcher):
         if k <= 0:
             raise ScannError.invalid_argument(f"k must be positive, got {k}")
         db, norms, n = self._device_state()
+        eps = params.effective_epsilon() if params is not None else np.inf
 
         if self._use_fused_vmem(k, allow_mask):
             from scann_tpu.ops.fused_bf_pallas import fused_bf_search_pallas
@@ -117,7 +120,12 @@ class BruteForceSearcher(Searcher):
             qp[:b] = queries
             vals, idx = fused_bf_search_pallas(
                 jnp.asarray(qp), db, norms[None, :], jnp.asarray([n], jnp.int32), k=k)
-            return np.asarray(idx)[:b], np.asarray(vals)[:b]
+            vals, idx = np.asarray(vals)[:b], np.asarray(idx)[:b]
+            if np.isfinite(eps):
+                over = vals > eps
+                vals = np.where(over, np.inf, vals)
+                idx = np.where(over, -1, idx)
+            return idx, vals
         mask_dev = None
         if allow_mask is not None:
             m = np.zeros(db.shape[0], dtype=bool)
@@ -125,7 +133,7 @@ class BruteForceSearcher(Searcher):
             mask_dev = jnp.asarray(m)
         dists, idx = _search_kernel(
             db, norms, jnp.int32(n), jnp.asarray(queries), mask_dev,
-            measure=self._measure, k=k,
+            jnp.float32(eps), measure=self._measure, k=k,
         )
         return np.asarray(idx), np.asarray(dists)
 

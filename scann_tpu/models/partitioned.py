@@ -37,8 +37,8 @@ from scann_tpu.types import MASKED_DISTANCE
 
 @functools.partial(jax.jit, static_argnames=("measure", "p", "k", "multiplicity"))
 def partitioned_search_kernel(
-    db, db_sq_norms, centers, leaf_indices, queries, *, measure: DistanceMeasure,
-    p: int, k: int, multiplicity: int = 1,
+    db, db_sq_norms, centers, leaf_indices, queries, eps=jnp.inf, *,
+    measure: DistanceMeasure, p: int, k: int, multiplicity: int = 1,
 ):
     """(distances [B,k], global indices [B,k]; -1 index for missing).
 
@@ -65,7 +65,9 @@ def partitioned_search_kernel(
     else:
         vals, pos = top_k_smallest(dists, k)
         idx = jnp.take_along_axis(cand, pos, axis=1)
-    missing = vals >= MASKED_DISTANCE / 2
+    # epsilon threshold on the exact leaf distances (reference:
+    # src/brute_force/top_k.rs:263-393 FastTopNeighbors semantics)
+    missing = (vals >= MASKED_DISTANCE / 2) | (vals > eps)
     return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
 
@@ -122,9 +124,10 @@ class PartitionedSearcher(Searcher):
         db, norms, _ = self._device_state()
         leaves = self.partitioner.tokenization.padded_leaves()
         k_eff = min(k, p * leaves.shape[1])
+        eps = params.effective_epsilon() if params is not None else np.inf
         dists, idx = partitioned_search_kernel(
             db, norms, self.partitioner.centers_device(), leaves, jnp.asarray(queries),
-            measure=self._measure, p=p, k=k_eff,
+            jnp.float32(eps), measure=self._measure, p=p, k=k_eff,
             multiplicity=self.partitioner.tokenization.max_multiplicity,
         )
         return np.asarray(idx), np.asarray(dists)

@@ -47,12 +47,16 @@ class ScalarQuantizedConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "k", "codes_transposed"))
-def _search_kernel(codes, norms, scale, offset, n_valid, queries, *, measure, k,
-                   codes_transposed=False):
+def _search_kernel(codes, norms, scale, offset, n_valid, queries, eps=jnp.inf,
+                   *, measure, k, codes_transposed=False):
     dists = asymmetric_many_to_many(measure, queries, codes, norms, scale, offset,
                                     codes_transposed=codes_transposed)
     dists = mask_padded_rows(dists, n_valid, MASKED_DISTANCE)
-    return top_k_smallest(dists, k)
+    vals, idx = top_k_smallest(dists, k)
+    # epsilon threshold on the (quantized-exact) distances (reference:
+    # src/brute_force/top_k.rs:263-393 FastTopNeighbors semantics)
+    missing = (vals >= MASKED_DISTANCE / 2) | (vals > eps)
+    return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
 
 
 class ScalarQuantizedBruteForceSearcher(Searcher):
@@ -140,9 +144,10 @@ class ScalarQuantizedBruteForceSearcher(Searcher):
             codes, norms, n = self._quantized.device_transposed()
         else:
             codes, norms, n = self._quantized.device()
+        eps = params.effective_epsilon() if params is not None else np.inf
         dists, idx = _search_kernel(
             codes, norms, jnp.float32(self._scale), jnp.float32(self._offset),
-            jnp.int32(n), jnp.asarray(queries), measure=self._measure, k=k,
-            codes_transposed=transposed,
+            jnp.int32(n), jnp.asarray(queries), jnp.float32(eps),
+            measure=self._measure, k=k, codes_transposed=transposed,
         )
         return np.asarray(idx), np.asarray(dists)

@@ -46,6 +46,21 @@ class SearchParameters:
         self.pre_reordering_epsilon = epsilon
         return self
 
+    def effective_epsilon(self) -> float:
+        """Distance threshold for single-stage (exact) searchers.
+
+        There is no separate reordering pass, so the search itself is both
+        the "pre" and "post" stage — the tighter of the two thresholds
+        applies (reference: src/brute_force/top_k.rs:263-393 applies the
+        epsilon to every pushed neighbor).
+        """
+        eps = float("inf")
+        if self.pre_reordering_epsilon is not None:
+            eps = min(eps, float(self.pre_reordering_epsilon))
+        if self.post_reordering_epsilon is not None:
+            eps = min(eps, float(self.post_reordering_epsilon))
+        return eps
+
 
 @dataclasses.dataclass
 class NNResult:

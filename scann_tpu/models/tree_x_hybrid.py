@@ -44,6 +44,7 @@ from scann_tpu.hashes.hasher import AsymmetricHasherConfig
 from scann_tpu.models.searcher import SearchParameters, Searcher
 from scann_tpu.ops.distances import (
     DistanceMeasure,
+    approx_to_measure_units,
     gathered_distances,
     many_to_many,
     squared_norms,
@@ -195,14 +196,19 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
         else:
             vals, idx = vals[..., :k], idx[..., :k]
         vals = vals.astype(jnp.float32)   # scores may arrive bf16
-        missing = (vals >= MASKED_DISTANCE / 2) | (vals > pre_eps)
-        return jnp.where(missing, jnp.inf, vals), jnp.where(missing, -1, idx)
+        # COSINE approx scores are 2x the cosine distance (L2 on unit
+        # vectors); convert so eps compare + returned values match the
+        # exact path's units (advisor r2 finding)
+        vals_m = approx_to_measure_units(vals, measure)
+        missing = (vals >= MASKED_DISTANCE / 2) | (vals_m > pre_eps)
+        return jnp.where(missing, jnp.inf, vals_m), jnp.where(missing, -1, idx)
 
     pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
     pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)  # [B, pre_k]
     pre_cand = jnp.take(perm, pre_rows, axis=0)
     pre_vals = pre_vals.astype(jnp.float32)
-    pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_vals <= pre_eps)
+    pre_m = approx_to_measure_units(pre_vals, measure)
+    pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
     pre_safe = jnp.maximum(pre_cand, 0)
 
     rows = jnp.take(db, pre_safe, axis=0)                        # [B, pre_k, D]

@@ -59,6 +59,22 @@ class DistanceMeasure(enum.Enum):
         )
 
 
+def approx_to_measure_units(approx: jnp.ndarray, measure: DistanceMeasure) -> jnp.ndarray:
+    """Convert approximate (LUT / sweep) scores to the measure's own units.
+
+    COSINE approximate scoring runs as squared L2 over unit vectors, which is
+    ``2 * (1 - sim)`` — exactly twice the cosine distance the exact stages
+    return. Halving keeps per-query epsilon thresholds (reference:
+    src/brute_force/top_k.rs:263-393, one unit system across approximate and
+    exact passes) and returned approximate distances consistent with the
+    exact path. Identity for every other measure (MIPS LUTs already score
+    -dot; L2 LUTs are already squared-L2).
+    """
+    if measure == DistanceMeasure.COSINE:
+        return approx * 0.5
+    return approx
+
+
 def squared_norms(x: jnp.ndarray) -> jnp.ndarray:
     """Row-wise squared L2 norms, f32 accumulation."""
     x = x.astype(jnp.float32)

