@@ -175,6 +175,109 @@ def _residual_luts(queries, centers, parts, codebook, *, s_pad: int,
     return luts.reshape(b * p, s_pad * c)
 
 
+def _csr_row_positions(parts, csr_offsets, num_rows, *, p: int, l_cap: int):
+    """[B, p*l_cap] leaf-major CSR row positions for the selected partitions
+    (pure arithmetic — point ids resolve through ``perm`` only later)."""
+    b = parts.shape[0]
+    offs = jnp.take(csr_offsets, parts, axis=0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
+    rows = jnp.minimum(offs[:, :, None] + iota_l, num_rows - 1)
+    return rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+
+
+def leaf_scores_xla(luts_flat, parts, codes_rows, csr_offsets, part_sizes,
+                    *, p: int, l_cap: int, c: int):
+    """XLA leaf scoring (CPU / fallback): per-pair code-row gather + LUT
+    gather-sum. Returns ([B, p*l_cap] leaf-major scores with
+    MASKED_DISTANCE beyond each partition's size, [B, p*l_cap] CSR rows).
+
+    Shard-local by construction: used verbatim inside the sharded tree-AH
+    shard_map body (parallel/sharded_flagship.py) with the shard's own CSR
+    slab, so single-device and scale-out serve through the same code.
+    """
+    b = parts.shape[0]
+    s_pad = codes_rows.shape[1]
+    num_rows = codes_rows.shape[0]
+    offs = jnp.take(csr_offsets, parts, axis=0)                  # [B, p]
+    szs = jnp.take(part_sizes, parts, axis=0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
+    rows = jnp.minimum(offs[:, :, None] + iota_l, num_rows - 1)
+    codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
+    # leaf-major interleave — see leaf_scores_grouped: partition-major
+    # order breaks approx_min_k's layout assumption downstream
+    scores = lut_score_gathered(
+        luts_flat.reshape(b * p, s_pad, c),
+        codes_g.reshape(b * p, l_cap, s_pad),
+    ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
+    valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(b, p * l_cap)
+    flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
+    rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+    return flat_scores, rows_il
+
+
+def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
+                        *, p: int, l_cap: int, q_cap: int, l_tile: int,
+                        interpret: bool = False, int8_luts: bool = False):
+    """Grouped-MXU leaf scoring (ops/tree_ah_grouped.py): pairs grouped by
+    partition, one-hot built once per group, MXU contraction. Returns
+    ([B, p*l_cap] leaf-major scores — bf16 (or affine-restored f32 on the
+    int8 path) with MASKED_DISTANCE beyond each size, [B, p*l_cap] rows).
+
+    Shard-local by construction (no cross-chip communication inside): the
+    sharded tree-AH calls this inside its shard_map body with the shard's
+    own transposed CSR slab, so multi-chip serving uses the same Pallas
+    kernel that won the single-chip numbers.
+    """
+    b = parts.shape[0]
+    s_pad = codes_csr.shape[0]
+    num_partitions = part_sizes.shape[0]
+    num_rows = codes_csr.shape[1]
+    grp_part, slot, ng = group_pairs_by_partition(parts, num_partitions, q_cap)
+    grp_safe = jnp.maximum(grp_part, 0)
+    grp_off = jnp.take(csr_offsets, grp_safe)
+    # unused groups (grp_part == -1) get size 0: the kernel then skips
+    # their DMA and matmul entirely
+    grp_size = jnp.where(grp_part >= 0, jnp.take(part_sizes, grp_safe), 0)
+    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
+        jnp.arange(b * p, dtype=jnp.int32))
+    if int8_luts:
+        # global per-batch affine: lut_i8 = round((lut - lo)/scale) - 128.
+        # score_real = scale*(score_i16 + 128*s_pad) + s_pad*lo — the pad
+        # subspaces' zero rows quantize to a constant that the affine
+        # absorbs, so real units (and epsilon thresholds) survive exactly
+        lo = jnp.min(luts_flat)
+        scale = jnp.maximum(jnp.max(luts_flat) - lo, 1e-6) / 255.0
+        luts_q = jnp.clip(jnp.round((luts_flat - lo) / scale), 0, 255)
+        luts_cast = (luts_q - 128.0).astype(jnp.int8)
+    else:
+        # bf16 before the grouped gather: the kernel contracts in bf16
+        # anyway, casting first halves the gather's HBM traffic
+        luts_cast = luts_flat.astype(jnp.bfloat16)
+    luts_grouped = jnp.take(luts_cast, pair_of_slot, axis=0)
+
+    scores_g = tree_ah_grouped_scores_pallas(
+        luts_grouped, codes_csr, grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret)
+    # Interleave partitions across the flat candidate axis (leaf-major, not
+    # partition-major): lax.approx_min_k's recall guarantee assumes the top
+    # elements are spread roughly uniformly, but partition-major order
+    # concentrates them in the best partition's contiguous block — measured
+    # recall@10 0.9988 -> 0.9309 at 1.18M, worsening with p*l_cap. The
+    # transpose is free relative to leaf scoring and restores the guarantee.
+    flat_scores = jnp.take(scores_g, slot, axis=0).reshape(
+        b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
+    if int8_luts:
+        from scann_tpu.ops.tree_ah_grouped import I16_MASK
+
+        real = scale * (flat_scores.astype(jnp.float32) + 128.0 * s_pad) \
+            + s_pad * lo
+        flat_scores = jnp.where(flat_scores == I16_MASK, MASKED_DISTANCE,
+                                real)
+    rows_il = _csr_row_positions(parts, csr_offsets, num_rows,
+                                 p=p, l_cap=l_cap)
+    return flat_scores, rows_il
+
+
 def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
               pre_eps, post_eps, *, pre_k: int, k: int,
               measure: DistanceMeasure, reorder: bool, multiplicity: int):
@@ -244,7 +347,6 @@ def tree_ah_search(
         allow_mask: [N_pad] bool or None — restrict allowlist.
         pre_eps / post_eps: f32 scalars (inf = no threshold).
     """
-    b, d = queries.shape
     parts = _select_partitions(centers, queries, p=p,
                                approx_min=approx_select_min,
                                measure=measure)                  # [B, p]
@@ -254,24 +356,13 @@ def tree_ah_search(
                                s_pad=s_pad, use_residuals=use_residuals,
                                measure=measure)
 
-    offs = jnp.take(csr_offsets, parts, axis=0)                  # [B, p]
-    szs = jnp.take(part_sizes, parts, axis=0)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
-    rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
-    codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
-    # leaf-major interleave — see tree_ah_search_grouped: partition-major
-    # order breaks approx_min_k's layout assumption in _finalize
-    scores = lut_score_gathered(
-        luts_flat.reshape(b * p, s_pad, c),
-        codes_g.reshape(b * p, l_cap, s_pad),
-    ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
-
-    valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(b, p * l_cap)
-    rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+    flat_scores, rows_il = leaf_scores_xla(
+        luts_flat, parts, codes_rows, csr_offsets, part_sizes,
+        p=p, l_cap=l_cap, c=c)
     if allow_mask is not None:
         allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
-        valid = valid & jnp.take(allow_csr, rows_il, axis=0)
-    flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
+        allowed = jnp.take(allow_csr, rows_il, axis=0)
+        flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
     return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
                      pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
                      reorder=reorder, multiplicity=multiplicity)
@@ -307,63 +398,18 @@ def tree_ah_search_grouped(
     outweigh the int8-MXU gain), so it is off by default; turn on when LUT
     VMEM is the binding constraint (large S*C or q_cap).
     """
-    b, d = queries.shape
     parts = _select_partitions(centers, queries, p=p,
                                approx_min=approx_select_min,
                                measure=measure)                  # [B, p]
     s_pad = codes_csr.shape[0]
-    c = codebook.shape[1]
     luts_flat = _residual_luts(queries, centers, parts, codebook,
                                s_pad=s_pad, use_residuals=use_residuals,
                                measure=measure)
 
-    grp_part, slot, ng = group_pairs_by_partition(
-        parts, centers.shape[0], q_cap)
-    grp_safe = jnp.maximum(grp_part, 0)
-    grp_off = jnp.take(csr_offsets, grp_safe)
-    # unused groups (grp_part == -1) get size 0: the kernel then skips
-    # their DMA and matmul entirely
-    grp_size = jnp.where(grp_part >= 0, jnp.take(part_sizes, grp_safe), 0)
-    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
-        jnp.arange(b * p, dtype=jnp.int32))
-    if int8_luts:
-        # global per-batch affine: lut_i8 = round((lut - lo)/scale) - 128.
-        # score_real = scale*(score_i16 + 128*s_pad) + s_pad*lo — the pad
-        # subspaces' zero rows quantize to a constant that the affine
-        # absorbs, so real units (and epsilon thresholds) survive exactly
-        lo = jnp.min(luts_flat)
-        scale = jnp.maximum(jnp.max(luts_flat) - lo, 1e-6) / 255.0
-        luts_q = jnp.clip(jnp.round((luts_flat - lo) / scale), 0, 255)
-        luts_cast = (luts_q - 128.0).astype(jnp.int8)
-    else:
-        # bf16 before the grouped gather: the kernel contracts in bf16
-        # anyway, casting first halves the gather's HBM traffic
-        luts_cast = luts_flat.astype(jnp.bfloat16)
-    luts_grouped = jnp.take(luts_cast, pair_of_slot, axis=0)
-
-    scores_g = tree_ah_grouped_scores_pallas(
-        luts_grouped, codes_csr, grp_off, grp_size,
-        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret)
-    # Interleave partitions across the flat candidate axis (leaf-major, not
-    # partition-major): lax.approx_min_k's recall guarantee assumes the top
-    # elements are spread roughly uniformly, but partition-major order
-    # concentrates them in the best partition's contiguous block — measured
-    # recall@10 0.9988 -> 0.9309 at 1.18M, worsening with p*l_cap. The
-    # transpose is free relative to leaf scoring and restores the guarantee.
-    flat_scores = jnp.take(scores_g, slot, axis=0).reshape(
-        b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
-    if int8_luts:
-        from scann_tpu.ops.tree_ah_grouped import I16_MASK
-
-        real = scale * (flat_scores.astype(jnp.float32) + 128.0 * s_pad) \
-            + s_pad * lo
-        flat_scores = jnp.where(flat_scores == I16_MASK, MASKED_DISTANCE,
-                                real)
-
-    offs = jnp.take(csr_offsets, parts, axis=0)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
-    rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
-    rows_il = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+    flat_scores, rows_il = leaf_scores_grouped(
+        luts_flat, parts, codes_csr, csr_offsets, part_sizes,
+        p=p, l_cap=l_cap, q_cap=q_cap, l_tile=l_tile,
+        interpret=interpret, int8_luts=int8_luts)
     if allow_mask is not None:
         # restricts are pre-selection hard filters (reference semantics):
         # the bit gather is per-candidate and costs what the unmasked

@@ -7,6 +7,21 @@ scores its own block, re-ranks its own candidates against its own raw rows
 knobs: every shard keeps a full local pre_k, so the global top-pre_k is a
 subset of the union of local candidate sets.
 
+The shard-local bodies reuse the SAME kernels as the single-device
+searchers: the fused packed-int4 LUT16 sweep (ops/pallas_kernels.py) and
+the grouped-MXU tree-AH leaf scorer (ops/tree_ah_grouped.py via
+models/tree_x_hybrid.leaf_scores_grouped) on TPU, with the XLA one-hot
+formulations as the CPU / restricted-query fallback. Shard-local grouping
+needs no cross-chip communication, so scale-out is pure composition.
+
+Feature parity with the single-device paths: the searcher's configured
+``distance_measure`` is threaded into every stage (cosine queries are
+normalized exactly as the single-device wrappers do; MIPS builds -dot
+LUTs), restrict allowlists fuse into scoring as masks, and per-query
+``pre/post_reordering_epsilon`` thresholds ride as dynamic scalars in the
+measure's own units (reference: src/searcher.rs:12-30,
+src/brute_force/top_k.rs:263-393).
+
 Tree-×-AH shards by **partition ownership**: partitions are bin-packed onto
 shards by size, each shard holds its partitions' CSR code block plus the
 matching raw rows in the same local CSR order (so exact re-ranking gathers
@@ -30,17 +45,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
-from scann_tpu.hashes.codebook import lut_kernel
 from scann_tpu.models.searcher import SearchParameters, Searcher
 from scann_tpu.ops.distances import (
     DistanceMeasure,
+    approx_to_measure_units,
     gathered_distances,
     squared_norms,
 )
-from scann_tpu.ops.lut16_scoring import lut_score, lut_score_gathered
-from scann_tpu.ops.topk import approx_top_k_smallest, merge_top_k, top_k_smallest
+from scann_tpu.ops.lut16_scoring import lut_score
+from scann_tpu.ops.topk import (
+    approx_top_k_smallest,
+    merge_top_k,
+    top_k_smallest,
+    top_k_unique,
+)
 from scann_tpu.parallel.mesh import make_mesh, replicate
 from scann_tpu.types import MASKED_DISTANCE, align_up
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _merge_partials(vals, idx, k: int, multiplicity: int, post_eps,
+                    db_axis: str):
+    """all_gather the [B, k_local] exact partials over ICI and merge to the
+    global top-k, applying the post-reordering threshold."""
+    all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(idx, db_axis, axis=1, tiled=True)
+    if multiplicity > 1:
+        out_vals, out_idx = top_k_unique(all_vals, all_idx, k, multiplicity)
+    else:
+        out_vals, out_idx = merge_top_k(all_vals, all_idx, k)
+    missing = (out_vals >= MASKED_DISTANCE / 2) | (out_vals > post_eps)
+    return (jnp.where(missing, jnp.inf, out_vals),
+            jnp.where(missing, -1, out_idx))
+
 
 # ---------------------------------------------------------------------------
 # sharded LUT16 sweep (AsymmetricHasher scale-out)
@@ -48,47 +91,104 @@ from scann_tpu.types import MASKED_DISTANCE, align_up
 
 
 def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
-                            measure: DistanceMeasure, db_axis: str = "db"):
-    """fn(centroids, codes [N,S] row-sharded, db [N,D] row-sharded,
-    norms [N] sharded, n_valid, queries replicated) -> (dists, idx).
+                            measure: DistanceMeasure, kernel: str = "xla",
+                            with_mask: bool = False, r: int = 32,
+                            tile_n: int = 1024, db_axis: str = "db"):
+    """fn(centroids, codes, db [N,D] row-sharded, norms [N] sharded, n_valid,
+    queries replicated[, allow_mask sharded], pre_eps, post_eps)
+    -> (dists, idx).
 
-    Per shard: LUT sweep over the local code block -> local approx top-pre_k
+    kernel="xla": codes [N, S] u8 row-sharded, one-hot lut_score per shard —
+        the fallback, and the only path that supports ``with_mask`` (the
+        fused sweep's in-kernel r:1 block-min cannot mask per point).
+    kernel="fused": codes [S_pad/2, N] packed nibbles, lane-sharded; the
+        same fused Pallas sweep as the single-device hasher
+        (ah_search_fused_kernel) runs on each shard's block.
+
+    Per shard: sweep over the local code block -> local approx top-pre_k
     -> local exact re-rank -> local top-k; ICI all_gather + merge.
     """
+    if kernel == "fused" and with_mask:
+        raise ScannError.invalid_argument(
+            "fused sweep cannot apply allow masks; use kernel='xla'")
+    from scann_tpu.hashes.hasher import _ah_luts
+
+    codes_spec = P(None, db_axis) if kernel == "fused" else P(db_axis, None)
+    in_specs = [P(), codes_spec, P(db_axis, None), P(db_axis), P(),
+                P(None, None)]
+    if with_mask:
+        in_specs.append(P(db_axis))
+    in_specs += [P(), P()]
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(db_axis, None), P(db_axis, None), P(db_axis), P(),
-                  P(None, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    def _kern(centroids, codes_blk, db_blk, norms_blk, n_valid, queries):
+    def _kern(centroids, codes_blk, db_blk, norms_blk, n_valid, queries,
+              *rest):
+        if with_mask:
+            mask_blk, pre_eps, post_eps = rest
+        else:
+            (pre_eps, post_eps), mask_blk = rest, None
         shard = jax.lax.axis_index(db_axis)
         blk = db_blk.shape[0]
         row0 = shard * blk
+        nv_loc = jnp.clip(n_valid - row0, 0, blk)
 
-        luts = lut_kernel(queries, centroids)
-        approx = lut_score(luts, codes_blk)                    # [B, blk]
-        col = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1) + row0
-        approx = jnp.where(col < n_valid, approx,
-                           jnp.asarray(MASKED_DISTANCE, approx.dtype))
+        luts = _ah_luts(queries, centroids, measure)          # [B, S, C]
 
-        pk = min(pre_k, blk)
-        _, cand = approx_top_k_smallest(approx, pk)            # local rows
-        rows = jnp.take(db_blk, cand, axis=0)
-        nrm = jnp.take(norms_blk, cand, axis=0)
+        if kernel == "fused":
+            from scann_tpu.hashes.lut import (
+                luts_i8_evenfirst,
+                quantize_luts_u8_device,
+            )
+            from scann_tpu.ops.pallas_kernels import (
+                INVALID_COMBINED,
+                lut16_fused_sweep_pallas,
+            )
+
+            s_real = centroids.shape[0]
+            q_u8, mult, bias = quantize_luts_u8_device(luts)
+            luts_i8 = luts_i8_evenfirst(q_u8)
+            comb = lut16_fused_sweep_pallas(
+                luts_i8, codes_blk, nv_loc, tile_n=tile_n, r=r,
+                interpret=not _on_tpu())
+            pk = min(pre_k, blk // r)
+            vals, blkidx = approx_top_k_smallest(comb.T, pk)
+            iv = vals.astype(jnp.int32)
+            approx = (iv // r).astype(jnp.float32) * mult[:, None] \
+                + bias[:, None] * s_real
+            cand = blkidx * r + (iv % r)                      # local rows
+            pre_valid = vals < INVALID_COMBINED / 2
+        else:
+            approx = lut_score(luts, codes_blk)               # [B, blk]
+            col = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
+            ok = col < nv_loc
+            if mask_blk is not None:
+                ok = ok & mask_blk[None, :]
+            approx = jnp.where(ok, approx,
+                               jnp.asarray(MASKED_DISTANCE, approx.dtype))
+            pk = min(pre_k, blk)
+            avals, cand = approx_top_k_smallest(approx, pk)
+            approx = avals.astype(jnp.float32)
+            pre_valid = approx < MASKED_DISTANCE / 2
+
+        # epsilon compares in the measure's own units (COSINE approx scores
+        # are 2x the cosine distance — advisor r2 finding)
+        approx_m = approx_to_measure_units(approx, measure)
+        pre_valid = pre_valid & (approx_m <= pre_eps) & (cand < nv_loc)
+
+        safe = jnp.clip(cand, 0, blk - 1)
+        rows = jnp.take(db_blk, safe, axis=0)
+        nrm = jnp.take(norms_blk, safe, axis=0)
         exact = gathered_distances(measure, queries, rows, nrm)
-        exact = jnp.where(cand + row0 < n_valid, exact, MASKED_DISTANCE)
+        exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
         vals, pos = top_k_smallest(exact, min(k, pk))
         idx = jnp.take_along_axis(cand, pos, axis=1) + row0
-
-        all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(idx, db_axis, axis=1, tiled=True)
-        out_vals, out_idx = merge_top_k(all_vals, all_idx, k)
-        missing = out_vals >= MASKED_DISTANCE / 2
-        return (jnp.where(missing, jnp.inf, out_vals),
-                jnp.where(missing, -1, out_idx))
+        idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
+        return _merge_partials(vals, idx, min(k, pk), 1, post_eps, db_axis)
 
     return jax.jit(_kern)
 
@@ -96,20 +196,37 @@ def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
 class ShardedAsymmetricHasher(Searcher):
     """LUT16/PQ sweep with codes + raw rows sharded over the mesh."""
 
-    def __init__(self, hasher, mesh: Optional[Mesh] = None):
+    FUSED_TILE_N = 1024
+    FUSED_R = 32
+
+    def __init__(self, hasher, mesh: Optional[Mesh] = None,
+                 force_kernel: Optional[str] = None,
+                 fused_r: Optional[int] = None):
         """Wrap a built single-device AsymmetricHasher (train once on host,
-        serve sharded)."""
+        serve sharded). ``force_kernel`` ("xla" | "fused") overrides the
+        platform-based kernel choice (tests exercise the fused path in
+        interpret mode on the CPU mesh); ``fused_r`` overrides the block-min
+        reduction factor (smaller r = more candidates per shard at more
+        score-write traffic — useful when per-shard blocks are small)."""
         if hasher.codebook is None or hasher._dataset is None:
             raise ScannError.failed_precondition(
                 "hasher must be built with store_dataset=True")
+        if fused_r is not None:
+            self.FUSED_R = int(fused_r)
         self._inner = hasher
+        self._measure = hasher.config.distance_measure
         self.mesh = mesh or make_mesh(axis_names=("db",))
         n_sh = self.mesh.shape["db"]
         n = hasher.dataset_size()
-        n_pad = int(align_up(n, n_sh * 8))
+        # per-shard blocks tile-aligned so the fused sweep grids evenly
+        blk = int(align_up(-(-n // n_sh), self.FUSED_TILE_N))
+        n_pad = n_sh * blk
+        self._blk = blk
 
         codes = np.zeros((n_pad, hasher.codes.shape[1]), np.uint8)
         codes[:n] = hasher.codes
+        # cosine: the inner hasher normalized its stored dataset at build;
+        # the shards inherit the normalized rows
         data = hasher._dataset.numpy()
         db = np.zeros((n_pad, data.shape[1]), np.float32)
         db[:n] = data
@@ -122,6 +239,19 @@ class ShardedAsymmetricHasher(Searcher):
         self._cent = replicate(self.mesh, hasher.codebook.centroids_device())
         self._n = n
         self._kernels = {}
+        if force_kernel is not None:
+            self._fused_ok = force_kernel == "fused"
+        else:
+            self._fused_ok = (hasher.codebook.num_codes <= 16 and _on_tpu())
+        self._codes_packed = None
+        if self._fused_ok:
+            from scann_tpu.hashes.lut16 import pack_codes_4bit
+
+            packed = pack_codes_4bit(hasher.codes)      # [N, S_pad/2]
+            full = np.zeros((n_pad, packed.shape[1]), np.uint8)
+            full[:n] = packed
+            self._codes_packed = sh(
+                jax.jit(lambda c: c.T)(jnp.asarray(full)), P(None, "db"))
 
     def dataset_size(self) -> int:
         return self._n
@@ -132,25 +262,53 @@ class ShardedAsymmetricHasher(Searcher):
     def _docids(self):
         return self._inner._docids()
 
+    def _use_fused(self, pre_k: int, with_mask: bool) -> bool:
+        """Same block-count guard as the single-device hasher: one candidate
+        per r-block must not starve pre_k on any shard."""
+        return (self._fused_ok and not with_mask
+                and self._blk // self.FUSED_R >= 2 * pre_k)
+
     def search_batched_arrays(self, queries: np.ndarray, k: int,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              allow_mask: Optional[np.ndarray] = None):
         queries = self._validate_queries(queries)
+        if self._measure == DistanceMeasure.COSINE:
+            # symmetric to the inner hasher's build-time row normalization
+            qn = np.sqrt(np.einsum("bd,bd->b", queries, queries))
+            queries = queries / np.maximum(qn, 1e-30)[:, None]
         k = min(int(k), self._n)
         if k <= 0:
             raise ScannError.invalid_argument("k must be positive")
         pre_k = 3 * k
-        if params is not None and params.pre_reordering_num_neighbors is not None:
-            pre_k = int(params.pre_reordering_num_neighbors)
-        pre_k = min(max(pre_k, k), self._n)
-        key = (pre_k, k)
+        pre_eps = post_eps = np.inf
+        if params is not None:
+            if params.pre_reordering_num_neighbors is not None:
+                pre_k = int(params.pre_reordering_num_neighbors)
+            if params.pre_reordering_epsilon is not None:
+                pre_eps = float(params.pre_reordering_epsilon)
+            if params.post_reordering_epsilon is not None:
+                post_eps = float(params.post_reordering_epsilon)
+        pre_k = min(max(pre_k, k), self._blk)
+        with_mask = allow_mask is not None
+        kernel = "fused" if self._use_fused(pre_k, with_mask) else "xla"
+
+        key = (pre_k, k, kernel, with_mask)
         if key not in self._kernels:
             self._kernels[key] = sharded_ah_sweep_kernel(
-                self.mesh, pre_k=pre_k, k=k,
-                measure=DistanceMeasure.SQUARED_L2)
+                self.mesh, pre_k=pre_k, k=k, measure=self._measure,
+                kernel=kernel, with_mask=with_mask,
+                r=self.FUSED_R, tile_n=self.FUSED_TILE_N)
         q = replicate(self.mesh, jnp.asarray(queries))
-        dists, idx = self._kernels[key](
-            self._cent, self._codes, self._db, self._norms,
-            jnp.int32(self._n), q)
+        codes = self._codes_packed if kernel == "fused" else self._codes
+        args = [self._cent, codes, self._db, self._norms,
+                jnp.int32(self._n), q]
+        if with_mask:
+            m = np.zeros(self._db.shape[0], dtype=bool)
+            m[: self._n] = np.asarray(allow_mask, dtype=bool)[: self._n]
+            args.append(jax.device_put(
+                jnp.asarray(m), NamedSharding(self.mesh, P("db"))))
+        args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
+        dists, idx = self._kernels[key](*args)
         return np.asarray(idx), np.asarray(dists)
 
 
@@ -164,65 +322,91 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                            measure: DistanceMeasure,
                            multiplicity: int = 1,
                            approx_select_min: int = 1024,
+                           use_grouped: bool = False,
+                           q_cap: int = 8, l_tile: int = 512,
+                           with_mask: bool = False,
                            db_axis: str = "db"):
-    """fn(centers, codebook, codes_rows [Sh,L,S], offsets [Sh,K],
-    sizes [Sh,K], perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries)
-    -> (dists, idx).
+    """fn(centers, codebook, codes, offsets [Sh,K], sizes [Sh,K],
+    perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries[, allow_mask
+    replicated [N]], pre_eps, post_eps) -> (dists, idx).
+
+    ``codes``: [Sh, L, S_pad] row-major when use_grouped=False, or the
+    transposed [Sh, S_pad, L] slab for the grouped-MXU Pallas scorer —
+    the same kernel the single-device TPU path serves with
+    (models/tree_x_hybrid.leaf_scores_grouped; shard-local, no collectives).
 
     Every shard runs the same partition selection (replicated centroids) and
     scores only the partitions it owns (others have size 0); exact re-rank
     gathers the shard's own raw rows (stored in local CSR order), and the
-    [k] exact partials merge over ICI.
+    [k]-sized exact partials merge over ICI.
     """
-    from scann_tpu.models.tree_x_hybrid import _residual_luts, _select_partitions
+    from scann_tpu.models.tree_x_hybrid import (
+        _residual_luts,
+        _select_partitions,
+        leaf_scores_grouped,
+        leaf_scores_xla,
+    )
+
+    codes_spec = P(db_axis, None, None)
+    in_specs = [P(), P(), codes_spec, P(db_axis, None), P(db_axis, None),
+                P(db_axis, None), P(db_axis, None, None), P(db_axis, None),
+                P(None, None)]
+    if with_mask:
+        in_specs.append(P())
+    in_specs += [P(), P()]
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(db_axis, None, None), P(db_axis, None),
-                  P(db_axis, None), P(db_axis, None), P(db_axis, None, None),
-                  P(db_axis, None), P(None, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    def _kern(centers, codebook, codes_rows, offsets, sizes, perm, db_csr,
-              norms_csr, queries):
-        codes_rows = codes_rows[0]    # [L_sh, S_pad]
-        offsets = offsets[0]          # [K]
+    def _kern(centers, codebook, codes, offsets, sizes, perm, db_csr,
+              norms_csr, queries, *rest):
+        if with_mask:
+            allow_mask, pre_eps, post_eps = rest
+        else:
+            (pre_eps, post_eps), allow_mask = rest, None
+        codes = codes[0]              # [L_sh, S_pad] or [S_pad, L_sh]
+        offsets = offsets[0]          # [K] local CSR starts
         sizes = sizes[0]              # [K] zero for unowned partitions
-        perm = perm[0]                # [L_sh]
+        perm = perm[0]                # [L_sh] local row -> global point id
         db_csr = db_csr[0]            # [L_sh, D]
         norms_csr = norms_csr[0]      # [L_sh]
 
-        b = queries.shape[0]
         parts = _select_partitions(centers, queries, p=p,
                                    approx_min=approx_select_min,
                                    measure=measure)
-        s_pad = codes_rows.shape[1]
-        c = codebook.shape[1]
+        s_pad = codes.shape[0] if use_grouped else codes.shape[1]
         luts_flat = _residual_luts(queries, centers, parts, codebook,
                                    s_pad=s_pad, use_residuals=use_residuals,
                                    measure=measure)
 
-        offs = jnp.take(offsets, parts, axis=0)
-        szs = jnp.take(sizes, parts, axis=0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (b, p, l_cap), 2)
-        rows = jnp.minimum(offs[:, :, None] + iota_l, perm.shape[0] - 1)
-        codes_g = jnp.take(codes_rows, rows.reshape(b, p * l_cap), axis=0)
-        # leaf-major interleave — see tree_x_hybrid.tree_ah_search_grouped:
-        # partition-major order breaks approx_min_k's layout assumption
-        scores = lut_score_gathered(
-            luts_flat.reshape(b * p, s_pad, c),
-            codes_g.reshape(b * p, l_cap, s_pad),
-        ).reshape(b, p, l_cap).transpose(0, 2, 1).reshape(b, p * l_cap)
-        valid = (iota_l < szs[:, :, None]).transpose(0, 2, 1).reshape(
-            b, p * l_cap)
-        flat_scores = jnp.where(valid, scores, MASKED_DISTANCE)
-        flat_rows = rows.transpose(0, 2, 1).reshape(b, p * l_cap)
+        if use_grouped:
+            flat_scores, rows_il = leaf_scores_grouped(
+                luts_flat, parts, codes, offsets, sizes,
+                p=p, l_cap=l_cap, q_cap=q_cap, l_tile=l_tile,
+                interpret=not _on_tpu())
+        else:
+            flat_scores, rows_il = leaf_scores_xla(
+                luts_flat, parts, codes, offsets, sizes,
+                p=p, l_cap=l_cap, c=codebook.shape[1])
+        if allow_mask is not None:
+            # restricts as pre-selection hard filters (reference semantics:
+            # tree_x_hybrid/mod.rs:297-339), same fusion as the
+            # single-device path
+            allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
+            allowed = jnp.take(allow_csr, rows_il, axis=0)
+            flat_scores = jnp.where(
+                allowed, flat_scores,
+                jnp.asarray(MASKED_DISTANCE, flat_scores.dtype))
 
         pk = min(pre_k, p * l_cap)
         pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pk)
-        pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)
-        pre_valid = pre_vals < MASKED_DISTANCE / 2
+        pre_rows = jnp.take_along_axis(rows_il, pre_pos, axis=1)
+        pre_vals = pre_vals.astype(jnp.float32)
+        pre_m = approx_to_measure_units(pre_vals, measure)
+        pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
 
         rrows = jnp.take(db_csr, pre_rows, axis=0)
         rnorm = jnp.take(norms_csr, pre_rows, axis=0)
@@ -235,18 +419,7 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         sel_rows = jnp.take_along_axis(pre_rows, pos, axis=1)
         idx = jnp.take(perm, sel_rows, axis=0)
         idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
-
-        all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(idx, db_axis, axis=1, tiled=True)
-        if multiplicity > 1:
-            from scann_tpu.ops.topk import top_k_unique
-
-            out_vals, out_idx = top_k_unique(all_vals, all_idx, k, multiplicity)
-        else:
-            out_vals, out_idx = merge_top_k(all_vals, all_idx, k)
-        missing = out_vals >= MASKED_DISTANCE / 2
-        return (jnp.where(missing, jnp.inf, out_vals),
-                jnp.where(missing, -1, out_idx))
+        return _merge_partials(vals, idx, k, multiplicity, post_eps, db_axis)
 
     return jax.jit(_kern)
 
@@ -266,13 +439,20 @@ def _bin_pack_partitions(sizes: np.ndarray, n_shards: int) -> np.ndarray:
 class ShardedTreeXHybridSearcher(Searcher):
     """Tree-×-AH served with partitions bin-packed across the mesh."""
 
-    def __init__(self, searcher, mesh: Optional[Mesh] = None):
-        """Wrap a built single-device TreeXHybridSearcher."""
+    def __init__(self, searcher, mesh: Optional[Mesh] = None,
+                 force_kernel: Optional[str] = None):
+        """Wrap a built single-device TreeXHybridSearcher. ``force_kernel``
+        ("xla" | "grouped") overrides the platform-based choice (tests run
+        the grouped-MXU path in interpret mode on the CPU mesh)."""
         if searcher.codebook is None:
             raise ScannError.failed_precondition("searcher not built")
         self._inner = searcher
         self.mesh = mesh or make_mesh(axis_names=("db",))
         n_sh = self.mesh.shape["db"]
+        if force_kernel is not None:
+            self._use_grouped = force_kernel == "grouped"
+        else:
+            self._use_grouped = _on_tpu()
 
         tk = searcher.partitioner.tokenization
         data = searcher._dataset.numpy()
@@ -319,7 +499,12 @@ class ShardedTreeXHybridSearcher(Searcher):
 
         put = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
-        self._codes = put(codes_sh, P("db", None, None))
+        if self._use_grouped:
+            # transposed [Sh, S_pad, L_sh] slab for the grouped Pallas DMA
+            self._codes = put(np.ascontiguousarray(
+                codes_sh.transpose(0, 2, 1)), P("db", None, None))
+        else:
+            self._codes = put(codes_sh, P("db", None, None))
         self._perm = put(perm_sh, P("db", None))
         self._db = put(db_sh, P("db", None, None))
         self._norms = jax.jit(
@@ -341,9 +526,16 @@ class ShardedTreeXHybridSearcher(Searcher):
         return self._inner._docids()
 
     def search_batched_arrays(self, queries: np.ndarray, k: int,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              allow_mask: Optional[np.ndarray] = None):
         queries = self._validate_queries(queries)
         cfg = self._inner.config
+        if cfg.distance_measure == DistanceMeasure.COSINE:
+            # symmetric to the inner searcher's build-time normalization
+            # (tree_x_hybrid.py build): L2 partition selection and residual
+            # LUTs then rank identically to cosine
+            qn = np.sqrt(np.einsum("bd,bd->b", queries, queries))
+            queries = queries / np.maximum(qn, 1e-30)[:, None]
         n = self.dataset_size()
         k = min(int(k), n)
         if k <= 0:
@@ -353,20 +545,34 @@ class ShardedTreeXHybridSearcher(Searcher):
             p = params.num_leaves_to_search
         p = min(int(p), self._inner.partitioner.num_partitions)
         pre_k = int(np.ceil(k * cfg.pre_reorder_multiplier))
-        if params is not None and params.pre_reordering_num_neighbors is not None:
-            pre_k = int(params.pre_reordering_num_neighbors)
+        pre_eps = post_eps = np.inf
+        if params is not None:
+            if params.pre_reordering_num_neighbors is not None:
+                pre_k = int(params.pre_reordering_num_neighbors)
+            if params.pre_reordering_epsilon is not None:
+                pre_eps = float(params.pre_reordering_epsilon)
+            if params.post_reordering_epsilon is not None:
+                post_eps = float(params.post_reordering_epsilon)
         pre_k = min(max(pre_k, k), p * self._l_cap)
 
         mult = self._inner.partitioner.tokenization.max_multiplicity
-        key = (p, pre_k, k)
+        with_mask = allow_mask is not None
+        key = (p, pre_k, k, with_mask)
         if key not in self._kernels:
             self._kernels[key] = sharded_tree_ah_kernel(
                 self.mesh, p=p, pre_k=pre_k, k=k, l_cap=self._l_cap,
                 use_residuals=cfg.use_residuals, measure=cfg.distance_measure,
                 multiplicity=mult,
-                approx_select_min=cfg.approx_selection_min_partitions)
+                approx_select_min=cfg.approx_selection_min_partitions,
+                use_grouped=self._use_grouped, q_cap=cfg.group_q_cap,
+                l_tile=cfg.score_l_tile, with_mask=with_mask)
         q = replicate(self.mesh, jnp.asarray(queries))
-        dists, idx = self._kernels[key](
-            self._cent, self._cb, self._codes, self._offs, self._sizes,
-            self._perm, self._db, self._norms, q)
+        args = [self._cent, self._cb, self._codes, self._offs, self._sizes,
+                self._perm, self._db, self._norms, q]
+        if with_mask:
+            m = np.zeros(n, dtype=bool)
+            m[: len(allow_mask)] = np.asarray(allow_mask, dtype=bool)[:n]
+            args.append(replicate(self.mesh, jnp.asarray(m)))
+        args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
+        dists, idx = self._kernels[key](*args)
         return np.asarray(idx), np.asarray(dists)
