@@ -54,6 +54,13 @@ class BenchmarkReport:
     index_rss_delta_bytes: Optional[int] = None
     index_device_bytes: Optional[int] = None
     batch_size: Optional[int] = None
+    # Wall-clock QPS includes one host->device dispatch round-trip per batch;
+    # when the runtime reaches the accelerator over a network tunnel that
+    # round-trip (not the kernel) can dominate. These fields let a reader of
+    # the artifact tell dispatch-bound from kernel-bound numbers.
+    timing_mode: str = "wall_clock_per_batch_dispatch"
+    host_roundtrip_seconds: Optional[float] = None
+    dispatch_bound_fraction: Optional[float] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -68,6 +75,23 @@ def current_rss_bytes() -> Optional[int]:
         return pages * os.sysconf("SC_PAGE_SIZE")
     except Exception:
         return None
+
+
+def measure_host_roundtrip_seconds(rounds: int = 7) -> float:
+    """Median wall-clock of one trivial jitted dispatch + result fetch —
+    the per-batch overhead floor every wall-clock QPS row pays."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(f(x)[0])  # compile
+    ts = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def _measure_for(name: str):
@@ -124,6 +148,57 @@ def generate_synthetic_dataset(train_size: int = 10_000, test_size: int = 200,
         test = np.asarray(jax.random.uniform(k2, (test_size, dim), jnp.float32))
         source = f"synthetic_n{train_size}_q{test_size}_d{dim}"
     gt = exact_ground_truth(train, test, k, distance=distance)
+    return BenchmarkData(train, test, gt, source, dim)
+
+
+def generate_adversarial_dataset(train_size: int, test_size: int, dim: int,
+                                 k: int, seed: int = 42,
+                                 distance: str = "squared-l2",
+                                 zipf_s: float = 1.07,
+                                 aniso_sigma: float = 0.6,
+                                 norm_sigma: float = 0.35) -> BenchmarkData:
+    """GloVe-shaped skewed synthetic data.
+
+    Real embedding corpora are not well-separated isotropic blobs: cluster
+    sizes are heavy-tailed, per-cluster covariance is anisotropic, observed
+    dimensions are correlated, and point norms vary widely. This generator
+    reproduces all four so partition balance (the l_cap lever) and LUT
+    quantization are stressed the way GloVe-1.18M stresses them:
+
+    - **Zipf cluster mass**: p_i proportional to (i+1)^-zipf_s — a few giant
+      clusters plus a long tail of rare ones.
+    - **Anisotropic covariance**: per-cluster, per-axis log-normal scales
+      (sigma=aniso_sigma) before a global rotation.
+    - **Correlated dims**: one random orthogonal mixing matrix applied to
+      every point, so no observed coordinate is independent.
+    - **Heavy-tailed norms**: per-point log-normal radial factor
+      (sigma=norm_sigma).
+
+    Queries are drawn from the same skewed mixture (rare clusters included).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 9)
+    n_clusters = max(train_size // 500, 64)
+    ranks = jnp.arange(1, n_clusters + 1, dtype=jnp.float32)
+    logits = -zipf_s * jnp.log(ranks)
+    centers = jax.random.normal(ks[0], (n_clusters, dim), jnp.float32) * 3.0
+    scales = jnp.exp(jax.random.normal(ks[1], (n_clusters, dim)) * aniso_sigma)
+    rot = jnp.linalg.qr(jax.random.normal(ks[2], (dim, dim)))[0]
+
+    def draw(key_a, key_n, key_r, m):
+        a = jax.random.categorical(key_a, logits, shape=(m,))
+        x = (jnp.take(centers, a, axis=0)
+             + jax.random.normal(key_n, (m, dim)) * jnp.take(scales, a, axis=0))
+        r = jnp.exp(jax.random.normal(key_r, (m, 1)) * norm_sigma)
+        return (x * r) @ rot
+
+    train = np.asarray(draw(ks[3], ks[4], ks[5], train_size), np.float32)
+    test = np.asarray(draw(ks[6], ks[7], ks[8], test_size), np.float32)
+    gt = exact_ground_truth(train, test, k, distance=distance)
+    source = f"synthetic_adversarial_n{train_size}_q{test_size}_d{dim}"
     return BenchmarkData(train, test, gt, source, dim)
 
 
@@ -253,6 +328,10 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     if hasattr(index.impl, "memory_usage"):
         dev_bytes = int(index.impl.memory_usage())
 
+    rtt = measure_host_roundtrip_seconds()
+    n_batches = -(-len(data.test) // batch)
+    dispatch_frac = min(1.0, (rtt * n_batches) / search_s) if search_s > 0 else None
+
     return BenchmarkReport(
         dataset=data.source,
         algorithm=algorithm,
@@ -268,6 +347,8 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
         index_rss_delta_bytes=(rss1 - rss0) if rss0 is not None and rss1 is not None else None,
         index_device_bytes=dev_bytes,
         batch_size=batch,
+        host_roundtrip_seconds=rtt,
+        dispatch_bound_fraction=dispatch_frac,
     )
 
 
@@ -293,6 +374,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--clustered", action="store_true")
+    p.add_argument("--adversarial", action="store_true",
+                   help="GloVe-shaped skewed synthetic data: Zipf cluster "
+                        "sizes, anisotropic covariance, correlated dims, "
+                        "heavy-tailed norms")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the search phase here")
     return p
@@ -304,6 +389,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         loader = load_hdf5_dataset if args.dataset.endswith(
             (".hdf5", ".h5")) else load_json_dataset
         data = loader(args.dataset, args.k, args.limit_train, args.limit_test)
+    elif args.adversarial:
+        data = generate_adversarial_dataset(
+            args.synthetic_train, args.synthetic_test, args.dim, args.k,
+            args.seed, distance=args.distance,
+        )
     else:
         data = generate_synthetic_dataset(
             args.synthetic_train, args.synthetic_test, args.dim, args.k, args.seed,

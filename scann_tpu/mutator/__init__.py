@@ -548,22 +548,42 @@ class DynamicSearcher:
             snap_rows = self._snapshot_rows
             total_rows = self._mutable.total_rows
             measure = self._measure_of_main()
-            # 1. main index candidates (over-fetch to survive masking)
+            # 1. main index candidates (over-fetch to survive masking).
+            # Adaptive: if heavy deletes-since-build invalidate more than
+            # half the fetched window, double the fetch until every query
+            # has min(k, live-snapshot-rows) valid candidates — so k results
+            # are returned whenever >=k live points exist (reference
+            # guarantees full results by re-searching the swapped index,
+            # src/mutator/mod.rs:494-546). Common case stays at one fetch.
             fetch = min(max(2 * k, k + 8), snap_rows) if snap_rows else 0
+            live_snap = (snap_rows - int(self._cand_invalid.sum())
+                         if snap_rows else 0)
+            need = min(k, live_snap)
+
+            def _fetch_candidates(f):
+                ci, _ = self._main.search_batched_arrays(queries, f)
+                ci = np.asarray(ci, np.int64)
+                in_range = (ci >= 0) & (ci < snap_rows)
+                safe = np.clip(ci, 0, max(snap_rows - 1, 0))
+                return ci, in_range & ~self._cand_invalid[safe]
+
             if fetch > 0:
-                cand_i, _ = self._main.search_batched_arrays(queries, fetch)
-                cand_i = np.asarray(cand_i, np.int64)
+                cand_i, cand_valid = _fetch_candidates(fetch)
+                while (need > 0 and fetch < snap_rows
+                       and cand_valid.sum(axis=1).min() < need):
+                    fetch = min(fetch * 2, snap_rows)
+                    cand_i, cand_valid = _fetch_candidates(fetch)
             else:
                 cand_i = np.zeros((b, 0), np.int64)
+                cand_valid = np.zeros_like(cand_i, bool)
             f_pad = max(cand_i.shape[1], 1)
             if cand_i.shape[1] < f_pad:
                 cand_i = np.concatenate(
                     [cand_i, np.full((b, f_pad - cand_i.shape[1]), -1,
                                      np.int64)], axis=1)
-            in_range = (cand_i >= 0) & (cand_i < snap_rows)
-            safe_c = np.clip(cand_i, 0, max(snap_rows - 1, 0))
-            cand_valid = in_range & ~self._cand_invalid[safe_c] \
-                if snap_rows else np.zeros_like(cand_i, bool)
+                cand_valid = np.concatenate(
+                    [cand_valid, np.zeros((b, f_pad - cand_valid.shape[1]),
+                                          bool)], axis=1)
 
             # 2. extra slab: delta adds + rows updated since build (shared
             # across queries; removed rows come back None -> stay invalid)

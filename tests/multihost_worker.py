@@ -83,3 +83,42 @@ np.testing.assert_allclose(
     dists_np, np.sort(d2, axis=1)[:, :K], rtol=1e-4, atol=1e-4)
 
 print(f"proc {proc_id}: multihost sharded search OK", flush=True)
+
+# ---------------------------------------------------------------------------
+# flagship across the process boundary: tree-×-AH with partitions bin-packed
+# over BOTH processes' devices (VERDICT r2 #9). Every process builds the
+# same deterministic single-device index; the sharded wrapper places each
+# partition's CSR block + raw rows on its owning device, and the [k]-sized
+# exact partials merge across the gloo process boundary.
+# ---------------------------------------------------------------------------
+from scann_tpu.data.dataset import DenseDataset
+from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+from scann_tpu.models.searcher import SearchParameters
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+tree = TreeXHybridSearcher(TreeXHybridConfig(
+    num_partitions=8, partitions_to_search=8,
+    hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=6,
+                                       seed=7, max_iterations=5),
+)).build(DenseDataset(full))
+sharded_tree = ShardedTreeXHybridSearcher(tree, mesh)
+params = SearchParameters(pre_reordering_num_neighbors=64)
+idx_t, dists_t = sharded_tree.search_batched_arrays(queries, K, params)
+idx_1, _ = tree.search_batched_arrays(queries, K, params)
+
+# parity vs the single-device searcher, judged by recall against exact GT:
+# the sharded path keeps a full local pre_k on every shard, so its recall
+# must match or beat single-device (tail candidate sets may differ)
+rec_sh = np.mean([len(set(map(int, idx_t[i])) & set(map(int, gt[i]))) / K
+                  for i in range(len(queries))])
+rec_1 = np.mean([len(set(map(int, idx_1[i])) & set(map(int, gt[i]))) / K
+                 for i in range(len(queries))])
+assert rec_sh >= rec_1 - 1e-9, (proc_id, rec_sh, rec_1)
+assert rec_sh >= 0.9, (proc_id, rec_sh)
+# distances of returned ids must be exact
+m = idx_t >= 0
+d_ret = ((queries[:, None, :] - full[np.maximum(idx_t, 0)]) ** 2).sum(-1)
+np.testing.assert_allclose(dists_t[m], d_ret[m], rtol=1e-4, atol=1e-4)
+
+print(f"proc {proc_id}: multihost sharded tree-AH OK", flush=True)

@@ -53,3 +53,4 @@ def test_multiprocess_sharded_search(num_procs):
             pytest.skip(f"gloo collectives unavailable: {out[-500:]}")
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "multihost sharded search OK" in out
+        assert "multihost sharded tree-AH OK" in out

@@ -191,3 +191,41 @@ def test_dynamic_searcher_auto_rebuild(rng):
     data, deleted = ds._mutable.snapshot()
     gt = np.argsort(((q[None] - data) ** 2).sum(-1))[:5]
     assert set(idx[0]) == set(gt.tolist())
+
+def test_dynamic_searcher_heavy_deletes(rng):
+    """90% of points deleted since build must not starve k results.
+
+    The default over-fetch is min(2k, snap_rows); when >half the top-2k
+    main-index candidates are deleted-since-build the searcher must refetch
+    deeper until every query has min(k, live) valid candidates (reference
+    guarantees full results via rebuild: src/mutator/mod.rs:494-546)."""
+    n, d, k = 400, 8, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    ds = DynamicSearcher(DenseDataset(db), lambda dset: BruteForceSearcher(dset),
+                         rebuild_threshold=10_000)
+    keep = set(rng.choice(n, size=n // 10, replace=False).tolist())
+    for i in range(n):
+        if i not in keep:
+            ds.remove(i)
+
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    idx, dist = ds.search_batched_arrays(q, k)
+    live = sorted(keep)
+    gt_pool = db[live]
+    for b in range(q.shape[0]):
+        got = [int(i) for i in idx[b] if i >= 0]
+        assert len(got) == k, f"query {b}: only {len(got)} of {k} results"
+        assert all(i in keep for i in got)
+        gt = np.argsort(((q[b][None] - gt_pool) ** 2).sum(-1))[:k]
+        assert set(got) == {live[j] for j in gt}
+
+    # degenerate: fewer live points than k -> exactly the live set returned
+    ds2 = DynamicSearcher(DenseDataset(db[:20]),
+                          lambda dset: BruteForceSearcher(dset),
+                          rebuild_threshold=10_000)
+    for i in range(20):
+        if i not in (3, 11):
+            ds2.remove(i)
+    idx2, _ = ds2.search_batched_arrays(q[:1], 5)
+    got2 = {int(i) for i in idx2[0] if i >= 0}
+    assert got2 == {3, 11}

@@ -154,3 +154,37 @@ def test_harness_hdf5_round_trip(tmp_path):
     np.testing.assert_array_equal(loaded.gt, data.gt)
     loaded2 = load_hdf5_dataset(p, 3, limit_train=50, limit_test=2)
     assert loaded2.train.shape[0] == 50 and loaded2.test.shape[0] == 2
+
+
+def test_adversarial_generator_is_skewed():
+    """The GloVe-shaped generator must actually produce heavy-tailed
+    structure: varying point norms and correlated dims (VERDICT r2 weak #5)."""
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
+
+    data = generate_adversarial_dataset(4000, 20, 16, 10, seed=3)
+    norms = np.linalg.norm(data.train, axis=1)
+    # heavy-tailed norms: top decile well above median
+    assert np.percentile(norms, 90) / np.median(norms) > 1.3
+    # correlated dims: off-diagonal correlation mass is non-trivial
+    c = np.corrcoef(data.train.T)
+    off = np.abs(c[~np.eye(16, dtype=bool)])
+    assert off.mean() > 0.05
+    # ground truth is exact and ids are in range
+    assert data.gt.shape == (20, 10)
+    assert data.gt.min() >= 0 and data.gt.max() < 4000
+
+
+def test_harness_tree_ah_adversarial_end_to_end():
+    """Tree-AH must still reach high recall on skewed (power-law,
+    anisotropic) data with enough leaves searched + reorder."""
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
+
+    args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "16",
+         "--partitions-to-search", "8", "--num-blocks", "4",
+         "--reorder", "80", "--batch-size", "20"])
+    data = generate_adversarial_dataset(2000, 20, 16, 10, seed=7)
+    report = run_benchmark("tree-ah", data, args)
+    assert report.recall_at_k >= 0.85, report.recall_at_k
+    assert report.dispatch_bound_fraction is not None
+    assert report.timing_mode == "wall_clock_per_batch_dispatch"
