@@ -1,0 +1,190 @@
+"""10M-point single-chip crossover: bf16 block-min sweep vs tree-×-AH.
+
+The tree-×-AH architecture's value proposition at production scale
+(reference: src/tree_x_hybrid/mod.rs) is that its per-query cost is nearly
+independent of N while an exact sweep streams the whole database per batch.
+BENCH_NOTES' cost model put the B=1024 crossover at ~15-20M points with
+measurement stopping at 5M; this script measures both architectures at
+10M x 100d on one chip at matched recall and serving batch sizes.
+
+Methodology identical to bench.py: chained on-device lax.scan timing (each
+step's reduced output feeds the next step's input; one host sync at the
+end), exact ground truth on the same queries that are timed.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benches/crossover_10m.py
+(~4 GB device->host pull for the dataset + a multi-minute index build; give
+it an hour.)
+"""
+
+import os
+import time
+
+import numpy as np
+
+# overridable for small-shape smoke tests (CROSSOVER_N=100000 ...)
+N = int(os.environ.get("CROSSOVER_N", 10_000_000))
+D, K = 100, 10
+NC = max(N // 250, 8)  # ~250 points/cluster, same density as the 5M run
+B = int(os.environ.get("CROSSOVER_B", 1024))
+N_PARTS = int(os.environ.get("CROSSOVER_PARTS", 16_000))
+SEED = 7
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def scan_time(make_scan, iters, rounds=3):
+    fn = make_scan(iters)
+    float(fn())  # compile + run once
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(fn())
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def recall_at_k(idx, gt, k=K):
+    return float(np.mean([len(set(map(int, a)) & set(map(int, g))) / k
+                          for a, g in zip(idx, gt)]))
+
+
+def chained(kern_call, arrays, iters, rounds=3):
+    """Chained-scan timing of ``kern_call(q_perturbed, *arrays)`` ->
+    (vals, idx); all big arrays ride as jit arguments."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_scan(it):
+        @jax.jit
+        def run(qq, *rest):
+            def body(acc, i):
+                vals, _ = kern_call(qq + acc * 1e-20 + i * 1e-6, *rest)
+                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(it, dtype=jnp.float32))
+            return acc
+        return lambda: run(*arrays)
+    return scan_time(make_scan, iters, rounds)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu import BruteForceSearcher, DenseDataset
+
+    # generate on HOST: this environment's device<->host link runs at only
+    # ~2.4 MB/s down / ~10 MB/s up, so a device-side generate + 4 GiB pull
+    # costs ~30 min while host numpy draws 1e9 f32 normals in ~3 min. The
+    # single 4 GiB upload happens once inside ds.device() and is then
+    # shared by GT, the sweep and the tree build (device-cache reuse).
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(SEED)
+    centers = (rng.standard_normal((NC, D), dtype=np.float32) * 2.5)
+    a = rng.integers(0, NC, N)
+    db = rng.standard_normal((N, D), dtype=np.float32)
+    db += centers[a]
+    aq = rng.integers(0, NC, B)
+    q_np = (centers[aq]
+            + rng.standard_normal((B, D), dtype=np.float32)).astype(np.float32)
+    log(f"generate on host ({db.nbytes/2**30:.1f} GiB): "
+        f"{time.perf_counter()-t0:.1f}s")
+    ds = DenseDataset(db)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(ds.device()[0])
+    log(f"upload to device: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q_np, K)
+    log(f"exact GT over {B} queries: {time.perf_counter()-t0:.1f}s")
+
+    # ---------------- bf16 block-min sweep + exact re-rank ----------------
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+    from scann_tpu.ops.distances import DistanceMeasure
+    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
+
+    t0 = time.perf_counter()
+    sweep = BlockSweepSearcher(ds)
+    aug, dbd, norms, n_valid = sweep._device_state()
+    jax.block_until_ready(aug)
+    log(f"block-sweep build (bf16 augmented copy): {time.perf_counter()-t0:.1f}s")
+
+    sweep_rows = []
+    for b in sorted({min(32, B), B}):
+        q_dev = jnp.asarray(q_np[:b])
+        idx, _ = sweep.search_batched_arrays(q_np[:b], K)
+        rec = recall_at_k(idx, gt[:b])
+
+        def call(qq, augx, dbx, nx):
+            return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
+                                       pre_k=100, k=K,
+                                       measure=DistanceMeasure.SQUARED_L2)
+        dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
+                     iters=8)
+        log(f"sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
+            f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+        sweep_rows.append((b, rec, dt))
+
+    # free the bf16 augmented copy before the tree build
+    del aug, sweep
+    jax.clear_caches()
+
+    # ---------------------------- tree-×-AH -------------------------------
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.searcher import SearchParameters
+    from scann_tpu.models.tree_x_hybrid import (
+        TreeXHybridConfig,
+        TreeXHybridSearcher,
+        tree_ah_grouped_kernel,
+        tree_ah_kernel,
+    )
+
+    t0 = time.perf_counter()
+    cfg = TreeXHybridConfig(
+        num_partitions=N_PARTS, partitions_to_search=10,
+        partition_training_sample_size=min(2_000_000, N),
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
+            training_sample_size=100_000))
+    s = TreeXHybridSearcher(cfg).build(ds)
+    log(f"tree-AH build ({N_PARTS} partitions): {time.perf_counter()-t0:.1f}s")
+
+    db_d, norms, n_valid = s._device_state()
+    codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
+    cent = s.partitioner.centers_device()
+    cb = s.codebook.centroids_device()
+    grouped = s._use_grouped_pallas()
+    log(f"l_cap={l_cap} kernel={'grouped-pallas' if grouped else 'xla'}")
+
+    for p, pre_k in ((10, 150), (20, 200)):
+        kw = dict(p=p, pre_k=pre_k, k=K, l_cap=l_cap, use_residuals=True,
+                  measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
+                  approx_select_min=cfg.approx_selection_min_partitions)
+        if grouped:
+            kern, codes_arg = tree_ah_grouped_kernel, codes_csr
+            kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
+        else:
+            kern, codes_arg = tree_ah_kernel, codes_rows
+        for b in sorted({min(32, B), B}):
+            q_dev = jnp.asarray(q_np[:b])
+            idx, _ = s.search_batched_arrays(
+                q_np[:b], K, params=SearchParameters(
+                    num_leaves_to_search=p, pre_reordering_num_neighbors=pre_k))
+            rec = recall_at_k(idx, gt[:b])
+
+            def call(qq, dbx, nx, c, codes, off, sz, pm, cbx):
+                return kern(dbx, nx, c, codes, off, sz, pm, cbx, qq,
+                            jnp.int32(n_valid), None,
+                            jnp.float32(np.inf), jnp.float32(np.inf), **kw)
+            dt = chained(lambda qq, *r: call(qq, *r),
+                         (q_dev, db_d, norms, cent, codes_arg,
+                          csr_offsets, part_sizes, perm, cb), iters=8)
+            log(f"tree-AH {N}x{D} p={p} pre_k={pre_k} B={b}: "
+                f"recall@10={rec:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+
+
+if __name__ == "__main__":
+    main()
