@@ -1,19 +1,18 @@
-"""10M-point single-chip crossover: bf16 block-min sweep vs tree-×-AH.
+"""1.18M-point pareto on GloVe-shaped adversarial synthetic data.
 
-The tree-×-AH architecture's value proposition at production scale
-(reference: src/tree_x_hybrid/mod.rs) is that its per-query cost is nearly
-independent of N while an exact sweep streams the whole database per batch.
-BENCH_NOTES' cost model put the B=1024 crossover at ~15-20M points with
-measurement stopping at 5M; this script measures both architectures at
-10M x 100d on one chip at matched recall and serving batch sizes.
+Re-publishes the flagship recall/QPS rows (bf16 block-min sweep + exact
+re-rank, tree-×-AH grouped-MXU pipeline) on the harness's adversarial
+generator — Zipf cluster mass, anisotropic covariance, correlated dims,
+heavy-tailed norms — instead of the well-separated clustered generator
+(VERDICT r2 weak #5: real GloVe is anisotropic with heavy-tailed cluster
+sizes; partition balance is exactly what such data stresses). Reports the
+partition-balance picture (sizes before/after the l_cap demote loop) along
+with the timed rows.
 
-Methodology identical to bench.py: chained on-device lax.scan timing (each
-step's reduced output feeds the next step's input; one host sync at the
-end), exact ground truth on the same queries that are timed.
+Methodology identical to bench.py: chained on-device lax.scan timing, exact
+GT on the same queries that are timed.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benches/crossover_10m.py
-(~4 GB device->host pull for the dataset + a multi-minute index build; give
-it an hour.)
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benches/adversarial_1m.py
 """
 
 import os
@@ -21,13 +20,11 @@ import time
 
 import numpy as np
 
-# overridable for small-shape smoke tests (CROSSOVER_N=100000 ...)
-N = int(os.environ.get("CROSSOVER_N", 10_000_000))
+N = int(os.environ.get("ADV_N", 1_180_000))
 D, K = 100, 10
-NC = max(N // 250, 8)  # ~250 points/cluster, same density as the 5M run
-B = int(os.environ.get("CROSSOVER_B", 1024))
-N_PARTS = int(os.environ.get("CROSSOVER_PARTS", 16_000))
-SEED = 7
+B = int(os.environ.get("ADV_B", 1024))
+N_PARTS = int(os.environ.get("ADV_PARTS", 2000))
+SEED = 42
 
 
 def log(*a):
@@ -36,7 +33,7 @@ def log(*a):
 
 def scan_time(make_scan, iters, rounds=3):
     fn = make_scan(iters)
-    float(fn())  # compile + run once
+    float(fn())
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -50,9 +47,7 @@ def recall_at_k(idx, gt, k=K):
                           for a, g in zip(idx, gt)]))
 
 
-def chained(kern_call, arrays, iters, rounds=3):
-    """Chained-scan timing of ``kern_call(q_perturbed, *arrays)`` ->
-    (vals, idx); all big arrays ride as jit arguments."""
+def chained(kern_call, arrays, iters):
     import jax
     import jax.numpy as jnp
 
@@ -66,57 +61,25 @@ def chained(kern_call, arrays, iters, rounds=3):
                                   jnp.arange(it, dtype=jnp.float32))
             return acc
         return lambda: run(*arrays)
-    return scan_time(make_scan, iters, rounds)
+    return scan_time(make_scan, iters)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from scann_tpu import BruteForceSearcher, DenseDataset
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
 
-    # generate on HOST: this environment's device<->host link runs at only
-    # ~2.4 MB/s down / ~10 MB/s up, so a device-side generate + 4 GiB pull
-    # costs ~30 min while host numpy draws 1e9 f32 normals in ~3 min. The
-    # single 4 GiB upload happens once inside ds.device() and is then
-    # shared by GT, the sweep and the tree build (device-cache reuse).
     t0 = time.perf_counter()
-    cache_db = f"/tmp/crossover_{N}_{D}_{SEED}_db.npy"
-    cache_q = f"/tmp/crossover_{N}_{D}_{SEED}_q{B}.npy"
-    if os.path.exists(cache_db) and os.path.exists(cache_q):
-        db = np.load(cache_db)
-        q_np = np.load(cache_q)
-        log(f"loaded cached dataset: {time.perf_counter()-t0:.1f}s")
-    else:
-        rng = np.random.default_rng(SEED)
-        centers = (rng.standard_normal((NC, D), dtype=np.float32) * 2.5)
-        a = rng.integers(0, NC, N)
-        db = rng.standard_normal((N, D), dtype=np.float32)
-        db += centers[a]
-        aq = rng.integers(0, NC, B)
-        q_np = (centers[aq]
-                + rng.standard_normal((B, D), dtype=np.float32)).astype(np.float32)
-        log(f"generate on host ({db.nbytes/2**30:.1f} GiB): "
-            f"{time.perf_counter()-t0:.1f}s")
-        if N >= 1_000_000:
-            np.save(cache_db, db)
-            np.save(cache_q, q_np)
+    data = generate_adversarial_dataset(N, B, D, K, seed=SEED)
+    log(f"adversarial dataset + exact GT: {time.perf_counter()-t0:.1f}s")
+    db, q_np, gt = data.train, data.test, data.gt
+    norms_host = np.linalg.norm(db, axis=1)
+    log(f"norm spread p50={np.median(norms_host):.2f} "
+        f"p90={np.percentile(norms_host, 90):.2f} "
+        f"p99={np.percentile(norms_host, 99):.2f} max={norms_host.max():.2f}")
     ds = DenseDataset(db)
-
-    t0 = time.perf_counter()
-    jax.block_until_ready(ds.device()[0])
-    log(f"upload to device: {time.perf_counter()-t0:.1f}s")
-
-    # GT in 128-query chunks: a full [B, N] f32 distance matrix at B=1024,
-    # N=10M would be 40 GiB — far past HBM. 128 queries -> 5 GiB temp.
-    t0 = time.perf_counter()
-    bf = BruteForceSearcher(ds)
-    gt_parts = []
-    for i in range(0, B, 128):
-        idx_c, _ = bf.search_batched_arrays(q_np[i : i + 128], K)
-        gt_parts.append(idx_c)
-    gt = np.concatenate(gt_parts, axis=0)
-    log(f"exact GT over {B} queries: {time.perf_counter()-t0:.1f}s")
 
     # ---------------- bf16 block-min sweep + exact re-rank ----------------
     from scann_tpu.models.block_sweep import BlockSweepSearcher
@@ -127,10 +90,9 @@ def main():
     sweep = BlockSweepSearcher(ds)
     aug, dbd, norms, n_valid = sweep._device_state()
     jax.block_until_ready(aug)
-    log(f"block-sweep build (bf16 augmented copy): {time.perf_counter()-t0:.1f}s")
+    log(f"block-sweep build: {time.perf_counter()-t0:.1f}s")
 
-    sweep_rows = []
-    for b in sorted({min(32, B), B}):
+    for b in (128, B):
         q_dev = jnp.asarray(q_np[:b])
         idx, _ = sweep.search_batched_arrays(q_np[:b], K)
         rec = recall_at_k(idx, gt[:b])
@@ -140,12 +102,10 @@ def main():
                                        pre_k=100, k=K,
                                        measure=DistanceMeasure.SQUARED_L2)
         dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
-                     iters=8)
-        log(f"sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
+                     iters=12)
+        log(f"ADV sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
             f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
-        sweep_rows.append((b, rec, dt))
 
-    # free the bf16 augmented copy before the tree build
     del aug, sweep
     jax.clear_caches()
 
@@ -162,12 +122,19 @@ def main():
     t0 = time.perf_counter()
     cfg = TreeXHybridConfig(
         num_partitions=N_PARTS, partitions_to_search=10,
-        partition_training_sample_size=min(2_000_000, N),
         hash_config=AsymmetricHasherConfig(
             num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
             training_sample_size=100_000))
     s = TreeXHybridSearcher(cfg).build(ds)
     log(f"tree-AH build ({N_PARTS} partitions): {time.perf_counter()-t0:.1f}s")
+
+    # partition-balance picture on skewed data: the l_cap demote loop is the
+    # lever this generator stresses
+    tk = s.partitioner.tokenization
+    sizes = np.asarray(tk.partition_sizes)
+    log(f"partition sizes after balance: mean={sizes.mean():.0f} "
+        f"p50={np.median(sizes):.0f} p99={np.percentile(sizes, 99):.0f} "
+        f"max={sizes.max()} (cap target 1.5x mean)")
 
     db_d, norms, n_valid = s._device_state()
     codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
@@ -176,7 +143,7 @@ def main():
     grouped = s._use_grouped_pallas()
     log(f"l_cap={l_cap} kernel={'grouped-pallas' if grouped else 'xla'}")
 
-    for p, pre_k in ((10, 150), (20, 200)):
+    for p, pre_k in ((10, 150), (20, 200), (30, 300)):
         kw = dict(p=p, pre_k=pre_k, k=K, l_cap=l_cap, use_residuals=True,
                   measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
                   approx_select_min=cfg.approx_selection_min_partitions)
@@ -185,7 +152,7 @@ def main():
             kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
         else:
             kern, codes_arg = tree_ah_kernel, codes_rows
-        for b in sorted({min(32, B), B}):
+        for b in (128, B):
             q_dev = jnp.asarray(q_np[:b])
             idx, _ = s.search_batched_arrays(
                 q_np[:b], K, params=SearchParameters(
@@ -199,7 +166,7 @@ def main():
             dt = chained(lambda qq, *r: call(qq, *r),
                          (q_dev, db_d, norms, cent, codes_arg,
                           csr_offsets, part_sizes, perm, cb), iters=8)
-            log(f"tree-AH {N}x{D} p={p} pre_k={pre_k} B={b}: "
+            log(f"ADV tree-AH {N}x{D} p={p} pre_k={pre_k} B={b}: "
                 f"recall@10={rec:.4f} {dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
 
