@@ -175,28 +175,31 @@ def generate_adversarial_dataset(train_size: int, test_size: int, dim: int,
       (sigma=norm_sigma).
 
     Queries are drawn from the same skewed mixture (rare clusters included).
+
+    Generation runs on HOST numpy: this environment's device->host link is
+    ~2.4 MB/s and rejects multi-hundred-MB pulls (RESOURCE_EXHAUSTED), while
+    host numpy draws 10^8 normals in seconds; only the exact-GT computation
+    uploads to the device (once, chunked).
     """
-    import jax
-    import jax.numpy as jnp
-
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 9)
+    rng = np.random.default_rng(seed)
     n_clusters = max(train_size // 500, 64)
-    ranks = jnp.arange(1, n_clusters + 1, dtype=jnp.float32)
-    logits = -zipf_s * jnp.log(ranks)
-    centers = jax.random.normal(ks[0], (n_clusters, dim), jnp.float32) * 3.0
-    scales = jnp.exp(jax.random.normal(ks[1], (n_clusters, dim)) * aniso_sigma)
-    rot = jnp.linalg.qr(jax.random.normal(ks[2], (dim, dim)))[0]
+    p = (np.arange(1, n_clusters + 1, dtype=np.float64)) ** (-zipf_s)
+    p /= p.sum()
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 3.0
+    scales = np.exp(rng.standard_normal((n_clusters, dim)) * aniso_sigma
+                    ).astype(np.float32)
+    rot = np.linalg.qr(rng.standard_normal((dim, dim)))[0].astype(np.float32)
 
-    def draw(key_a, key_n, key_r, m):
-        a = jax.random.categorical(key_a, logits, shape=(m,))
-        x = (jnp.take(centers, a, axis=0)
-             + jax.random.normal(key_n, (m, dim)) * jnp.take(scales, a, axis=0))
-        r = jnp.exp(jax.random.normal(key_r, (m, 1)) * norm_sigma)
+    def draw(m):
+        a = rng.choice(n_clusters, size=m, p=p)
+        x = rng.standard_normal((m, dim), dtype=np.float32)
+        x *= scales[a]
+        x += centers[a]
+        r = np.exp(rng.standard_normal((m, 1)) * norm_sigma).astype(np.float32)
         return (x * r) @ rot
 
-    train = np.asarray(draw(ks[3], ks[4], ks[5], train_size), np.float32)
-    test = np.asarray(draw(ks[6], ks[7], ks[8], test_size), np.float32)
+    train = draw(train_size)
+    test = draw(test_size)
     gt = exact_ground_truth(train, test, k, distance=distance)
     source = f"synthetic_adversarial_n{train_size}_q{test_size}_d{dim}"
     return BenchmarkData(train, test, gt, source, dim)

@@ -51,9 +51,13 @@ class TreePartitionerConfig:
     max_partition_size: Optional[object] = None
     balance_rounds: int = 4
     # overflow-demotion passes and fallback choices per point; points that
-    # exhaust all choices stay put (bounded slack instead of livelock)
-    cap_enforce_rounds: int = 4
-    cap_enforce_choices: int = 4
+    # exhaust all choices stay put (bounded slack instead of livelock).
+    # Defaults raised 4 -> 12 after Zipf-mass data measured max size 3148
+    # vs an 885 cap: hotspot points exhaust 4 nearby centers while the
+    # padded-leaf kernels pay the straggler (l_cap) on EVERY query; the
+    # extra rounds are host-side build-time only.
+    cap_enforce_rounds: int = 12
+    cap_enforce_choices: int = 12
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -106,7 +110,8 @@ class TreePartitioner:
         # device copy (re-uploading 2GB per round through a host link
         # dominated 5M-scale build time). DenseDataset inputs share their
         # cached device array (also reused later by the searcher).
-        if hasattr(dataset, "device"):
+        # note: numpy>=2 ndarrays also carry a (non-callable) .device attr
+        if callable(getattr(dataset, "device", None)):
             padded, n_dev = dataset.device()
             data_dev = padded if padded.shape[0] == n else padded[:n]
         else:
