@@ -24,13 +24,21 @@ from scann_tpu.trees.kmeans import KMeans, KMeansConfig, KMeansInit
 
 @dataclasses.dataclass
 class CodebookConfig:
-    """(reference: src/hashes/codebook.rs:119-144)."""
+    """(reference: src/hashes/codebook.rs:119-144).
+
+    ``anisotropic_threshold`` (TPU extension, no reference counterpart):
+    when set, per-subspace k-means only initializes the codebook and
+    training continues under the score-aware anisotropic loss of Guo et al.
+    2020 (see hashes/avq.py) — ScaNN's MIPS-recall lever; its default there
+    is T=0.2. Encoding then also minimizes the anisotropic loss."""
 
     num_codes: int = 256
     num_subspaces: int = 8
     max_iterations: int = 25
     convergence_threshold: float = 1e-4
     seed: Optional[int] = None
+    anisotropic_threshold: Optional[float] = None
+    avq_iters: int = 8
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
@@ -81,8 +89,13 @@ class Codebook:
         self.dimensionality = 0
         self.dims_per_subspace = 0
         self._centroids_dev = None
+        self.eta: Optional[float] = None  # anisotropic weight ratio, if AVQ
 
-    def train(self, data) -> "Codebook":
+    def train(self, data, directions=None) -> "Codebook":
+        """Train the codebook. ``directions`` (AVQ only): [N, D] unit rows
+        of the ORIGINAL datapoints — for residual quantization (tree-AH)
+        the anisotropic loss weights error along the original point's
+        direction, not the residual's; defaults to normalized ``data``."""
         arr = data.numpy() if hasattr(data, "numpy") else np.asarray(data, np.float32)
         if arr.shape[0] == 0:
             raise ScannError.invalid_argument("Cannot train on empty dataset")
@@ -108,6 +121,23 @@ class Codebook:
                 seed=seed + sub,  # reference: codebook.rs:193 seed + s
             ))
             centroids[sub] = km.fit(subs[:, sub, :]).centers
+        if self.config.anisotropic_threshold is not None:
+            from scann_tpu.hashes.avq import (
+                anisotropic_eta,
+                avq_refine_kernel,
+                unit_directions,
+            )
+
+            self.eta = anisotropic_eta(self.config.anisotropic_threshold, d)
+            x_dev = jnp.asarray(arr)
+            h_dev = (unit_directions(x_dev) if directions is None
+                     else unit_directions(directions))
+            cent_dev, _, _ = avq_refine_kernel(
+                x_dev, h_dev, jnp.asarray(centroids), self.eta,
+                iters=int(self.config.avq_iters))
+            self.centroids = np.asarray(cent_dev)
+            self._centroids_dev = cent_dev
+            return self
         self.centroids = centroids
         self._centroids_dev = jnp.asarray(centroids)
         return self
@@ -131,10 +161,14 @@ class Codebook:
             raise ScannError.failed_precondition("codebook not trained")
 
     # -- encode / decode ----------------------------------------------------
-    def encode_dataset(self, data) -> np.ndarray:
+    def encode_dataset(self, data, directions=None) -> np.ndarray:
         """[N, D] -> [N, S] uint8 codes. Accepts numpy, DenseDataset, or an
         already-device jnp array (no host round trip — a 5M x 100d residual
-        tensor is 2GB; downloading it just to re-upload dominated build)."""
+        tensor is 2GB; downloading it just to re-upload dominated build).
+
+        Under AVQ training, encoding is score-aware coordinate descent;
+        ``directions`` are the original points' unit rows (default:
+        normalized ``data``)."""
         self._check_trained()
         if hasattr(data, "numpy"):
             arr = jnp.asarray(data.numpy())
@@ -142,7 +176,14 @@ class Codebook:
             arr = data.astype(jnp.float32)
         else:
             arr = jnp.asarray(np.asarray(data, np.float32))
-        codes = encode_kernel(arr, self.centroids_device())
+        if self.eta is not None:
+            from scann_tpu.hashes.avq import avq_encode_kernel, unit_directions
+
+            h = (unit_directions(arr) if directions is None
+                 else unit_directions(directions))
+            codes = avq_encode_kernel(arr, h, self.centroids_device(), self.eta)
+        else:
+            codes = encode_kernel(arr, self.centroids_device())
         return np.asarray(codes).astype(np.uint8)
 
     def encode(self, point: np.ndarray) -> np.ndarray:

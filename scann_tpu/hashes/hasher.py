@@ -61,6 +61,10 @@ class AsymmetricHasherConfig:
     # COSINE normalizes rows at build + queries at search (L2 LUTs then rank
     # identically to cosine); DOT_PRODUCT/GIP use -dot LUTs
     distance_measure: DistanceMeasure = DistanceMeasure.SQUARED_L2
+    # TPU extension: score-aware anisotropic codebook training (Guo et al.
+    # 2020, hashes/avq.py) — set to e.g. 0.2 to boost MIPS/cosine recall at
+    # the same bit budget; None = plain reconstruction-loss PQ
+    anisotropic_threshold: Optional[float] = None
 
 
 _AH_MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
@@ -228,6 +232,7 @@ class AsymmetricHasher(Searcher):
             num_subspaces=cfg.num_subspaces,
             max_iterations=cfg.max_iterations,
             seed=cfg.seed,
+            anisotropic_threshold=cfg.anisotropic_threshold,
         )).train(train)
 
         self.codes = self.codebook.encode_dataset(data)

@@ -28,6 +28,16 @@ def _ah_cfg_dict(cfg) -> dict:
     return d
 
 
+def _restore_avq(cb, threshold) -> None:
+    """Re-derive the anisotropic eta on a deserialized codebook so future
+    re-encodes (mutations) stay score-aware (hashes/avq.py)."""
+    if threshold is not None:
+        from scann_tpu.hashes.avq import anisotropic_eta
+
+        cb.config.anisotropic_threshold = float(threshold)
+        cb.eta = anisotropic_eta(float(threshold), cb.dimensionality)
+
+
 def _ah_cfg_load(d: dict):
     from scann_tpu.hashes.hasher import AsymmetricHasherConfig
     from scann_tpu.ops.distances import DistanceMeasure
@@ -234,6 +244,7 @@ def load_index(path: str):
         cb.centroids = arrays["codebook"]
         cb.dimensionality = arrays["codebook"].shape[0] * arrays["codebook"].shape[2]
         cb.dims_per_subspace = arrays["codebook"].shape[2]
+        _restore_avq(cb, cfgd.get("anisotropic_threshold"))
         h.codebook = cb
         h.codes = arrays["codes"]
         h._n = len(arrays["codes"])
@@ -264,6 +275,7 @@ def load_index(path: str):
         cb.centroids = arrays["codebook"]
         cb.dimensionality = arrays["codebook"].shape[0] * arrays["codebook"].shape[2]
         cb.dims_per_subspace = arrays["codebook"].shape[2]
+        _restore_avq(cb, getattr(hc, "anisotropic_threshold", None))
         s.codebook = cb
         s.codes = arrays["codes"]
         if not meta.get("assignment_codes", False):

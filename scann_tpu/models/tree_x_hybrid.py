@@ -498,21 +498,36 @@ class TreeXHybridSearcher(Searcher):
 
         hc = cfg.hash_config
         m = train_dev.shape[0]
+        sel = None
         if hc.training_sample_size < m:
             rng = np.random.default_rng(hc.seed if hc.seed is not None else 42)
-            sel = rng.choice(m, hc.training_sample_size, replace=False)
-            sample = np.asarray(jnp.take(train_dev, jnp.asarray(sel), axis=0))
+            sel = jnp.asarray(rng.choice(m, hc.training_sample_size, replace=False))
+            sample = np.asarray(jnp.take(train_dev, sel, axis=0))
         else:
             sample = np.asarray(train_dev)
+
+        # AVQ (hashes/avq.py): the anisotropic loss weights residual error
+        # along the ORIGINAL point's direction (the score being protected is
+        # <q, x>), so directions are gathered from the raw rows, not the
+        # residuals. Doubles build-time device memory for the [M, D] tensor
+        # — opt-in via hash_config.anisotropic_threshold.
+        sample_dirs = dirs_dev = None
+        if hc.anisotropic_threshold is not None:
+            dirs_dev = jax.jit(
+                lambda x, pts: jnp.take(x, pts, axis=0)
+            )(db_dev, jnp.asarray(tk.point_indices))
+            sample_dirs = (np.asarray(jnp.take(dirs_dev, sel, axis=0))
+                           if sel is not None else np.asarray(dirs_dev))
 
         self.codebook = Codebook(CodebookConfig(
             num_codes=hc.num_codes,
             num_subspaces=hc.num_subspaces,
             max_iterations=hc.max_iterations,
             seed=hc.seed,
-        )).train(sample)
+            anisotropic_threshold=hc.anisotropic_threshold,
+        )).train(sample, directions=sample_dirs)
 
-        self.codes = self.codebook.encode_dataset(train_dev)
+        self.codes = self.codebook.encode_dataset(train_dev, directions=dirs_dev)
         self._norms_cache = None
         self._csr_cache = None
         return self
