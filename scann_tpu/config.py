@@ -100,6 +100,9 @@ class PartitioningConfig(_JsonMixin):
     num_levels: int = 1
     spilling: bool = False
     spilling_threshold: float = 0.0
+    # TPU extension: "soar" secondary assignments (see TreePartitionerConfig)
+    spilling_mode: str = "distance"
+    soar_lambda: float = 1.0
     # TPU extension: cap on training sample size; the reference trains on the
     # full dataset, which is also the default here (None).
     training_sample_size: Optional[int] = None
@@ -111,6 +114,12 @@ class PartitioningConfig(_JsonMixin):
     def with_spilling(self, threshold: float) -> "PartitioningConfig":
         self.spilling = True
         self.spilling_threshold = threshold
+        return self
+
+    def with_soar(self, soar_lambda: float = 1.0) -> "PartitioningConfig":
+        self.spilling = True
+        self.spilling_mode = "soar"
+        self.soar_lambda = soar_lambda
         return self
 
     def with_levels(self, levels: int) -> "PartitioningConfig":
@@ -127,6 +136,10 @@ class HashConfig(_JsonMixin):
     num_blocks: int = 16
     lut_format: LutFormat = LutFormat.INT8
     training_sample_size: int = 100_000
+    # TPU extension (no reference counterpart): score-aware anisotropic
+    # codebook training (Guo et al. 2020, hashes/avq.py); e.g. 0.2 for
+    # MIPS/cosine workloads, None = plain reconstruction-loss PQ
+    anisotropic_threshold: Optional[float] = None
 
     def with_type(self, hash_type: HashType) -> "HashConfig":
         self.hash_type = hash_type
@@ -142,6 +155,10 @@ class HashConfig(_JsonMixin):
 
     def with_lut_format(self, fmt: LutFormat) -> "HashConfig":
         self.lut_format = fmt
+        return self
+
+    def with_anisotropic_threshold(self, t: Optional[float]) -> "HashConfig":
+        self.anisotropic_threshold = t
         return self
 
 

@@ -52,6 +52,7 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
         training_sample_size=int(hc.training_sample_size),
         seed=42,
         distance_measure=measure,
+        anisotropic_threshold=hc.anisotropic_threshold,
     )
 
 
@@ -94,6 +95,8 @@ class Scann(Searcher):
                 distance_measure=measure,
                 spilling=bool(p.spilling),
                 spilling_threshold=float(p.spilling_threshold),
+                spilling_mode=str(p.spilling_mode),
+                soar_lambda=float(p.soar_lambda),
                 partition_max_iterations=int(p.max_training_iterations),
                 partition_convergence_threshold=float(p.convergence_threshold),
                 partition_num_levels=int(p.num_levels),
@@ -120,6 +123,8 @@ class Scann(Searcher):
                     training_sample_size=p.training_sample_size,
                     spilling=bool(p.spilling),
                     spilling_threshold=float(p.spilling_threshold),
+                    spilling_mode=str(p.spilling_mode),
+                    soar_lambda=float(p.soar_lambda),
                 ),
                 num_partitions_to_search=int(p.num_partitions_to_search),
                 distance_measure=measure,

@@ -83,6 +83,12 @@ class TreeXHybridConfig:
     # Scann facade's PartitioningConfig fields are honored, not dropped)
     spilling: bool = False
     spilling_threshold: float = 0.1
+    # "soar" = orthogonality-amplified secondary assignments for every
+    # point (hashes are per-assignment residual codes already, so SOAR
+    # composes with the existing spilling dedup merge); "distance" =
+    # 2nd-nearest threshold rule
+    spilling_mode: str = "distance"
+    soar_lambda: float = 1.0
     partition_max_iterations: int = 100
     partition_convergence_threshold: float = 1e-5
     partition_num_levels: int = 1
@@ -472,6 +478,8 @@ class TreeXHybridSearcher(Searcher):
             max_partition_size=cfg.max_partition_size,
             spilling=cfg.spilling,
             spilling_threshold=cfg.spilling_threshold,
+            spilling_mode=cfg.spilling_mode,
+            soar_lambda=cfg.soar_lambda,
             max_iterations=cfg.partition_max_iterations,
             convergence_threshold=cfg.partition_convergence_threshold,
             num_levels=cfg.partition_num_levels,

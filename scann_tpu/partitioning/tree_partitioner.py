@@ -42,6 +42,15 @@ class TreePartitionerConfig:
     # PartitioningConfig, config.rs:151-155, but never implements it)
     spilling: bool = False
     spilling_threshold: float = 0.1
+    # spilling_mode "soar" (TPU extension; Sun, Guo & Kumar, NeurIPS 2023):
+    # EVERY point gets one secondary partition chosen by the
+    # orthogonality-amplified loss ||r2||^2 + lambda * <r2, r1_hat>^2 —
+    # when a query aligns with the primary residual r1 (exactly the case
+    # where the primary partition's quantized score is worst), the
+    # secondary assignment covers it. "distance" = threshold rule above.
+    spilling_mode: str = "distance"
+    soar_lambda: float = 1.0
+    soar_candidates: int = 8
     # balance: split overloaded partitions (LBG-style center splitting +
     # Lloyd refinement), then hard-enforce the cap by demoting each
     # oversized partition's farthest members to their next-nearest center.
@@ -65,6 +74,30 @@ def select_partitions_kernel(centers, queries, *, measure: DistanceMeasure, p: i
     """[B, K] centroid distances -> (top-p distances, top-p tokens)."""
     dists = many_to_many(measure, queries, centers)
     return top_k_smallest(dists, p)
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def soar_select_kernel(centers, x, primary, lam, *, r: int):
+    """SOAR secondary-assignment selection, one device program.
+
+    centers [K, D]; x [B, D]; primary [B] int32 assigned tokens. Returns
+    [B] int32 secondary tokens: argmin over the r nearest centers
+    (primary masked out) of ||x - c_j||^2 + lam * <x - c_j, r1_hat>^2.
+    """
+    _, cand = select_partitions_kernel(
+        centers, x, measure=DistanceMeasure.SQUARED_L2, p=r)  # [B, r]
+    cand_c = jnp.take(centers, cand, axis=0)                  # [B, r, D]
+    c1 = jnp.take(centers, primary, axis=0)                   # [B, D]
+    r1 = x - c1
+    r1h = r1 / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-30)
+    r2 = x[:, None, :] - cand_c                               # [B, r, D]
+    base = jnp.sum(r2 * r2, axis=-1)                          # [B, r]
+    par = jnp.einsum("brd,bd->br", r2, r1h)
+    loss = base + lam * par * par
+    loss = jnp.where(cand == primary[:, None], jnp.inf, loss)
+    best = jnp.argmin(loss, axis=-1)
+    return jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0].astype(jnp.int32)
 
 
 class TreePartitioner:
@@ -126,7 +159,11 @@ class TreePartitioner:
 
         extra = None
         if cfg.spilling:
-            extra = self._spill_pairs(data_dev, tokens, cfg.spilling_threshold)
+            if cfg.spilling_mode == "soar":
+                extra = self._spill_pairs_soar(
+                    data_dev, tokens, cfg.soar_lambda, cfg.soar_candidates)
+            else:
+                extra = self._spill_pairs(data_dev, tokens, cfg.spilling_threshold)
         self.tokenization = DatabaseTokenization(
             tokens, self.centers.shape[0], extra_pairs=extra)
         self._centers_dev = jnp.asarray(self.centers)
@@ -259,6 +296,26 @@ class TreePartitioner:
             pts = np.nonzero(ok)[0] + lo
             out.append(np.stack([pts, t2[ok, 1]], axis=1))
         return np.concatenate(out, axis=0) if out else None
+
+    def _spill_pairs_soar(self, data, tokens: np.ndarray, lam: float,
+                          r: int, chunk: int = 65536) -> np.ndarray:
+        """One SOAR secondary (point, token) pair for EVERY point: among the
+        top-r nearest centers (primary excluded), minimize the
+        orthogonality-amplified loss ||x - c_j||^2 + lam * <x - c_j, r1_hat>^2
+        with r1 = x - c_primary (Sun, Guo & Kumar, NeurIPS 2023). The
+        residual geometry is L2 regardless of search measure (residual PQ
+        codes are L2 objects; cosine normalizes upstream)."""
+        centers = self.centers_device()
+        r = min(max(r, 2), self.centers.shape[0])
+        out = []
+        n = data.shape[0] if hasattr(data, "shape") else len(data)
+        for lo in range(0, n, chunk):
+            blk = jnp.asarray(data[lo: lo + chunk])
+            tok = jnp.asarray(tokens[lo: lo + chunk])
+            sec = soar_select_kernel(centers, blk, tok, jnp.float32(lam), r=r)
+            out.append(np.asarray(sec))
+        sec = np.concatenate(out, axis=0)
+        return np.stack([np.arange(n, dtype=np.int64), sec], axis=1)
 
     def _build_hierarchical(self, data: np.ndarray, k: int) -> "TreePartitioner":
         """num_levels > 1: hierarchical k-means, leaves become partitions

@@ -199,6 +199,24 @@ def test_tree_ah_avq_builds_and_searches(heavy_tailed):
     assert r_avq > 0.4
 
 
+def test_scann_facade_threads_anisotropic(heavy_tailed):
+    """ScannConfig.hash.anisotropic_threshold reaches the trained codebook
+    (facade knob parity: nothing may be silently dropped)."""
+    from scann_tpu.config import ScannConfig
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.models.scann import Scann
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    x, _ = heavy_tailed
+    cfg = ScannConfig(num_neighbors=10,
+                      distance_measure=DistanceMeasure.DOT_PRODUCT).with_hashing()
+    cfg.hash.num_buckets = 16
+    cfg.hash.num_blocks = S
+    cfg.hash.anisotropic_threshold = 0.2
+    s = Scann(DenseDataset(x[:2000]), cfg)
+    assert s._impl.codebook.eta is not None and s._impl.codebook.eta > 1.0
+
+
 def test_avq_io_roundtrip(tmp_path, heavy_tailed):
     """save/load preserves score-aware encoding (eta restored for future
     re-encodes)."""
