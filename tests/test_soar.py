@@ -110,6 +110,40 @@ def test_soar_tree_ah_recall_beats_no_spill(skewed):
     assert r_soar > r_none + 0.01, f"soar {r_soar} vs none {r_none}"
 
 
+def test_soar_composes_with_sharded_tree_ah(skewed):
+    """A SOAR-spilled index served through the db-sharded flagship wrapper:
+    the spilling dedup merge must hold across shard boundaries."""
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.searcher import SearchParameters
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+    train = skewed.train[:8000]
+    ds = DenseDataset(train)
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=64, partitions_to_search=8,
+        spilling=True, spilling_mode="soar", soar_lambda=1.0,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=16, seed=1, max_iterations=8))).build(ds)
+    sh = ShardedTreeXHybridSearcher(s, make_mesh(8, axis_names=("db",)))
+    params = SearchParameters(num_leaves_to_search=8,
+                              pre_reordering_num_neighbors=80)
+    i1, d1 = s.search_batched_arrays(skewed.test, 10, params)
+    i2, d2 = sh.search_batched_arrays(skewed.test, 10, params)
+    for row in i2:
+        live = [i for i in row if i >= 0]
+        assert len(set(live)) == len(live)  # no duplicate across shards
+    # sharded serves full local pre_k per shard: no worse than single-device
+    gt = skewed.gt
+    r1 = np.mean([len(set(a.tolist()) & set(g.tolist())) / 10
+                  for a, g in zip(i1, gt)])
+    r2 = np.mean([len(set(a.tolist()) & set(g.tolist())) / 10
+                  for a, g in zip(i2, gt)])
+    assert r2 >= r1 - 0.02
+
+
 def test_facade_threads_soar(skewed):
     from scann_tpu.config import ScannConfig
     from scann_tpu.data.dataset import DenseDataset
