@@ -25,6 +25,10 @@ D, K = 100, 10
 B = int(os.environ.get("ADV_B", 1024))
 N_PARTS = int(os.environ.get("ADV_PARTS", 2000))
 SEED = 42
+# ADV_SPILL=soar builds the tree with SOAR secondary assignments (2x codes)
+SPILL = os.environ.get("ADV_SPILL", "")
+# ADV_SKIP_SWEEP=1 jumps straight to the tree (sweep numbers already taken)
+SKIP_SWEEP = os.environ.get("ADV_SKIP_SWEEP", "") == "1"
 
 
 def log(*a):
@@ -81,33 +85,35 @@ def main():
         f"p99={np.percentile(norms_host, 99):.2f} max={norms_host.max():.2f}")
     ds = DenseDataset(db)
 
-    # ---------------- bf16 block-min sweep + exact re-rank ----------------
-    from scann_tpu.models.block_sweep import BlockSweepSearcher
     from scann_tpu.ops.distances import DistanceMeasure
-    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
-    t0 = time.perf_counter()
-    sweep = BlockSweepSearcher(ds)
-    aug, dbd, norms, n_valid = sweep._device_state()
-    jax.block_until_ready(aug)
-    log(f"block-sweep build: {time.perf_counter()-t0:.1f}s")
+    if not SKIP_SWEEP:
+        # ---------------- bf16 block-min sweep + exact re-rank --------------
+        from scann_tpu.models.block_sweep import BlockSweepSearcher
+        from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
-    for b in (128, B):
-        q_dev = jnp.asarray(q_np[:b])
-        idx, _ = sweep.search_batched_arrays(q_np[:b], K)
-        rec = recall_at_k(idx, gt[:b])
+        t0 = time.perf_counter()
+        sweep = BlockSweepSearcher(ds)
+        aug, dbd, norms, n_valid = sweep._device_state()
+        jax.block_until_ready(aug)
+        log(f"block-sweep build: {time.perf_counter()-t0:.1f}s")
 
-        def call(qq, augx, dbx, nx):
-            return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
-                                       pre_k=100, k=K,
-                                       measure=DistanceMeasure.SQUARED_L2)
-        dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
-                     iters=12)
-        log(f"ADV sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
-            f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+        for b in (128, B):
+            q_dev = jnp.asarray(q_np[:b])
+            idx, _ = sweep.search_batched_arrays(q_np[:b], K)
+            rec = recall_at_k(idx, gt[:b])
 
-    del aug, sweep
-    jax.clear_caches()
+            def call(qq, augx, dbx, nx):
+                return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
+                                           pre_k=100, k=K,
+                                           measure=DistanceMeasure.SQUARED_L2)
+            dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
+                         iters=12)
+            log(f"ADV sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
+                f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+
+        del aug, sweep
+        jax.clear_caches()
 
     # ---------------------------- tree-×-AH -------------------------------
     from scann_tpu.hashes.hasher import AsymmetricHasherConfig
@@ -122,11 +128,13 @@ def main():
     t0 = time.perf_counter()
     cfg = TreeXHybridConfig(
         num_partitions=N_PARTS, partitions_to_search=10,
+        spilling=SPILL == "soar", spilling_mode=SPILL or "distance",
         hash_config=AsymmetricHasherConfig(
             num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
             training_sample_size=100_000))
     s = TreeXHybridSearcher(cfg).build(ds)
-    log(f"tree-AH build ({N_PARTS} partitions): {time.perf_counter()-t0:.1f}s")
+    log(f"tree-AH build ({N_PARTS} partitions, spill={SPILL or 'none'}): "
+        f"{time.perf_counter()-t0:.1f}s")
 
     # partition-balance picture on skewed data: the l_cap demote loop is the
     # lever this generator stresses

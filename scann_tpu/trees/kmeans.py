@@ -68,6 +68,16 @@ class KMeansResult:
 # ---------------------------------------------------------------------------
 
 
+def adaptive_row_chunk(chunk_size: int, n: int, k: int,
+                       cap_elems: int = 200_000_000) -> int:
+    """Rows per chunk such that the [chunk, K] intermediates (~4-6 B/elem
+    across the fused distance + one-hot buffers) stay near ~1 GB: a fixed
+    64k-row chunk at 16k+ partitions is a 4.4 GB matrix that OOMs a 16 GB
+    chip next to a multi-GB dataset (measured at 10M x 16k)."""
+    c = min(chunk_size, max(n, 1), max(cap_elems // max(k, 1), 4096))
+    return max(256, (c // 256) * 256) if c >= 256 else c
+
+
 def assign_clusters(
     data: jnp.ndarray, centers: jnp.ndarray, chunk_size: int = 65536
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -80,6 +90,7 @@ def assign_clusters(
     than the reference-exactness HIGHEST used on the query path.
     """
     n, d = data.shape
+    chunk_size = adaptive_row_chunk(chunk_size, n, centers.shape[0])
     c_sq = jnp.sum(centers * centers, axis=1)
 
     def one_chunk(x):
@@ -170,7 +181,7 @@ def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
     n, d = data.shape
     c_sq = jnp.sum(centers * centers, axis=1)
 
-    chunk = min(chunk_size, max(n, 1))
+    chunk = adaptive_row_chunk(chunk_size, n, k)
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
     padded = jnp.pad(data, ((0, n_pad - n), (0, 0)))
