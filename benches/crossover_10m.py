@@ -28,6 +28,8 @@ NC = max(N // 250, 8)  # ~250 points/cluster, same density as the 5M run
 B = int(os.environ.get("CROSSOVER_B", 1024))
 N_PARTS = int(os.environ.get("CROSSOVER_PARTS", 16_000))
 SEED = 7
+# CROSSOVER_SKIP_SWEEP=1 jumps straight to the tree (sweep already measured)
+SKIP_SWEEP = os.environ.get("CROSSOVER_SKIP_SWEEP", "") == "1"
 
 
 def log(*a):
@@ -109,45 +111,54 @@ def main():
 
     # GT in 128-query chunks: a full [B, N] f32 distance matrix at B=1024,
     # N=10M would be 40 GiB — far past HBM. 128 queries -> 5 GiB temp.
+    # Cached on disk: 13 min of device time per rerun at 10M.
     t0 = time.perf_counter()
-    bf = BruteForceSearcher(ds)
-    gt_parts = []
-    for i in range(0, B, 128):
-        idx_c, _ = bf.search_batched_arrays(q_np[i : i + 128], K)
-        gt_parts.append(idx_c)
-    gt = np.concatenate(gt_parts, axis=0)
-    log(f"exact GT over {B} queries: {time.perf_counter()-t0:.1f}s")
+    cache_gt = f"/tmp/crossover_{N}_{D}_{SEED}_gt{B}_k{K}.npy"
+    if os.path.exists(cache_gt):
+        gt = np.load(cache_gt)
+        log(f"loaded cached GT: {time.perf_counter()-t0:.1f}s")
+    else:
+        bf = BruteForceSearcher(ds)
+        gt_parts = []
+        for i in range(0, B, 128):
+            idx_c, _ = bf.search_batched_arrays(q_np[i : i + 128], K)
+            gt_parts.append(idx_c)
+        gt = np.concatenate(gt_parts, axis=0)
+        if N >= 1_000_000:
+            np.save(cache_gt, gt)
+        log(f"exact GT over {B} queries: {time.perf_counter()-t0:.1f}s")
 
-    # ---------------- bf16 block-min sweep + exact re-rank ----------------
-    from scann_tpu.models.block_sweep import BlockSweepSearcher
     from scann_tpu.ops.distances import DistanceMeasure
-    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
-    t0 = time.perf_counter()
-    sweep = BlockSweepSearcher(ds)
-    aug, dbd, norms, n_valid = sweep._device_state()
-    jax.block_until_ready(aug)
-    log(f"block-sweep build (bf16 augmented copy): {time.perf_counter()-t0:.1f}s")
+    if not SKIP_SWEEP:
+        # ---------------- bf16 block-min sweep + exact re-rank --------------
+        from scann_tpu.models.block_sweep import BlockSweepSearcher
+        from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
-    sweep_rows = []
-    for b in sorted({min(32, B), B}):
-        q_dev = jnp.asarray(q_np[:b])
-        idx, _ = sweep.search_batched_arrays(q_np[:b], K)
-        rec = recall_at_k(idx, gt[:b])
+        t0 = time.perf_counter()
+        sweep = BlockSweepSearcher(ds)
+        aug, dbd, norms, n_valid = sweep._device_state()
+        jax.block_until_ready(aug)
+        log(f"block-sweep build (bf16 augmented copy): "
+            f"{time.perf_counter()-t0:.1f}s")
 
-        def call(qq, augx, dbx, nx):
-            return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
-                                       pre_k=100, k=K,
-                                       measure=DistanceMeasure.SQUARED_L2)
-        dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
-                     iters=8)
-        log(f"sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
-            f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
-        sweep_rows.append((b, rec, dt))
+        for b in sorted({min(32, B), B}):
+            q_dev = jnp.asarray(q_np[:b])
+            idx, _ = sweep.search_batched_arrays(q_np[:b], K)
+            rec = recall_at_k(idx, gt[:b])
 
-    # free the bf16 augmented copy before the tree build
-    del aug, sweep
-    jax.clear_caches()
+            def call(qq, augx, dbx, nx):
+                return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
+                                           pre_k=100, k=K,
+                                           measure=DistanceMeasure.SQUARED_L2)
+            dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
+                         iters=8)
+            log(f"sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
+                f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
+
+        # free the bf16 augmented copy before the tree build
+        del aug, sweep
+        jax.clear_caches()
 
     # ---------------------------- tree-×-AH -------------------------------
     from scann_tpu.hashes.hasher import AsymmetricHasherConfig

@@ -58,7 +58,7 @@ from scann_tpu.models.scalar_quantized import (
 from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
 from scann_tpu.models.partitioned import PartitionedSearcher
 from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
-from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode
+from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode, auto_config
 from scann_tpu.models.sparse_brute_force import SparseBruteForceSearcher
 from scann_tpu.io import load_index, save_index
 
@@ -89,6 +89,7 @@ __all__ = [
     "TreeXHybridConfig",
     "TreeXHybridSearcher",
     "Scann",
+    "auto_config",
     "ScannBuilder",
     "SearchMode",
     "SparseBruteForceSearcher",

@@ -56,6 +56,51 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
     )
 
 
+# Above this the block sweep's linear-in-N batch cost loses to tree-AH at
+# serving batches (measured crossover, BENCH_NOTES.md "10M-scale").
+AUTO_SWEEP_MAX_N = 6_000_000
+
+
+def auto_config(n: int, dim: int,
+                measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
+                ) -> ScannConfig:
+    """Pick an architecture from dataset scale (TPU extension; the reference
+    always requires an explicit mode, scann.rs:60-103).
+
+    The choice encodes this repo's measured single-chip crossover
+    (BENCH_NOTES.md "5M-scale"/"Adversarial" sections): up to a few million
+    points the bf16 block-min sweep + exact re-rank dominates at serving
+    batch sizes (112k QPS @ 0.998 at 1.18M; 57.7k @ 0.997 at 5M) and is
+    immune to cluster skew because it streams the whole database; past that
+    the sweep's per-batch cost keeps growing linearly with N while
+    tree-×-AH's stays ~flat, so the tree becomes the only fast (and, past
+    the HBM ceiling for two database copies, the only possible) option.
+    Partition count targets ~600 points/partition — the density the 1.18M
+    (2000 parts), 5M (8000) and 10M (16000) production builds converged to.
+    """
+    cfg = ScannConfig(distance_measure=measure)
+    if n <= AUTO_SWEEP_MAX_N:
+        cfg.with_brute_force()
+        cfg.brute_force.block_sweep = True
+        return cfg
+    parts = int(min(max(256, round(n / 600 / 256) * 256), 65536))
+    cfg.with_partitioning()
+    cfg.partitioning.num_partitions = parts
+    cfg.partitioning.num_partitions_to_search = 10
+    cfg.with_hashing()
+    cfg.hash.num_buckets = 16   # LUT16 production path
+    # 2 dims/subspace when divisible; otherwise the largest divisor of dim
+    # that keeps subspaces at >=2 dims (the codebook requires divisibility,
+    # hashes/codebook.py)
+    blocks = dim // 2 if dim % 2 == 0 else max(
+        (s for s in range(1, dim + 1) if dim % s == 0 and dim // s >= 2),
+        default=1)
+    cfg.hash.num_blocks = max(blocks, 1)
+    cfg.with_reordering()
+    cfg.exact_reordering.num_candidates = 150
+    return cfg
+
+
 class Scann(Searcher):
     """Config-driven searcher facade."""
 
@@ -161,6 +206,13 @@ class Scann(Searcher):
         cfg.hash.num_blocks = num_blocks
         return cls(dataset, cfg)
 
+    @classmethod
+    def auto(cls, dataset: DenseDataset,
+             measure: DistanceMeasure = DistanceMeasure.SQUARED_L2) -> "Scann":
+        """Architecture chosen from dataset scale (see ``auto_config``)."""
+        return cls(dataset, auto_config(
+            dataset.size, dataset.dimensionality, measure))
+
     # -- delegation -----------------------------------------------------------
     @property
     def config(self) -> ScannConfig:
@@ -233,5 +285,15 @@ class ScannBuilder:
         self._config.exact_reordering.num_candidates = num_candidates
         return self
 
+    def auto(self) -> "ScannBuilder":
+        """Defer the architecture choice to dataset scale at build time."""
+        self._auto = True
+        return self
+
     def build(self, dataset: DenseDataset) -> Scann:
+        if getattr(self, "_auto", False):
+            cfg = auto_config(dataset.size, dataset.dimensionality,
+                              self._config.distance_measure)
+            cfg.num_neighbors = self._config.num_neighbors
+            return Scann(dataset, cfg)
         return Scann(dataset, self._config)

@@ -125,6 +125,17 @@ class TreeXHybridConfig:
 _MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
 
 
+@jax.jit
+def _residual_gather_kernel(db, centers, idx, tok):
+    """[len(idx), D] residual rows db[idx] − centers[tok] (build-time)."""
+    return jnp.take(db, idx, axis=0) - jnp.take(centers, tok, axis=0)
+
+
+@jax.jit
+def _row_gather_kernel(db, idx):
+    return jnp.take(db, idx, axis=0)
+
+
 def _select_partitions(centers, queries, *, p: int, approx_min: int,
                        measure: DistanceMeasure = DistanceMeasure.SQUARED_L2):
     """Top-p centroids by the searcher's measure: L2-nearest for metric
@@ -489,43 +500,41 @@ class TreeXHybridSearcher(Searcher):
         tk = self.partitioner.tokenization
         row_tokens = np.repeat(
             np.arange(tk.num_partitions, dtype=np.int32), tk.partition_sizes)
-        # per-assignment residuals computed AND kept on device: the dataset
-        # device copy is reused (DenseDataset.device() cache), the [M, D]
-        # residual tensor never visits the host (2GB at 5M x 100d), and the
-        # codebook trains on a device-gathered sample
+        # Per-assignment residuals are computed on device in bounded chunks
+        # and NEVER materialized as a full [M, D] tensor: the dataset device
+        # copy is reused (DenseDataset.device() cache) and each chunk's
+        # residuals exist only long enough to encode. Keeping the full
+        # residual tensor resident (a second database copy) OOMed the 10M x
+        # 100d build — dataset 4GB + residuals 4GB filled HBM before PQ
+        # training even started.
         db_dev = dataset.device()[0]
-        if cfg.use_residuals:
-            train_dev = jax.jit(
-                lambda x, c, pts, t: jnp.take(x, pts, axis=0)
-                - jnp.take(c, t, axis=0)
-            )(db_dev, jnp.asarray(self.partitioner.centers),
-              jnp.asarray(tk.point_indices), jnp.asarray(row_tokens))
-        else:
-            train_dev = jax.jit(lambda x, pts: jnp.take(x, pts, axis=0))(
-                db_dev, jnp.asarray(tk.point_indices))
-
+        cent_dev = jnp.asarray(self.partitioner.centers)
+        pts_np = np.asarray(tk.point_indices, np.int32)
         hc = cfg.hash_config
-        m = train_dev.shape[0]
-        sel = None
+        m = len(pts_np)
+        use_res = bool(cfg.use_residuals)
+
+        def resid_rows(idx_np, tok_np):
+            """Device [len(idx), D]: rows (− their centroid when residuals)."""
+            if use_res:
+                return _residual_gather_kernel(
+                    db_dev, cent_dev, jnp.asarray(idx_np), jnp.asarray(tok_np))
+            return _row_gather_kernel(db_dev, jnp.asarray(idx_np))
+
         if hc.training_sample_size < m:
             rng = np.random.default_rng(hc.seed if hc.seed is not None else 42)
-            sel = jnp.asarray(rng.choice(m, hc.training_sample_size, replace=False))
-            sample = np.asarray(jnp.take(train_dev, sel, axis=0))
+            sel = rng.choice(m, hc.training_sample_size, replace=False)
         else:
-            sample = np.asarray(train_dev)
+            sel = np.arange(m)
+        sample = np.asarray(resid_rows(pts_np[sel], row_tokens[sel]))
 
         # AVQ (hashes/avq.py): the anisotropic loss weights residual error
         # along the ORIGINAL point's direction (the score being protected is
         # <q, x>), so directions are gathered from the raw rows, not the
-        # residuals. Doubles build-time device memory for the [M, D] tensor
-        # — opt-in via hash_config.anisotropic_threshold.
-        sample_dirs = dirs_dev = None
-        if hc.anisotropic_threshold is not None:
-            dirs_dev = jax.jit(
-                lambda x, pts: jnp.take(x, pts, axis=0)
-            )(db_dev, jnp.asarray(tk.point_indices))
-            sample_dirs = (np.asarray(jnp.take(dirs_dev, sel, axis=0))
-                           if sel is not None else np.asarray(dirs_dev))
+        # residuals — per chunk, like the residuals themselves.
+        avq = hc.anisotropic_threshold is not None
+        sample_dirs = (np.asarray(_row_gather_kernel(
+            db_dev, jnp.asarray(pts_np[sel]))) if avq else None)
 
         self.codebook = Codebook(CodebookConfig(
             num_codes=hc.num_codes,
@@ -535,7 +544,16 @@ class TreeXHybridSearcher(Searcher):
             anisotropic_threshold=hc.anisotropic_threshold,
         )).train(sample, directions=sample_dirs)
 
-        self.codes = self.codebook.encode_dataset(train_dev, directions=dirs_dev)
+        d = data.shape[1]
+        chunk = max(min(m, 150_000_000 // max(d, 1)), 8192)
+        codes = np.empty((m, hc.num_subspaces), np.uint8)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            r_dev = resid_rows(pts_np[lo:hi], row_tokens[lo:hi])
+            d_dev = (_row_gather_kernel(db_dev, jnp.asarray(pts_np[lo:hi]))
+                     if avq else None)
+            codes[lo:hi] = self.codebook.encode_dataset(r_dev, directions=d_dev)
+        self.codes = codes
         self._norms_cache = None
         self._csr_cache = None
         return self

@@ -246,10 +246,16 @@ class TreePartitioner:
         if sizes.max() <= cap:
             return tokens
 
-        # top-r nearest centers per point, chunked (full [N, K] would be GBs)
+        # top-r nearest centers per point, chunked (full [N, K] would be GBs);
+        # chunk adapts to K — a fixed 131072-row chunk at 16k+ centers is an
+        # 8.7 GB [chunk, K] matrix that OOMs next to a multi-GB dataset
+        # (measured at 10M x 16k)
+        from scann_tpu.trees.kmeans import adaptive_row_chunk
+
         centers = self.centers_device()
         ch_d, ch_t = [], []
-        chunk = 131072
+        chunk = adaptive_row_chunk(
+            131072, int(data_dev.shape[0]), self.centers.shape[0])
         for lo in range(0, data_dev.shape[0], chunk):
             d, t = select_partitions_kernel(
                 centers, data_dev[lo : lo + chunk],
@@ -285,8 +291,11 @@ class TreePartitioner:
                      threshold: float, chunk: int = 65536) -> np.ndarray:
         """(point, token) rows for 2nd-nearest partitions within the
         distance ratio threshold."""
+        from scann_tpu.trees.kmeans import adaptive_row_chunk
+
         out = []
         centers = jnp.asarray(self.centers)
+        chunk = adaptive_row_chunk(chunk, len(data), self.centers.shape[0])
         for lo in range(0, len(data), chunk):
             blk = jnp.asarray(data[lo : lo + chunk])
             d2, t2 = select_partitions_kernel(
@@ -305,10 +314,13 @@ class TreePartitioner:
         with r1 = x - c_primary (Sun, Guo & Kumar, NeurIPS 2023). The
         residual geometry is L2 regardless of search measure (residual PQ
         codes are L2 objects; cosine normalizes upstream)."""
+        from scann_tpu.trees.kmeans import adaptive_row_chunk
+
         centers = self.centers_device()
         r = min(max(r, 2), self.centers.shape[0])
         out = []
         n = data.shape[0] if hasattr(data, "shape") else len(data)
+        chunk = adaptive_row_chunk(chunk, n, self.centers.shape[0])
         for lo in range(0, n, chunk):
             blk = jnp.asarray(data[lo: lo + chunk])
             tok = jnp.asarray(tokens[lo: lo + chunk])

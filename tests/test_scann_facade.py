@@ -188,3 +188,41 @@ def test_harness_tree_ah_adversarial_end_to_end():
     assert report.recall_at_k >= 0.85, report.recall_at_k
     assert report.dispatch_bound_fraction is not None
     assert report.timing_mode == "wall_clock_per_batch_dispatch"
+
+
+def test_auto_mode_small_picks_block_sweep(small_db):
+    """auto() at small N = bf16 block-min sweep + exact re-rank, and exact
+    results (recall 1.0 at trivial scale)."""
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+
+    s = Scann.auto(DenseDataset(small_db))
+    assert s.search_mode == SearchMode.BRUTE_FORCE
+    assert isinstance(s.impl, BlockSweepSearcher)
+    idx, _ = s.search_batched_arrays(small_db[:8], 5)
+    assert all(int(idx[i, 0]) == i for i in range(8))
+
+
+def test_auto_config_large_picks_tree_ah():
+    """The decision function (testable without building a 10M index):
+    past the measured sweep/tree crossover it configures LUT16 tree-AH
+    with ~600-point partitions and exact re-ranking."""
+    from scann_tpu.models.scann import AUTO_SWEEP_MAX_N, auto_config
+
+    cfg = auto_config(10_000_000, 100)
+    assert cfg.partitioning is not None and cfg.hash is not None
+    assert cfg.hash.num_buckets == 16          # LUT16
+    assert cfg.hash.num_blocks == 50
+    assert cfg.exact_reordering is not None
+    parts = cfg.partitioning.num_partitions
+    assert 10_000_000 / 1000 <= parts <= 10_000_000 / 400
+    assert parts % 256 == 0                    # stable compiled shapes
+    # below the crossover: one sweep copy, no tree
+    small = auto_config(AUTO_SWEEP_MAX_N, 100)
+    assert small.brute_force is not None and small.brute_force.block_sweep
+    assert small.partitioning is None
+
+
+def test_auto_builder_threads_k(small_db):
+    s = ScannBuilder().num_neighbors(7).auto().build(DenseDataset(small_db))
+    idx, _ = s.search_batched_arrays(small_db[:3])
+    assert idx.shape == (3, 7)
