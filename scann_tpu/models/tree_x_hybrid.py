@@ -125,6 +125,12 @@ class TreeXHybridConfig:
 _MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
 
 
+# build-time residual-encode chunking: elements per [chunk, D] residual
+# block (~600 MB f32 at the default). Module-level so tests can shrink it
+# to exercise the multi-chunk path at test scale.
+_ENCODE_CHUNK_ELEMS = 150_000_000
+
+
 @jax.jit
 def _residual_gather_kernel(db, centers, idx, tok):
     """[len(idx), D] residual rows db[idx] − centers[tok] (build-time)."""
@@ -545,7 +551,7 @@ class TreeXHybridSearcher(Searcher):
         )).train(sample, directions=sample_dirs)
 
         d = data.shape[1]
-        chunk = max(min(m, 150_000_000 // max(d, 1)), 8192)
+        chunk = max(min(m, _ENCODE_CHUNK_ELEMS // max(d, 1)), 8192)
         codes = np.empty((m, hc.num_subspaces), np.uint8)
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)

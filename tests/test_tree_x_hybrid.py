@@ -252,3 +252,29 @@ def test_tree_ah_dot_product_mips_pipeline(rng):
     hit = np.asarray(idx) == np.asarray(gt)
     np.testing.assert_allclose(np.asarray(dist)[hit], np.asarray(gtd)[hit],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_residual_encode_matches_single_chunk(monkeypatch):
+    """The build streams residuals through bounded device chunks (the full
+    [M, D] tensor OOMed 10M x 100d); codes must be identical regardless of
+    chunking."""
+    import scann_tpu.models.tree_x_hybrid as txh
+
+    rng = np.random.default_rng(0)
+    db = rng.normal(size=(20_000, 16)).astype(np.float32)
+    cfg = dict(num_partitions=32, partitions_to_search=8)
+
+    def build():
+        c = TreeXHybridConfig(
+            **cfg, hash_config=AsymmetricHasherConfig(
+                num_codes=16, num_subspaces=8, seed=1, max_iterations=4))
+        return TreeXHybridSearcher(c).build(DenseDataset(db))
+
+    one = build()                                   # single chunk (default)
+    monkeypatch.setattr(txh, "_ENCODE_CHUNK_ELEMS", 1)  # floor -> 8192 rows
+    many = build()                                  # 3 chunks
+    np.testing.assert_array_equal(one.codes, many.codes)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    i1, d1 = one.search_batched_arrays(q, 5)
+    i2, d2 = many.search_batched_arrays(q, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
