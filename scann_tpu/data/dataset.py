@@ -194,6 +194,13 @@ class DenseDataset:
             self._device_cache = arr
         return self._device_cache, self.size
 
+    def drop_device_cache(self) -> None:
+        """Free the cached device array (host data stays). Used by serving
+        setups that re-rank from a lower-precision copy (e.g. tree-AH with
+        ``rerank_dtype='bfloat16'``) and no longer need the f32 HBM copy the
+        build used — at 20M x 100d that is 8 GB of a 16 GB chip."""
+        self._device_cache = None
+
     def memory_usage_bytes(self) -> int:
         return int(self._data.nbytes)
 

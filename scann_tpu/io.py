@@ -141,6 +141,7 @@ def _serialize(searcher):
              "use_residuals": searcher.config.use_residuals,
              "pre_reorder_multiplier": searcher.config.pre_reorder_multiplier,
              "hash_config": _ah_cfg_dict(searcher.config.hash_config),
+             "rerank_dtype": searcher.config.rerank_dtype,
              "measure": searcher.config.distance_measure.value},
         )
     from scann_tpu.models.block_sweep import BlockSweepSearcher
@@ -263,6 +264,7 @@ def load_index(path: str):
             use_residuals=meta["use_residuals"],
             pre_reorder_multiplier=meta["pre_reorder_multiplier"],
             distance_measure=DistanceMeasure(meta["measure"]),
+            rerank_dtype=meta.get("rerank_dtype", "float32"),
         )
         s = TreeXHybridSearcher(cfg)
         s._dataset = DenseDataset(arrays["data"])

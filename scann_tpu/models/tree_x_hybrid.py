@@ -61,7 +61,7 @@ from scann_tpu.ops.tree_ah_grouped import (
     tree_ah_grouped_scores_pallas,
 )
 from scann_tpu.partitioning.tree_partitioner import TreePartitioner, TreePartitionerConfig
-from scann_tpu.types import MASKED_DISTANCE, align_up
+from scann_tpu.types import MASKED_DISTANCE, SUBLANE_F32, align_up
 
 
 @dataclasses.dataclass
@@ -103,6 +103,15 @@ class TreeXHybridConfig:
     # approximate top-p centroid selection (lax.approx_min_k) once the
     # centroid count makes the sort-based exact top-k the bottleneck
     approx_selection_min_partitions: int = 1024
+    # dtype of the device copy the exact re-rank gathers from. "bfloat16"
+    # halves the dominant serving allocation (f32 database: 8 GB at
+    # 20M x 100d) at ~3 decimal digits of distance precision — measured
+    # recall@10 cost ~0.5pp at 200k x 100d clustered data (0.944 -> 0.939
+    # at equal config) and the single-chip capacity ceiling doubles
+    # (docs/DESIGN.md "HBM budget at scale"). Norms are recomputed from
+    # the bf16 rows so the ||d||² term is exactly consistent with the
+    # gathered vectors.
+    rerank_dtype: str = "float32"
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
         self.hash_config = cfg
@@ -467,6 +476,11 @@ class TreeXHybridSearcher(Searcher):
         self._dataset: Optional[DenseDataset] = None
         self._norms_cache = None
         self._csr_cache = None
+        self._bf16_cache = None
+        if self.config.rerank_dtype not in ("float32", "bfloat16"):
+            raise ScannError.invalid_argument(
+                f"rerank_dtype must be float32 or bfloat16, got "
+                f"{self.config.rerank_dtype!r}")
 
     # -- build ----------------------------------------------------------------
     def build(self, dataset: DenseDataset) -> "TreeXHybridSearcher":
@@ -562,6 +576,7 @@ class TreeXHybridSearcher(Searcher):
         self.codes = codes
         self._norms_cache = None
         self._csr_cache = None
+        self._bf16_cache = None
         return self
 
     # -- metadata ---------------------------------------------------------------
@@ -582,6 +597,26 @@ class TreeXHybridSearcher(Searcher):
                    + self.codebook.centroids.nbytes)
 
     def _device_state(self):
+        if self.config.rerank_dtype == "bfloat16":
+            n = self._dataset.size
+            if self._bf16_cache is None or self._bf16_cache[2] != n:
+                # cast on HOST (ml_dtypes) and upload bf16 directly: never
+                # materializes an f32 device copy, so serving HBM is half
+                # the database from the start. Callers that built through
+                # the f32 DenseDataset cache can free it afterwards with
+                # dataset.drop_device_cache().
+                import ml_dtypes
+
+                data = self._dataset.numpy()
+                n_pad = align_up(max(n, 1), SUBLANE_F32)
+                host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
+                host[:n] = data.astype(ml_dtypes.bfloat16)
+                db = jnp.asarray(host)
+                # norms from the bf16 rows (f32 accumulation): the rerank's
+                # ||q||² + ||d||² − 2q·d must use the SAME rounded d the
+                # gather returns, or small distances go negative
+                self._bf16_cache = (db, jax.jit(squared_norms)(db), n)
+            return self._bf16_cache
         db, n = self._dataset.device()
         if self._norms_cache is None or self._norms_cache[0] != n:
             self._norms_cache = (n, jax.jit(squared_norms)(db))
@@ -612,8 +647,15 @@ class TreeXHybridSearcher(Searcher):
                 codes_aligned[lo : lo + sz, :s] = \
                     self.codes[csr_off[t] : csr_off[t] + sz]
                 perm_aligned[lo : lo + sz] = tk.partition_indices(t)
-            codes_rows = jnp.asarray(codes_aligned)
-            codes_csr = jax.jit(lambda cr: cr.T)(codes_rows)
+            if self._use_grouped_pallas():
+                # TPU serves only through the transposed slab — skip the
+                # row-major device copy entirely (1.3 GB saved at 20M,
+                # S_pad=64; transpose on host, upload once)
+                codes_rows = None
+                codes_csr = jnp.asarray(np.ascontiguousarray(codes_aligned.T))
+            else:
+                codes_rows = jnp.asarray(codes_aligned)
+                codes_csr = jax.jit(lambda cr: cr.T)(codes_rows)
             self._csr_cache = (
                 codes_rows,
                 codes_csr,

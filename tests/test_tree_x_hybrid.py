@@ -278,3 +278,49 @@ def test_chunked_residual_encode_matches_single_chunk(monkeypatch):
     i1, d1 = one.search_batched_arrays(q, 5)
     i2, d2 = many.search_batched_arrays(q, 5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_bf16_rerank_matches_f32(hybrid_setup):
+    """rerank_dtype='bfloat16' halves the rerank copy; ranking among pre_k
+    candidates must be essentially unchanged and distances accurate to bf16
+    rounding (~3 decimal digits)."""
+    db, q, ds, gt, _ = hybrid_setup
+    s16 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="bfloat16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    db_dev, norms, n = s16._device_state()
+    assert str(db_dev.dtype) == "bfloat16"
+    assert n == len(db)
+    idx, dist = s16.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.9
+    # distances track the exact f32 values within bf16 relative error
+    d_at = ((q[:, None, :] - db[np.maximum(idx, 0)]) ** 2).sum(-1)
+    m = idx >= 0
+    np.testing.assert_allclose(dist[m], d_at[m], rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_rerank_io_roundtrip(hybrid_setup, tmp_path):
+    from scann_tpu.io import load_index, save_index
+
+    db, q, ds, gt, _ = hybrid_setup
+    s16 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="bfloat16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    path = str(tmp_path / "tree_bf16.npz")
+    save_index(path, s16)
+    s2 = load_index(path)
+    assert s2.config.rerank_dtype == "bfloat16"
+    i1, d1 = s16.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i2, d2 = s2.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_rerank_dtype_validated():
+    with pytest.raises(ScannError):
+        TreeXHybridSearcher(TreeXHybridConfig(rerank_dtype="float16"))
