@@ -26,10 +26,15 @@ N = int(os.environ.get("CROSSOVER_N", 10_000_000))
 D, K = 100, 10
 NC = max(N // 250, 8)  # ~250 points/cluster, same density as the 5M run
 B = int(os.environ.get("CROSSOVER_B", 1024))
-N_PARTS = int(os.environ.get("CROSSOVER_PARTS", 16_000))
+# ~625 points/partition, the 10M run's density (16k partitions at 10M)
+N_PARTS = int(os.environ.get("CROSSOVER_PARTS", max(16_000, N // 625)))
 SEED = 7
 # CROSSOVER_SKIP_SWEEP=1 jumps straight to the tree (sweep already measured)
 SKIP_SWEEP = os.environ.get("CROSSOVER_SKIP_SWEEP", "") == "1"
+# 'bfloat16' halves the rerank copy: REQUIRED beyond ~15M on a 16 GB chip
+# (f32 database alone is 8 GB at 20M x 100d; docs/DESIGN.md "HBM budget at
+# scale"). The f32 build copy is dropped after the tree build.
+RERANK_DTYPE = os.environ.get("CROSSOVER_RERANK_DTYPE", "float32")
 
 
 def log(*a):
@@ -119,9 +124,12 @@ def main():
         log(f"loaded cached GT: {time.perf_counter()-t0:.1f}s")
     else:
         bf = BruteForceSearcher(ds)
+        # query-chunk so the [qc, N] f32 distance temp stays ~<=2.5 GB on
+        # top of the f32 database (at 20M the db alone is 8 GB of HBM)
+        qc = max(8, min(128, int(2.5e9 / (4 * N)) & ~7))
         gt_parts = []
-        for i in range(0, B, 128):
-            idx_c, _ = bf.search_batched_arrays(q_np[i : i + 128], K)
+        for i in range(0, B, qc):
+            idx_c, _ = bf.search_batched_arrays(q_np[i : i + qc], K)
             gt_parts.append(idx_c)
         gt = np.concatenate(gt_parts, axis=0)
         if N >= 1_000_000:
@@ -174,13 +182,21 @@ def main():
     cfg = TreeXHybridConfig(
         num_partitions=N_PARTS, partitions_to_search=10,
         partition_training_sample_size=min(2_000_000, N),
+        rerank_dtype=RERANK_DTYPE,
         hash_config=AsymmetricHasherConfig(
             num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
             training_sample_size=100_000))
     s = TreeXHybridSearcher(cfg).build(ds)
-    log(f"tree-AH build ({N_PARTS} partitions): {time.perf_counter()-t0:.1f}s")
+    log(f"tree-AH build ({N_PARTS} partitions, rerank={RERANK_DTYPE}): "
+        f"{time.perf_counter()-t0:.1f}s")
 
     db_d, norms, n_valid = s._device_state()
+    if RERANK_DTYPE != "float32":
+        # serving holds only the low-precision rerank copy; free the 2x
+        # larger f32 copy the build used
+        jax.block_until_ready(db_d)
+        ds.drop_device_cache()
+        log(f"dropped f32 device copy; rerank copy dtype={db_d.dtype}")
     codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
     cent = s.partitioner.centers_device()
     cb = s.codebook.centroids_device()

@@ -168,6 +168,11 @@ class ExactReorderingConfig(_JsonMixin):
 
     num_candidates: int = 100
     quantized: bool = False
+    # dtype of the device copy re-ranking gathers from: "float32",
+    # "bfloat16" (half HBM, ~0.5pp recall@10), or "int8" (quarter HBM;
+    # selected implicitly by quantized=True). TPU extension: the reference
+    # declares quantized reordering (config.rs:290-318) but re-ranks f32.
+    rerank_dtype: str = "float32"
 
     def with_quantized(self) -> "ExactReorderingConfig":
         self.quantized = True

@@ -153,6 +153,10 @@ class Scann(Searcher):
                     / max(config.num_neighbors, 1),
                     1.0,
                 )
+                r = config.exact_reordering
+                cfg.rerank_dtype = ("int8" if r.quantized and
+                                    r.rerank_dtype == "float32"
+                                    else r.rerank_dtype)
             self._impl = TreeXHybridSearcher(cfg).build(dataset)
             self.search_mode = SearchMode.TREE_AH
         elif config.partitioning is not None:

@@ -108,9 +108,12 @@ class TreeXHybridConfig:
     # 20M x 100d) at ~3 decimal digits of distance precision — measured
     # recall@10 cost ~0.5pp at 200k x 100d clustered data (0.944 -> 0.939
     # at equal config) and the single-chip capacity ceiling doubles
-    # (docs/DESIGN.md "HBM budget at scale"). Norms are recomputed from
-    # the bf16 rows so the ||d||² term is exactly consistent with the
-    # gathered vectors.
+    # (docs/DESIGN.md "HBM budget at scale"). "int8" quarters it using the
+    # calibrated ScalarQuantizer codec (quantization/scalar.py) with the
+    # dequant fused after the candidate gather — this implements the
+    # reference's declared-but-unimplemented quantized reordering
+    # (config.rs:290-318). Norms are recomputed from the rounded rows so
+    # the ||d||² term is exactly consistent with the gathered vectors.
     rerank_dtype: str = "float32"
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
@@ -346,7 +349,14 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
     pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
     pre_safe = jnp.maximum(pre_cand, 0)
 
-    rows = jnp.take(db, pre_safe, axis=0)                        # [B, pre_k, D]
+    if isinstance(db, tuple):
+        # int8 rerank copy: (u8 codes, scale, min) — dequantize only the
+        # gathered [B, pre_k, D] candidates (ScalarQuantizer codec)
+        q8, q_scale, q_min = db
+        rows = jnp.take(q8, pre_safe, axis=0).astype(jnp.float32) \
+            * q_scale + q_min                                    # [B, pre_k, D]
+    else:
+        rows = jnp.take(db, pre_safe, axis=0)                    # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, pre_safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
@@ -477,9 +487,10 @@ class TreeXHybridSearcher(Searcher):
         self._norms_cache = None
         self._csr_cache = None
         self._bf16_cache = None
-        if self.config.rerank_dtype not in ("float32", "bfloat16"):
+        self._q8_cache = None
+        if self.config.rerank_dtype not in ("float32", "bfloat16", "int8"):
             raise ScannError.invalid_argument(
-                f"rerank_dtype must be float32 or bfloat16, got "
+                f"rerank_dtype must be float32, bfloat16 or int8, got "
                 f"{self.config.rerank_dtype!r}")
 
     # -- build ----------------------------------------------------------------
@@ -577,6 +588,7 @@ class TreeXHybridSearcher(Searcher):
         self._norms_cache = None
         self._csr_cache = None
         self._bf16_cache = None
+        self._q8_cache = None
         return self
 
     # -- metadata ---------------------------------------------------------------
@@ -617,6 +629,31 @@ class TreeXHybridSearcher(Searcher):
                 # gather returns, or small distances go negative
                 self._bf16_cache = (db, jax.jit(squared_norms)(db), n)
             return self._bf16_cache
+        if self.config.rerank_dtype == "int8":
+            n = self._dataset.size
+            if self._q8_cache is None or self._q8_cache[2] != n:
+                from scann_tpu.quantization.scalar import ScalarQuantizer
+
+                data = self._dataset.numpy()
+                quant = ScalarQuantizer().calibrate_from_array(data)
+                n_pad = align_up(max(n, 1), SUBLANE_F32)
+                host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
+                # chunk rows so quantize() stays on the host CPU path (no
+                # f32 device round-trip: the u8 codes upload once, 1/4 the
+                # f32 bytes) and f32 temps stay small
+                cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
+                for i in range(0, n, cs):
+                    host[i : i + cs] = quant.quantize(data[i : i + cs])
+                codes = jnp.asarray(host)
+                scale = np.float32(quant.scale)
+                mn = np.float32(quant.min_value)
+                # norms from the DEQUANTIZED rows (dequant fuses into the
+                # reduction; no [N, D] f32 ever materializes in HBM)
+                norms = jax.jit(lambda c: squared_norms(
+                    c.astype(jnp.float32) * scale + mn))(codes)
+                self._q8_cache = ((codes, jnp.float32(scale),
+                                   jnp.float32(mn)), norms, n)
+            return self._q8_cache
         db, n = self._dataset.device()
         if self._norms_cache is None or self._norms_cache[0] != n:
             self._norms_cache = (n, jax.jit(squared_norms)(db))
@@ -725,7 +762,8 @@ class TreeXHybridSearcher(Searcher):
 
         mask_dev = None
         if allow_mask is not None:
-            m = np.zeros(db.shape[0], dtype=bool)
+            n_rows = db[0].shape[0] if isinstance(db, tuple) else db.shape[0]
+            m = np.zeros(n_rows, dtype=bool)
             m[: len(allow_mask)] = np.asarray(allow_mask, dtype=bool)[:n_valid]
             mask_dev = jnp.asarray(m)
 

@@ -324,3 +324,79 @@ def test_bf16_rerank_io_roundtrip(hybrid_setup, tmp_path):
 def test_rerank_dtype_validated():
     with pytest.raises(ScannError):
         TreeXHybridSearcher(TreeXHybridConfig(rerank_dtype="float16"))
+
+
+def test_int8_rerank_matches_f32(hybrid_setup):
+    """rerank_dtype='int8' quarters the rerank copy (the reference's
+    declared-but-unimplemented quantized reordering, config.rs:290-318);
+    ranking among pre_k candidates survives the calibrated u8 codec."""
+    db, q, ds, gt, _ = hybrid_setup
+    s8 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="int8",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    dev, norms, n = s8._device_state()
+    assert isinstance(dev, tuple) and str(dev[0].dtype) == "uint8"
+    assert n == len(db)
+    idx, dist = s8.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.9
+    # returned distances equal the codec-consistent truth: exact distances
+    # to the quantize->dequantize'd rows (the codec clips outliers at
+    # mean±3σ — reference calibration semantics, scalar.rs:113-119 — so
+    # comparing against unquantized f32 rows would conflate codec error
+    # with kernel error)
+    from scann_tpu.quantization.scalar import ScalarQuantizer
+
+    quant = ScalarQuantizer().calibrate_from_array(db)
+    deq = quant.dequantize(quant.quantize(db))
+    d_q = ((q[:, None, :] - deq[np.maximum(idx, 0)]) ** 2).sum(-1)
+    m = idx >= 0
+    np.testing.assert_allclose(dist[m], d_q[m], rtol=1e-3, atol=1e-3)
+
+
+def test_int8_rerank_io_roundtrip(hybrid_setup, tmp_path):
+    from scann_tpu.io import load_index, save_index
+
+    db, q, ds, gt, _ = hybrid_setup
+    s8 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="int8",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(ds)
+    path = str(tmp_path / "tree_q8.npz")
+    save_index(path, s8)
+    s2 = load_index(path)
+    assert s2.config.rerank_dtype == "int8"
+    i1, d1 = s8.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i2, d2 = s2.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_reordering_via_facade(hybrid_setup):
+    """ExactReorderingConfig.with_quantized() on the Scann facade selects
+    the int8 rerank copy (reference declares the knob at config.rs:290-318
+    but always re-ranks f32)."""
+    from scann_tpu.config import (
+        ExactReorderingConfig,
+        HashConfig,
+        PartitioningConfig,
+        ScannConfig,
+    )
+    from scann_tpu.models.scann import Scann
+
+    db, q, ds, gt, _ = hybrid_setup
+    cfg = ScannConfig(
+        num_neighbors=10,
+        partitioning=PartitioningConfig(num_partitions=32,
+                                        num_partitions_to_search=8),
+        hash=HashConfig(num_blocks=8, num_buckets=16),
+        exact_reordering=ExactReorderingConfig(
+            num_candidates=120).with_quantized(),
+    )
+    s = Scann(ds, cfg)
+    assert s._impl.config.rerank_dtype == "int8"
+    idx, _ = s.search_batched_arrays(q, 10)
+    assert _recall(idx, gt) >= 0.85
