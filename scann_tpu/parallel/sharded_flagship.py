@@ -325,7 +325,8 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                            use_grouped: bool = False,
                            q_cap: int = 8, l_tile: int = 512,
                            with_mask: bool = False,
-                           db_axis: str = "db"):
+                           db_axis: str = "db",
+                           dequant=None):
     """fn(centers, codebook, codes, offsets [Sh,K], sizes [Sh,K],
     perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries[, allow_mask
     replicated [N]], pre_eps, post_eps) -> (dists, idx).
@@ -409,6 +410,14 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
 
         rrows = jnp.take(db_csr, pre_rows, axis=0)
+        if dequant is not None:
+            # int8 rerank copy (rerank_dtype='int8'): u8 codes dequantize
+            # only for the gathered candidates, same as the single-device
+            # _finalize (models/tree_x_hybrid.py)
+            rrows = rrows.astype(jnp.float32) * dequant[0] + dequant[1]
+        elif rrows.dtype != jnp.float32:
+            # bf16 rerank copy: exact math in f32 on the rounded rows
+            rrows = rrows.astype(jnp.float32)
         rnorm = jnp.take(norms_csr, pre_rows, axis=0)
         exact = gathered_distances(measure, queries, rrows, rnorm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
@@ -480,9 +489,29 @@ class ShardedTreeXHybridSearcher(Searcher):
             per_shard.append((blocks, off_local, aligned))
         l_sh = int(align_up(max(a for _, _, a in per_shard) + self._l_cap, 8))
 
+        # rerank copy in the wrapped searcher's configured dtype: the
+        # [Sh, L_sh, D] raw-row slab is the dominant per-shard allocation
+        # (same lever as single-device rerank_dtype; docs/DESIGN.md
+        # "HBM budget at scale")
+        rdt = getattr(searcher.config, "rerank_dtype", "float32")
+        self._dequant = None
+        quant = None
+        if rdt == "bfloat16":
+            import ml_dtypes
+
+            db_dt = ml_dtypes.bfloat16
+        elif rdt == "int8":
+            from scann_tpu.quantization.scalar import ScalarQuantizer
+
+            quant = ScalarQuantizer().calibrate_from_array(data)
+            self._dequant = (float(quant.scale), float(quant.min_value))
+            db_dt = np.uint8
+        else:
+            db_dt = np.float32
+
         codes_sh = np.zeros((n_sh, l_sh, s_pad), np.uint8)
         perm_sh = np.zeros((n_sh, l_sh), np.int32)
-        db_sh = np.zeros((n_sh, l_sh, d), np.float32)
+        db_sh = np.zeros((n_sh, l_sh, d), db_dt)
         sizes_sh = np.zeros((n_sh, kparts), np.int32)
         offs_sh = np.zeros((n_sh, kparts), np.int32)
         csr_off = tk.offsets
@@ -495,7 +524,10 @@ class ShardedTreeXHybridSearcher(Searcher):
                     searcher.codes[csr_off[t] : csr_off[t] + sz]
                 ids = tk.partition_indices(t)
                 perm_sh[sh, lo : lo + sz] = ids
-                db_sh[sh, lo : lo + sz] = data[ids]
+                rows = data[ids]
+                db_sh[sh, lo : lo + sz] = (quant.quantize(rows)
+                                           if quant is not None
+                                           else rows.astype(db_dt))
 
         put = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
@@ -507,8 +539,17 @@ class ShardedTreeXHybridSearcher(Searcher):
             self._codes = put(codes_sh, P("db", None, None))
         self._perm = put(perm_sh, P("db", None))
         self._db = put(db_sh, P("db", None, None))
+        # norms from the SAME rounded/dequantized rows the rerank gathers
+        # (f32 accumulation), or small exact distances go negative
+        dq = self._dequant
+
+        def _norms_of(x):
+            x = (x.astype(jnp.float32) * dq[0] + dq[1]) if dq is not None \
+                else x.astype(jnp.float32)
+            return jnp.sum(x * x, axis=-1)
+
         self._norms = jax.jit(
-            lambda x: jnp.sum(x * x, axis=-1),
+            _norms_of,
             out_shardings=NamedSharding(self.mesh, P("db", None)))(self._db)
         self._sizes = put(sizes_sh, P("db", None))
         self._offs = put(offs_sh, P("db", None))
@@ -565,7 +606,8 @@ class ShardedTreeXHybridSearcher(Searcher):
                 multiplicity=mult,
                 approx_select_min=cfg.approx_selection_min_partitions,
                 use_grouped=self._use_grouped, q_cap=cfg.group_q_cap,
-                l_tile=cfg.score_l_tile, with_mask=with_mask)
+                l_tile=cfg.score_l_tile, with_mask=with_mask,
+                dequant=self._dequant)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._cent, self._cb, self._codes, self._offs, self._sizes,
                 self._perm, self._db, self._norms, q]

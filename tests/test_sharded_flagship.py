@@ -269,3 +269,32 @@ def test_sharded_ah_fused_kernel_parity(data):
     assert _recall(i_f, gt) >= _recall(i_x, gt) - 0.05
     m = (i_x >= 0) & (i_f >= 0) & (i_x == i_f)
     np.testing.assert_allclose(d_f[m], d_x[m], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("rdt", ["bfloat16", "int8"])
+def test_sharded_tree_ah_low_precision_rerank(data, rdt):
+    """The sharded wrapper honors the wrapped searcher's rerank_dtype: the
+    [Sh, L_sh, D] rerank slab is stored low-precision (the dominant
+    per-shard allocation) and results still match the single-device
+    searcher at the same dtype."""
+    db, q, ds, gt = data
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=8, rerank_dtype=rdt,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=5),
+    )).build(ds)
+    sh = ShardedTreeXHybridSearcher(s, make_mesh(8, axis_names=("db",)))
+    assert str(sh._db.dtype) == ("bfloat16" if rdt == "bfloat16" else "uint8")
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    i1, d1 = s.search_batched_arrays(q, 10, params)
+    i2, d2 = sh.search_batched_arrays(q, 10, params)
+    r1, r2 = _recall(i1, gt), _recall(i2, gt)
+    assert r2 >= r1 - 0.02, (r1, r2)
+    assert r2 >= 0.9
+    # distances agree with the single-device low-precision rerank values
+    # wherever the same id was returned (same rounded rows, same math)
+    for b in range(len(q)):
+        common = set(i1[b][i1[b] >= 0].tolist()) & set(i2[b][i2[b] >= 0].tolist())
+        for cid in common:
+            v1 = d1[b][list(i1[b]).index(cid)]
+            v2 = d2[b][list(i2[b]).index(cid)]
+            np.testing.assert_allclose(v1, v2, rtol=2e-3, atol=2e-3)
