@@ -293,7 +293,8 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
         ))
         cfg.with_hashing(HashConfig(num_blocks=args.num_blocks, num_buckets=16))
         cfg.with_reordering(ExactReorderingConfig(
-            num_candidates=args.reorder or args.k * 3))
+            num_candidates=args.reorder or args.k * 3,
+            rerank_dtype=args.rerank_dtype))
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     return Scann(DenseDataset(data.train), cfg)
@@ -369,6 +370,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-blocks", type=int, default=16)
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--reorder", type=int, default=0)
+    p.add_argument("--rerank-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="tree-ah exact-rerank copy dtype (bfloat16 halves / "
+                        "int8 quarters the dominant serving allocation)")
     p.add_argument("--limit-train", type=int, default=None)
     p.add_argument("--limit-test", type=int, default=None)
     p.add_argument("--synthetic-train", type=int, default=10_000)

@@ -85,19 +85,31 @@ class BruteForceSearcher(Searcher):
             self._norms_cache = (n, jax.jit(squared_norms)(db))
         return db, self._norms_cache[1], n
 
-    def _use_fused_vmem(self, k: int, allow_mask) -> bool:
+    def _use_fused_vmem(self, k: int, allow_mask, b: int) -> bool:
         """Small databases search in ONE VMEM-resident Pallas kernel
-        (~10x lower per-batch overhead than the composed XLA program)."""
+        (~10x lower per-batch overhead than the composed XLA program).
+
+        The kernel holds the database, the [B, N] distance matrix AND a
+        same-shaped column iota in VMEM at once, so eligibility must be
+        batch-aware: a 20k x 64d database passes a db-only check but OOMs
+        scoped VMEM at B=200 (measured: 17.8M > the 16M limit)."""
         from scann_tpu.ops.fused_bf_pallas import vmem_resident_limit_bytes
+        from scann_tpu.types import SUBLANE_F32, align_up
 
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:  # pragma: no cover
             on_tpu = False
+        n_pad = align_up(max(self._dataset.size, 1), SUBLANE_F32)
+        b_pad = align_up(max(b, 1), SUBLANE_F32)
+        d = self._dataset.dimensionality
+        est = 4 * (n_pad * d          # db
+                   + 2 * b_pad * n_pad  # dists f32 + col iota i32
+                   + b_pad * d          # queries
+                   + 4 * b_pad * 128)   # padded val/idx outputs + slack
         return (on_tpu and allow_mask is None and k <= 16
                 and self._measure == DistanceMeasure.SQUARED_L2
-                and self._dataset.size * self._dataset.dimensionality * 4
-                <= vmem_resident_limit_bytes())
+                and est <= vmem_resident_limit_bytes())
 
     # -- core API ----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
@@ -110,7 +122,7 @@ class BruteForceSearcher(Searcher):
         db, norms, n = self._device_state()
         eps = params.effective_epsilon() if params is not None else np.inf
 
-        if self._use_fused_vmem(k, allow_mask):
+        if self._use_fused_vmem(k, allow_mask, queries.shape[0]):
             from scann_tpu.ops.fused_bf_pallas import fused_bf_search_pallas
             from scann_tpu.types import SUBLANE_F32, align_up
 

@@ -85,5 +85,9 @@ def fused_bf_search_pallas(queries: jnp.ndarray, db: jnp.ndarray,
 
 
 def vmem_resident_limit_bytes() -> int:
-    """Databases below this size take the fused single-kernel path."""
-    return 6 * 1024 * 1024
+    """Total scoped-VMEM budget for the fused single-kernel path: the
+    hardware scoped limit is 16 MB; leave ~2 MB slack for operand copies
+    and reduction temps. Callers must estimate db + [B, N] dists + iota +
+    queries + outputs against this (batch-aware — see
+    BruteForceSearcher._use_fused_vmem)."""
+    return 14 * 1024 * 1024
