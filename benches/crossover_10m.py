@@ -140,32 +140,45 @@ def main():
 
     if not SKIP_SWEEP:
         # ---------------- bf16 block-min sweep + exact re-rank --------------
-        from scann_tpu.models.block_sweep import BlockSweepSearcher
+        from scann_tpu.models.block_sweep import (
+            BlockSweepConfig,
+            BlockSweepSearcher,
+        )
         from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
         t0 = time.perf_counter()
-        sweep = BlockSweepSearcher(ds)
+        sweep = BlockSweepSearcher(
+            ds, BlockSweepConfig(rerank_dtype=RERANK_DTYPE))
+        if RERANK_DTYPE != "float32":
+            # the sweep serves from aug + the low-precision rerank copy
+            # only; free the f32 database first (at 20M the padded f32
+            # copy alone is 9.5 GB — with it resident the sweep program
+            # measured 21.31G > the 15.75G HBM and cannot run)
+            ds.drop_device_cache()
         aug, dbd, norms, n_valid = sweep._device_state()
         jax.block_until_ready(aug)
-        log(f"block-sweep build (bf16 augmented copy): "
-            f"{time.perf_counter()-t0:.1f}s")
+        log(f"block-sweep build (bf16 augmented + {RERANK_DTYPE} rerank "
+            f"copy): {time.perf_counter()-t0:.1f}s")
 
         for b in sorted({min(32, B), B}):
             q_dev = jnp.asarray(q_np[:b])
             idx, _ = sweep.search_batched_arrays(q_np[:b], K)
             rec = recall_at_k(idx, gt[:b])
 
+            interp = jax.devices()[0].platform != "tpu"
+
             def call(qq, augx, dbx, nx):
                 return sweep_search_kernel(augx, dbx, nx, jnp.int32(N), qq,
                                            pre_k=100, k=K,
-                                           measure=DistanceMeasure.SQUARED_L2)
+                                           measure=DistanceMeasure.SQUARED_L2,
+                                           interpret=interp)
             dt = chained(lambda qq, *r: call(qq, *r), (q_dev, aug, dbd, norms),
                          iters=8)
             log(f"sweep {N}x{D} pre_k=100 B={b}: recall@10={rec:.4f} "
                 f"{dt*1e3:.2f} ms/batch -> {b/dt:,.0f} QPS")
 
-        # free the bf16 augmented copy before the tree build
-        del aug, sweep
+        # free the bf16 augmented + rerank copies before the tree build
+        del aug, dbd, norms, sweep
         jax.clear_caches()
 
     # ---------------------------- tree-×-AH -------------------------------

@@ -52,6 +52,13 @@ class BlockSweepConfig:
     # true ids resolve via a small device inverse-table gather
     # (ops/sweep_pallas.py)
     shuffle: bool = True
+    # dtype of the device copy the exact re-rank gathers from. The f32
+    # database is the sweep's dominant serving allocation (the first pass
+    # reads only the bf16 augmented copy): at 20M x 100d the f32 copy is
+    # 9.5 GB padded and the serving program measured 21.31G > the 15.75G
+    # HBM — "bfloat16" (half) or "int8" (quarter, calibrated
+    # ScalarQuantizer codec) keeps the sweep on one chip past ~15M points.
+    rerank_dtype: str = "float32"
 
 
 class BlockSweepSearcher(Searcher):
@@ -70,12 +77,17 @@ class BlockSweepSearcher(Searcher):
                 f"BlockSweepSearcher does not support {cfg.distance_measure}")
         if cfg.tile_n % cfg.block_r:
             raise ScannError.invalid_argument("tile_n must be divisible by r")
+        if cfg.rerank_dtype not in ("float32", "bfloat16", "int8"):
+            raise ScannError.invalid_argument(
+                f"rerank_dtype must be float32, bfloat16 or int8, got "
+                f"{cfg.rerank_dtype!r}")
         self._config = cfg
         self._dataset = dataset
         self._measure = cfg.distance_measure
         self._aug_dev = None
         self._norms_cache = None
         self._inv_perm = None
+        self._rerank_cache = None
 
     # -- metadata -----------------------------------------------------------
     @property
@@ -98,10 +110,49 @@ class BlockSweepSearcher(Searcher):
         return self._aug_dev.size * 2
 
     # -- device state ---------------------------------------------------------
+    def _rerank_state(self, n: int):
+        """(db_repr, norms): the rerank copy in the configured dtype —
+        f32 (shared DenseDataset cache), bf16 rows (half), or a
+        (u8 codes, scale, min) tuple (quarter, ScalarQuantizer codec).
+        Norms come from the SAME rounded rows the gather returns. Low
+        precision copies upload directly (no f32 device copy needed —
+        callers can drop the dataset cache; see docs/DESIGN.md)."""
+        rdt = self._config.rerank_dtype
+        if rdt == "float32":
+            db, _ = self._dataset.device()
+            return db, jax.jit(squared_norms)(db)
+        if self._rerank_cache is not None and self._rerank_cache[2] == n:
+            return self._rerank_cache[0], self._rerank_cache[1]
+        data = self._dataset.numpy()
+        n_pad = align_up(max(n, 1), SUBLANE_BF16)
+        if rdt == "bfloat16":
+            import ml_dtypes
+
+            host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
+            host[:n] = data.astype(ml_dtypes.bfloat16)
+            db_repr = jnp.asarray(host)
+            norms = jax.jit(squared_norms)(db_repr)
+        else:
+            from scann_tpu.quantization.scalar import ScalarQuantizer
+
+            quant = ScalarQuantizer().calibrate_from_array(data)
+            host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
+            cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
+            for i in range(0, n, cs):
+                host[i : i + cs] = quant.quantize(data[i : i + cs])
+            codes = jnp.asarray(host)
+            scale = np.float32(quant.scale)
+            mn = np.float32(quant.min_value)
+            norms = jax.jit(lambda c: squared_norms(
+                c.astype(jnp.float32) * scale + mn))(codes)
+            db_repr = (codes, jnp.float32(scale), jnp.float32(mn))
+        self._rerank_cache = (db_repr, norms, n)
+        return db_repr, norms
+
     def _device_state(self):
         from scann_tpu.ops.sweep_pallas import shuffle_stride_for
 
-        db, n = self._dataset.device()
+        n = self._dataset.size
         if self._aug_dev is None or self._norms_cache is None or \
                 self._norms_cache[0] != n:
             if self._config.shuffle and n > 1:
@@ -116,8 +167,9 @@ class BlockSweepSearcher(Searcher):
                                      tile_n=self._config.tile_n,
                                      shuffle_stride=stride)
             self._aug_dev = jnp.asarray(aug)
-            self._norms_cache = (n, jax.jit(squared_norms)(db))
-        return self._aug_dev, db, self._norms_cache[1], n
+            db_repr, norms = self._rerank_state(n)
+            self._norms_cache = (n, norms, db_repr)
+        return self._aug_dev, self._norms_cache[2], self._norms_cache[1], n
 
     @staticmethod
     def _interpret() -> bool:

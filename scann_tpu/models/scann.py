@@ -118,9 +118,14 @@ class Scann(Searcher):
                 BlockSweepSearcher,
             )
 
+            r = config.exact_reordering
             self._impl = BlockSweepSearcher(dataset, BlockSweepConfig(
                 distance_measure=measure,
-                pre_reorder_k=int(config.brute_force.block_sweep_pre_k)))
+                pre_reorder_k=int(config.brute_force.block_sweep_pre_k),
+                rerank_dtype=("float32" if r is None else
+                              ("int8" if r.quantized and
+                               r.rerank_dtype == "float32"
+                               else r.rerank_dtype))))
             self.search_mode = SearchMode.BRUTE_FORCE
         elif config.brute_force is not None and config.brute_force.scalar_quantization:
             self._impl: Searcher = ScalarQuantizedBruteForceSearcher(

@@ -218,3 +218,40 @@ def test_block_sweep_shuffle_id_translation_full_range(rng):
     idx, dist = s.search_batched_arrays(db[sel], 1)
     np.testing.assert_array_equal(idx[:, 0], sel)
     np.testing.assert_allclose(dist[:, 0], 0.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("rdt", ["bfloat16", "int8"])
+def test_block_sweep_low_precision_rerank(rng, rdt):
+    """rerank_dtype drops the f32 database from the sweep's serving
+    footprint (the dominant allocation — the first pass reads only the
+    bf16 augmented copy): recall holds and distances match the rounded-row
+    truth. This is what keeps the sweep on one chip past ~15M points."""
+    n, d, b, k = 4096, 32, 24, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, k)
+
+    s = BlockSweepSearcher(ds, BlockSweepConfig(
+        pre_reorder_k=256, block_r=8, tile_n=256, rerank_dtype=rdt))
+    aug, db_repr, norms, n_valid = s._device_state()
+    if rdt == "int8":
+        assert isinstance(db_repr, tuple) and str(db_repr[0].dtype) == "uint8"
+    else:
+        assert str(db_repr.dtype) == "bfloat16"
+    idx, dist = s.search_batched_arrays(q, k)
+    recall = np.mean([len(set(a) & set(g)) / k for a, g in zip(idx, gt)])
+    assert recall >= 0.95, (rdt, recall)
+    assert np.all(np.diff(dist, axis=1) >= -1e-6)
+    # io round-trip carries the dtype
+    import tempfile
+
+    from scann_tpu.io import load_index, save_index
+
+    with tempfile.TemporaryDirectory() as td:
+        save_index(td + "/s.npz", s)
+        s2 = load_index(td + "/s.npz")
+        assert s2._config.rerank_dtype == rdt
+        i2, d2 = s2.search_batched_arrays(q, k)
+        np.testing.assert_array_equal(idx, i2)
+        np.testing.assert_allclose(dist, d2, rtol=1e-5, atol=1e-5)
