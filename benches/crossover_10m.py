@@ -203,13 +203,16 @@ def main():
     log(f"tree-AH build ({N_PARTS} partitions, rerank={RERANK_DTYPE}): "
         f"{time.perf_counter()-t0:.1f}s")
 
-    db_d, norms, n_valid = s._device_state()
     if RERANK_DTYPE != "float32":
-        # serving holds only the low-precision rerank copy; free the 2x
-        # larger f32 copy the build used
-        jax.block_until_ready(db_d)
+        # free the f32 build copy BEFORE the low-precision rerank copy
+        # uploads (it builds from host numpy): the two copies must never
+        # coexist — at 20M the padded f32 is 9.5 GB and bf16 is 4.8 GB,
+        # together past the 15.75 GB chip
         ds.drop_device_cache()
-        log(f"dropped f32 device copy; rerank copy dtype={db_d.dtype}")
+        log("dropped f32 device copy before rerank-copy upload")
+    db_d, norms, n_valid = s._device_state()
+    rep = db_d[0] if isinstance(db_d, tuple) else db_d
+    log(f"rerank copy dtype={rep.dtype}")
     codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
     cent = s.partitioner.centers_device()
     cb = s.codebook.centroids_device()

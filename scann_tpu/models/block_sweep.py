@@ -85,7 +85,6 @@ class BlockSweepSearcher(Searcher):
         self._dataset = dataset
         self._measure = cfg.distance_measure
         self._aug_dev = None
-        self._norms_cache = None
         self._inv_perm = None
         self._rerank_cache = None
 
@@ -104,48 +103,38 @@ class BlockSweepSearcher(Searcher):
         return self._dataset.docids
 
     def memory_usage(self) -> int:
-        """Device bytes beyond the raw dataset: the bf16 augmented copy."""
-        if self._aug_dev is None:
-            return 0
-        return self._aug_dev.size * 2
+        """Device bytes beyond the raw dataset: the bf16 augmented copy
+        plus any low-precision rerank copy (f32 rerank shares the
+        DenseDataset cache and is not counted here)."""
+        total = 0 if self._aug_dev is None else self._aug_dev.size * 2
+        if self._rerank_cache is not None and \
+                self._config.rerank_dtype != "float32":
+            rep = self._rerank_cache[0]
+            if isinstance(rep, tuple):
+                total += rep[0].size  # u8 codes
+            else:
+                total += rep.size * 2  # bf16 rows
+        return total
 
     # -- device state ---------------------------------------------------------
     def _rerank_state(self, n: int):
         """(db_repr, norms): the rerank copy in the configured dtype —
         f32 (shared DenseDataset cache), bf16 rows (half), or a
         (u8 codes, scale, min) tuple (quarter, ScalarQuantizer codec).
-        Norms come from the SAME rounded rows the gather returns. Low
-        precision copies upload directly (no f32 device copy needed —
-        callers can drop the dataset cache; see docs/DESIGN.md)."""
+        Low-precision copies upload directly from host (no f32 device copy
+        needed — callers can drop the dataset cache; see docs/DESIGN.md)."""
+        if self._rerank_cache is not None and self._rerank_cache[2] == n:
+            return self._rerank_cache[0], self._rerank_cache[1]
         rdt = self._config.rerank_dtype
         if rdt == "float32":
             db, _ = self._dataset.device()
-            return db, jax.jit(squared_norms)(db)
-        if self._rerank_cache is not None and self._rerank_cache[2] == n:
-            return self._rerank_cache[0], self._rerank_cache[1]
-        data = self._dataset.numpy()
-        n_pad = align_up(max(n, 1), SUBLANE_BF16)
-        if rdt == "bfloat16":
-            import ml_dtypes
-
-            host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
-            host[:n] = data.astype(ml_dtypes.bfloat16)
-            db_repr = jnp.asarray(host)
-            norms = jax.jit(squared_norms)(db_repr)
+            norms = jax.jit(squared_norms)(db)
+            db_repr = db
         else:
-            from scann_tpu.quantization.scalar import ScalarQuantizer
+            from scann_tpu.utils.reordering import build_rerank_store
 
-            quant = ScalarQuantizer().calibrate_from_array(data)
-            host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
-            cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
-            for i in range(0, n, cs):
-                host[i : i + cs] = quant.quantize(data[i : i + cs])
-            codes = jnp.asarray(host)
-            scale = np.float32(quant.scale)
-            mn = np.float32(quant.min_value)
-            norms = jax.jit(lambda c: squared_norms(
-                c.astype(jnp.float32) * scale + mn))(codes)
-            db_repr = (codes, jnp.float32(scale), jnp.float32(mn))
+            db_repr, norms = build_rerank_store(
+                self._dataset.numpy(), n, rdt, SUBLANE_BF16)
         self._rerank_cache = (db_repr, norms, n)
         return db_repr, norms
 
@@ -153,8 +142,8 @@ class BlockSweepSearcher(Searcher):
         from scann_tpu.ops.sweep_pallas import shuffle_stride_for
 
         n = self._dataset.size
-        if self._aug_dev is None or self._norms_cache is None or \
-                self._norms_cache[0] != n:
+        if self._aug_dev is None or self._rerank_cache is None or \
+                self._rerank_cache[2] != n:
             if self._config.shuffle and n > 1:
                 stride = shuffle_stride_for(n)
                 pos = (np.arange(n, dtype=np.int64) * stride) % n
@@ -167,9 +156,8 @@ class BlockSweepSearcher(Searcher):
                                      tile_n=self._config.tile_n,
                                      shuffle_stride=stride)
             self._aug_dev = jnp.asarray(aug)
-            db_repr, norms = self._rerank_state(n)
-            self._norms_cache = (n, norms, db_repr)
-        return self._aug_dev, self._norms_cache[2], self._norms_cache[1], n
+        db_repr, norms = self._rerank_state(n)
+        return self._aug_dev, db_repr, norms, n
 
     @staticmethod
     def _interpret() -> bool:

@@ -61,6 +61,17 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
 AUTO_SWEEP_MAX_N = 6_000_000
 
 
+def _rerank_dtype_of(r) -> str:
+    """Rerank-copy dtype an ExactReorderingConfig selects: an explicit
+    rerank_dtype wins; the reference's quantized flag (config.rs:290-318)
+    maps to int8 when no explicit dtype was set."""
+    if r is None:
+        return "float32"
+    if r.quantized and r.rerank_dtype == "float32":
+        return "int8"
+    return r.rerank_dtype
+
+
 def auto_config(n: int, dim: int,
                 measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
                 ) -> ScannConfig:
@@ -118,14 +129,10 @@ class Scann(Searcher):
                 BlockSweepSearcher,
             )
 
-            r = config.exact_reordering
             self._impl = BlockSweepSearcher(dataset, BlockSweepConfig(
                 distance_measure=measure,
                 pre_reorder_k=int(config.brute_force.block_sweep_pre_k),
-                rerank_dtype=("float32" if r is None else
-                              ("int8" if r.quantized and
-                               r.rerank_dtype == "float32"
-                               else r.rerank_dtype))))
+                rerank_dtype=_rerank_dtype_of(config.exact_reordering)))
             self.search_mode = SearchMode.BRUTE_FORCE
         elif config.brute_force is not None and config.brute_force.scalar_quantization:
             self._impl: Searcher = ScalarQuantizedBruteForceSearcher(
@@ -158,10 +165,7 @@ class Scann(Searcher):
                     / max(config.num_neighbors, 1),
                     1.0,
                 )
-                r = config.exact_reordering
-                cfg.rerank_dtype = ("int8" if r.quantized and
-                                    r.rerank_dtype == "float32"
-                                    else r.rerank_dtype)
+                cfg.rerank_dtype = _rerank_dtype_of(config.exact_reordering)
             self._impl = TreeXHybridSearcher(cfg).build(dataset)
             self.search_mode = SearchMode.TREE_AH
         elif config.partitioning is not None:

@@ -486,8 +486,7 @@ class TreeXHybridSearcher(Searcher):
         self._dataset: Optional[DenseDataset] = None
         self._norms_cache = None
         self._csr_cache = None
-        self._bf16_cache = None
-        self._q8_cache = None
+        self._lp_cache = None
         if self.config.rerank_dtype not in ("float32", "bfloat16", "int8"):
             raise ScannError.invalid_argument(
                 f"rerank_dtype must be float32, bfloat16 or int8, got "
@@ -587,8 +586,7 @@ class TreeXHybridSearcher(Searcher):
         self.codes = codes
         self._norms_cache = None
         self._csr_cache = None
-        self._bf16_cache = None
-        self._q8_cache = None
+        self._lp_cache = None
         return self
 
     # -- metadata ---------------------------------------------------------------
@@ -609,51 +607,21 @@ class TreeXHybridSearcher(Searcher):
                    + self.codebook.centroids.nbytes)
 
     def _device_state(self):
-        if self.config.rerank_dtype == "bfloat16":
-            n = self._dataset.size
-            if self._bf16_cache is None or self._bf16_cache[2] != n:
-                # cast on HOST (ml_dtypes) and upload bf16 directly: never
-                # materializes an f32 device copy, so serving HBM is half
-                # the database from the start. Callers that built through
-                # the f32 DenseDataset cache can free it afterwards with
-                # dataset.drop_device_cache().
-                import ml_dtypes
+        if self.config.rerank_dtype != "float32":
+            # low-precision rerank copy uploads straight from host (no f32
+            # device copy is ever materialized); callers that built through
+            # the f32 DenseDataset cache can free it with
+            # dataset.drop_device_cache() — ideally BEFORE this call so
+            # the two copies never coexist in HBM
+            from scann_tpu.utils.reordering import build_rerank_store
 
-                data = self._dataset.numpy()
-                n_pad = align_up(max(n, 1), SUBLANE_F32)
-                host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
-                host[:n] = data.astype(ml_dtypes.bfloat16)
-                db = jnp.asarray(host)
-                # norms from the bf16 rows (f32 accumulation): the rerank's
-                # ||q||² + ||d||² − 2q·d must use the SAME rounded d the
-                # gather returns, or small distances go negative
-                self._bf16_cache = (db, jax.jit(squared_norms)(db), n)
-            return self._bf16_cache
-        if self.config.rerank_dtype == "int8":
             n = self._dataset.size
-            if self._q8_cache is None or self._q8_cache[2] != n:
-                from scann_tpu.quantization.scalar import ScalarQuantizer
-
-                data = self._dataset.numpy()
-                quant = ScalarQuantizer().calibrate_from_array(data)
-                n_pad = align_up(max(n, 1), SUBLANE_F32)
-                host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
-                # chunk rows so quantize() stays on the host CPU path (no
-                # f32 device round-trip: the u8 codes upload once, 1/4 the
-                # f32 bytes) and f32 temps stay small
-                cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
-                for i in range(0, n, cs):
-                    host[i : i + cs] = quant.quantize(data[i : i + cs])
-                codes = jnp.asarray(host)
-                scale = np.float32(quant.scale)
-                mn = np.float32(quant.min_value)
-                # norms from the DEQUANTIZED rows (dequant fuses into the
-                # reduction; no [N, D] f32 ever materializes in HBM)
-                norms = jax.jit(lambda c: squared_norms(
-                    c.astype(jnp.float32) * scale + mn))(codes)
-                self._q8_cache = ((codes, jnp.float32(scale),
-                                   jnp.float32(mn)), norms, n)
-            return self._q8_cache
+            if self._lp_cache is None or self._lp_cache[2] != n:
+                db_repr, norms = build_rerank_store(
+                    self._dataset.numpy(), n, self.config.rerank_dtype,
+                    SUBLANE_F32)
+                self._lp_cache = (db_repr, norms, n)
+            return self._lp_cache
         db, n = self._dataset.device()
         if self._norms_cache is None or self._norms_cache[0] != n:
             self._norms_cache = (n, jax.jit(squared_norms)(db))

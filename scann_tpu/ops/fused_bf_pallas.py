@@ -1,11 +1,13 @@
 """Fully-fused small-database exact search kernel.
 
-For databases that fit in VMEM (N*D*4 <~ 6MB — e.g. the reference's
-headline 10k x 64d workload), the whole search — distance matmul + top-k —
-runs as ONE Pallas kernel with zero intermediate HBM traffic and a single
-launch. XLA's composed program (matmul kernel + top_k kernel + masking
-kernels) costs ~0.7ms at this size purely in per-op overhead; this kernel
-replaces it with one VMEM-resident program.
+For workloads whose database PLUS the [B, N] distance matrix (and its
+column iota) fit scoped VMEM together — see ``vmem_resident_limit_bytes``
+and the batch-aware gate in ``BruteForceSearcher._use_fused_vmem``; e.g.
+the reference's headline 10k x 64d workload at B<=100 — the whole search,
+distance matmul + top-k, runs as ONE Pallas kernel with zero intermediate
+HBM traffic and a single launch. XLA's composed program (matmul kernel +
+top_k kernel + masking kernels) costs ~0.7ms at this size purely in per-op
+overhead; this kernel replaces it with one VMEM-resident program.
 
 Top-k uses k rounds of min + argmin + mask (k <= 16): at small k this is
 cheaper than any sort and vectorizes perfectly on the VPU.

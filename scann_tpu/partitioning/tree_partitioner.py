@@ -348,15 +348,35 @@ class TreePartitioner:
         self._centers_dev = jnp.asarray(self.centers)
         return self
 
+    # rows per tokenize device call: bounds the program's own padded copy
+    # of its input to ~1 GB at 100d (assign_clusters pads [rows, D] to a
+    # chunk multiple INSIDE the program — handing it the whole database in
+    # one call duplicates the full [N, D] array: at 20M x 100d that is a
+    # second 9.5 GB allocation, measured OOM against 15.75 GB HBM)
+    _TOKENIZE_ROWS = 1 << 21
+
     def tokenize(self, data: np.ndarray) -> np.ndarray:
-        """Assign every row to its nearest centroid — chunked over rows so
-        the [chunk, K] distance matrix never approaches HBM capacity
-        (a full [N, K] matrix at 1M x 8k partitions would be ~37GB)."""
+        """Assign every row to its nearest centroid — chunked over rows at
+        TWO levels: host-level slices cap the per-program input copy (see
+        _TOKENIZE_ROWS), and assign_clusters chunks internally so the
+        [chunk, K] distance matrix never approaches HBM capacity (a full
+        [N, K] matrix at 1M x 8k partitions would be ~37GB)."""
         from scann_tpu.trees.kmeans import assign_clusters
 
-        tok, _ = jax.jit(assign_clusters)(
-            jnp.asarray(data, dtype=jnp.float32), jnp.asarray(self.centers))
-        return np.asarray(tok).astype(np.int32)
+        data = jnp.asarray(data, dtype=jnp.float32)
+        cent = jnp.asarray(self.centers)
+        n = data.shape[0]
+        rows = self._TOKENIZE_ROWS
+        if n <= rows:
+            tok, _ = jax.jit(assign_clusters)(data, cent)
+            return np.asarray(tok).astype(np.int32)
+        fn = jax.jit(assign_clusters)
+        out = np.empty(n, np.int32)
+        for lo in range(0, n, rows):
+            hi = min(lo + rows, n)
+            tok, _ = fn(jax.lax.slice_in_dim(data, lo, hi), cent)
+            out[lo:hi] = np.asarray(tok)
+        return out
 
     # -- metadata --------------------------------------------------------------
     @property

@@ -61,3 +61,49 @@ class ReorderingHelper:
         vals, idx = reorder_kernel(db, norms, q, cand,
                                    measure=self.distance_measure, k=min(k, cand.shape[1]))
         return np.asarray(idx), np.asarray(vals)
+
+
+def build_rerank_store(data: np.ndarray, n: int, dtype: str,
+                       row_align: int):
+    """(db_repr, norms): the device copy exact re-ranking gathers from.
+
+    ``dtype``: "float32" (caller should use its own f32 device cache
+    instead), "bfloat16" — bf16 rows at half the f32 bytes, or "int8" —
+    calibrated u8 codes (quantization/scalar.py, the reference's
+    mean±3σ codec, scalar.rs:113-119) at a quarter, returned as a
+    ``(codes, scale, min)`` tuple whose dequant the search kernels fuse
+    after the candidate gather. Low-precision copies upload straight from
+    host — no f32 device copy is ever materialized — and norms come from
+    the SAME rounded rows the gather returns (f32 accumulation), or small
+    exact distances go negative. Shared by TreeXHybridSearcher and
+    BlockSweepSearcher (rerank_dtype) and the sharded wrappers.
+    """
+    from scann_tpu.ops.distances import squared_norms
+    from scann_tpu.types import align_up
+
+    n_pad = align_up(max(n, 1), row_align)
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
+        host[:n] = data[:n].astype(ml_dtypes.bfloat16)
+        db_repr = jnp.asarray(host)
+        return db_repr, jax.jit(squared_norms)(db_repr)
+    if dtype == "int8":
+        from scann_tpu.quantization.scalar import ScalarQuantizer
+
+        quant = ScalarQuantizer().calibrate_from_array(data[:n])
+        host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
+        # chunk rows so quantize() stays on the host CPU path (the u8
+        # codes upload once, 1/4 the f32 bytes) and f32 temps stay small
+        cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
+        for i in range(0, n, cs):
+            host[i : i + cs] = quant.quantize(data[i : i + cs])
+        codes = jnp.asarray(host)
+        scale = np.float32(quant.scale)
+        mn = np.float32(quant.min_value)
+        # dequant fuses into the reduction: no [N, D] f32 in HBM
+        norms = jax.jit(lambda c: squared_norms(
+            c.astype(jnp.float32) * scale + mn))(codes)
+        return (codes, jnp.float32(scale), jnp.float32(mn)), norms
+    raise ValueError(f"unsupported rerank dtype {dtype!r}")

@@ -187,3 +187,25 @@ def test_spilling_results_unique(rng):
     gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
     rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
     assert rec > 0.5  # 8/16 partitions probed with spilling
+
+
+def test_tokenize_host_chunking_matches_single_call(rng):
+    """Host-level tokenize chunking (caps the per-program input copy — a
+    single whole-database call duplicates the full [N, D] array inside the
+    program: measured 9.5 GB second copy -> OOM at 20M x 100d) must give
+    identical assignments to the single-call path."""
+    from scann_tpu.partitioning.tree_partitioner import (
+        TreePartitioner,
+        TreePartitionerConfig,
+    )
+
+    data = rng.normal(size=(3000, 16)).astype(np.float32)
+    p = TreePartitioner(TreePartitionerConfig(num_partitions=16, seed=3))
+    p.build(data)
+    tok_single = p.tokenize(data)
+    try:
+        p._TOKENIZE_ROWS = 700  # force 5 host-level chunks
+        tok_chunked = p.tokenize(data)
+    finally:
+        del p._TOKENIZE_ROWS
+    np.testing.assert_array_equal(tok_single, tok_chunked)
