@@ -181,12 +181,29 @@ class ExactReorderingConfig(_JsonMixin):
 
 @dataclass
 class QueryConfig(_JsonMixin):
-    """Per-query overrides (reference: src/config.rs:322-336)."""
+    """Per-query overrides (reference: src/config.rs:322-336 — declared
+    there but never consumed by any search path; honored here for real via
+    ``to_search_parameters`` and the ``Scann`` facade's ``query_config``
+    argument)."""
 
     num_neighbors: Optional[int] = None
     num_partitions_to_search: Optional[int] = None
     reordering_num_candidates: Optional[int] = None
     epsilon: Optional[float] = None
+
+    def to_search_parameters(self):
+        """Map onto SearchParameters: partitions -> leaves to search,
+        reordering candidates -> pre_k, epsilon -> the approximate-search
+        threshold (pre-reordering units, matching FastTopNeighbors'
+        epsilon in src/brute_force/top_k.rs:263-279)."""
+        from scann_tpu.models.searcher import SearchParameters
+
+        return SearchParameters(
+            num_neighbors=self.num_neighbors,
+            num_leaves_to_search=self.num_partitions_to_search,
+            pre_reordering_num_neighbors=self.reordering_num_candidates,
+            pre_reordering_epsilon=self.epsilon,
+        )
 
 
 @dataclass

@@ -252,7 +252,18 @@ class Scann(Searcher):
         return self._dataset.docids
 
     def search_batched_arrays(self, queries: np.ndarray, k: Optional[int] = None,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              query_config=None):
+        """``query_config`` (config.QueryConfig) carries per-query
+        overrides — the reference declares this struct but never consumes
+        it; here it maps onto SearchParameters (explicit ``params`` and
+        ``k`` win over it)."""
+        if query_config is not None:
+            qp = query_config.to_search_parameters()
+            if k is None:
+                k = qp.num_neighbors
+            if params is None:
+                params = qp
         k = k if k is not None else self._config.num_neighbors
         # default reordering depth from the config for approximate modes
         if (params is None and self._config.exact_reordering is not None

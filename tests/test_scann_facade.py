@@ -226,3 +226,54 @@ def test_auto_builder_threads_k(small_db):
     s = ScannBuilder().num_neighbors(7).auto().build(DenseDataset(small_db))
     idx, _ = s.search_batched_arrays(small_db[:3])
     assert idx.shape == (3, 7)
+
+
+def test_query_config_honored():
+    """QueryConfig (config.rs:322-336) is declared-but-unused in the
+    reference; here it maps onto SearchParameters through the facade."""
+    import numpy as np
+
+    from scann_tpu import DenseDataset
+    from scann_tpu.config import (
+        HashConfig,
+        PartitioningConfig,
+        QueryConfig,
+        ScannConfig,
+    )
+    from scann_tpu.models.scann import Scann
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(16, 24)).astype(np.float32) * 3
+    db = (centers[rng.integers(0, 16, 2000)]
+          + rng.normal(size=(2000, 24)).astype(np.float32))
+    q = (centers[rng.integers(0, 16, 8)]
+         + rng.normal(size=(8, 24)).astype(np.float32))
+    s = Scann(DenseDataset(db), ScannConfig(
+        num_neighbors=5,
+        partitioning=PartitioningConfig(num_partitions=16,
+                                        num_partitions_to_search=2),
+        hash=HashConfig(num_blocks=6, num_buckets=16)))
+    # num_neighbors override: returns 3 columns, not the config's 5
+    i3, _ = s.search_batched_arrays(q, query_config=QueryConfig(
+        num_neighbors=3))
+    assert i3.shape == (8, 3)
+    # widening the searched partitions via QueryConfig must not lose
+    # recall vs the narrow default
+    i_narrow, _ = s.search_batched_arrays(q, 5)
+    i_wide, _ = s.search_batched_arrays(q, 5, query_config=QueryConfig(
+        num_partitions_to_search=16, reordering_num_candidates=100))
+    from scann_tpu import BruteForceSearcher
+
+    gt, _ = BruteForceSearcher(DenseDataset(db)).search_batched_arrays(q, 5)
+    r_n = np.mean([len(set(a) & set(g)) / 5 for a, g in zip(i_narrow, gt)])
+    r_w = np.mean([len(set(a) & set(g)) / 5 for a, g in zip(i_wide, gt)])
+    assert r_w >= r_n - 1e-9
+    assert r_w >= 0.9
+    # explicit params win over query_config
+    from scann_tpu import SearchParameters
+
+    i_p, _ = s.search_batched_arrays(
+        q, 4, params=SearchParameters(num_leaves_to_search=16,
+                                      pre_reordering_num_neighbors=100),
+        query_config=QueryConfig(num_neighbors=2))
+    assert i_p.shape == (8, 4)
