@@ -65,6 +65,10 @@ class AsymmetricHasherConfig:
     # 2020, hashes/avq.py) — set to e.g. 0.2 to boost MIPS/cosine recall at
     # the same bit budget; None = plain reconstruction-loss PQ
     anisotropic_threshold: Optional[float] = None
+    # dtype of the device copy exact re-ranking gathers from ("float32",
+    # "bfloat16", "int8") — same HBM lever as TreeXHybridConfig/
+    # BlockSweepConfig.rerank_dtype; see utils/reordering.build_rerank_store
+    rerank_dtype: str = "float32"
 
 
 _AH_MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
@@ -125,7 +129,9 @@ def ah_search_reorder_kernel(
     # recovers the recall_target loss); measured 121ms -> 3.8ms at [128, 1.18M]
     pre_vals, cand = approx_top_k_smallest(approx, pre_k)  # [B, pre_k]
 
-    rows = jnp.take(db, cand, axis=0)                  # [B, pre_k, D]
+    from scann_tpu.utils.reordering import gather_rerank_rows
+
+    rows = gather_rerank_rows(db, cand)                # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, cand, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     pre_m = approx_to_measure_units(pre_vals.astype(jnp.float32), measure)
@@ -177,8 +183,13 @@ def ah_search_fused_kernel(
     cand = blk * r + (iv % r)                          # global point ids
     pre_valid = (vals < INVALID_COMBINED / 2) & (approx <= pre_eps)
 
-    safe = jnp.clip(cand, 0, db.shape[0] - 1)
-    rows = jnp.take(db, safe, axis=0)                  # [B, pre_k, D]
+    from scann_tpu.utils.reordering import (
+        gather_rerank_rows,
+        rerank_store_rows,
+    )
+
+    safe = jnp.clip(cand, 0, rerank_store_rows(db) - 1)
+    rows = gather_rerank_rows(db, safe)                # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
@@ -199,13 +210,19 @@ class AsymmetricHasher(Searcher):
         self.packed: Optional[PackedCodes4Bit] = None    # int4 layout when C<=16
         self._dataset: Optional[DenseDataset] = None
         self._codes_dev = None
+        self._rerank_cache = None
         self._n = 0
         self._dim = 0
+        if self.config.rerank_dtype not in ("float32", "bfloat16", "int8"):
+            raise ScannError.invalid_argument(
+                f"rerank_dtype must be float32, bfloat16 or int8, got "
+                f"{self.config.rerank_dtype!r}")
 
     # -- build ----------------------------------------------------------------
     def build(self, dataset: DenseDataset) -> "AsymmetricHasher":
         if dataset.is_empty:
             raise ScannError.invalid_argument("Cannot build from empty dataset")
+        self._rerank_cache = None
         cfg = self.config
         if cfg.distance_measure not in (
                 DistanceMeasure.SQUARED_L2, DistanceMeasure.COSINE,
@@ -355,13 +372,30 @@ class AsymmetricHasher(Searcher):
         n_blocks = align_up(max(self._n, 1), self.FUSED_TILE_N) // self.FUSED_R
         return self._use_pallas() and n_blocks >= 2 * pre_k
 
-    def _search_reorder(self, queries, k: int, pre_k: int,
-                        pre_eps=np.inf, post_eps=np.inf):
+    def _rerank_state(self):
+        """(db_repr, norms) in the configured rerank_dtype (low-precision
+        copies upload straight from host; the f32 DenseDataset cache can
+        then be dropped by the caller)."""
         if self._dataset is None:
             raise ScannError.failed_precondition("Dataset not stored")
-        db, _ = self._dataset.device()
-        from scann_tpu.ops.distances import squared_norms
-        norms = jax.jit(squared_norms)(db)
+        rdt = self.config.rerank_dtype
+        if rdt == "float32":
+            db, _ = self._dataset.device()
+            from scann_tpu.ops.distances import squared_norms
+
+            return db, jax.jit(squared_norms)(db)
+        if self._rerank_cache is None or self._rerank_cache[2] != self._n:
+            from scann_tpu.types import SUBLANE_F32
+            from scann_tpu.utils.reordering import build_rerank_store
+
+            db_repr, norms = build_rerank_store(
+                self._dataset.numpy(), self._n, rdt, SUBLANE_F32)
+            self._rerank_cache = (db_repr, norms, self._n)
+        return self._rerank_cache[0], self._rerank_cache[1]
+
+    def _search_reorder(self, queries, k: int, pre_k: int,
+                        pre_eps=np.inf, post_eps=np.inf):
+        db, norms = self._rerank_state()
         cent = self.codebook.centroids_device()
         if self._use_fused(pre_k):
             packed = self._device_codes_packed_t()

@@ -349,14 +349,9 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
     pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
     pre_safe = jnp.maximum(pre_cand, 0)
 
-    if isinstance(db, tuple):
-        # int8 rerank copy: (u8 codes, scale, min) — dequantize only the
-        # gathered [B, pre_k, D] candidates (ScalarQuantizer codec)
-        q8, q_scale, q_min = db
-        rows = jnp.take(q8, pre_safe, axis=0).astype(jnp.float32) \
-            * q_scale + q_min                                    # [B, pre_k, D]
-    else:
-        rows = jnp.take(db, pre_safe, axis=0)                    # [B, pre_k, D]
+    from scann_tpu.utils.reordering import gather_rerank_rows
+
+    rows = gather_rerank_rows(db, pre_safe)                      # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, pre_safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)

@@ -333,18 +333,13 @@ def sweep_search_kernel(
         approx = pv
     pre_valid = (pv < BLOCK_MASK_VALUE / 2) & (approx <= pre_eps)
 
-    if isinstance(db, tuple):
-        # int8 rerank copy (BlockSweepConfig.rerank_dtype='int8'): u8
-        # codes + (scale, min); dequantize only the gathered candidates
-        q8, q_scale, q_min = db
-        safe = jnp.clip(cand, 0, q8.shape[0] - 1)
-        rows = jnp.take(q8, safe, axis=0).astype(jnp.float32) \
-            * q_scale + q_min                            # [B, pre_k, D]
-    else:
-        safe = jnp.clip(cand, 0, db.shape[0] - 1)
-        rows = jnp.take(db, safe, axis=0)                # [B, pre_k, D]
-        if rows.dtype != jnp.float32:
-            rows = rows.astype(jnp.float32)              # bf16 rerank copy
+    from scann_tpu.utils.reordering import (
+        gather_rerank_rows,
+        rerank_store_rows,
+    )
+
+    safe = jnp.clip(cand, 0, rerank_store_rows(db) - 1)
+    rows = gather_rerank_rows(db, safe)                  # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)

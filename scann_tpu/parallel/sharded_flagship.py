@@ -93,7 +93,8 @@ def _merge_partials(vals, idx, k: int, multiplicity: int, post_eps,
 def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
                             measure: DistanceMeasure, kernel: str = "xla",
                             with_mask: bool = False, r: int = 32,
-                            tile_n: int = 1024, db_axis: str = "db"):
+                            tile_n: int = 1024, db_axis: str = "db",
+                            dequant=None):
     """fn(centroids, codes, db [N,D] row-sharded, norms [N] sharded, n_valid,
     queries replicated[, allow_mask sharded], pre_eps, post_eps)
     -> (dists, idx).
@@ -182,6 +183,11 @@ def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
 
         safe = jnp.clip(cand, 0, blk - 1)
         rows = jnp.take(db_blk, safe, axis=0)
+        if dequant is not None:
+            # int8 rerank copy: dequant only the gathered candidates
+            rows = rows.astype(jnp.float32) * dequant[0] + dequant[1]
+        elif rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)  # bf16 rerank copy
         nrm = jnp.take(norms_blk, safe, axis=0)
         exact = gathered_distances(measure, queries, rows, nrm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
@@ -228,13 +234,39 @@ class ShardedAsymmetricHasher(Searcher):
         # cosine: the inner hasher normalized its stored dataset at build;
         # the shards inherit the normalized rows
         data = hasher._dataset.numpy()
-        db = np.zeros((n_pad, data.shape[1]), np.float32)
-        db[:n] = data
         sh = lambda a, spec: jax.device_put(a, NamedSharding(self.mesh, spec))
         self._codes = sh(jnp.asarray(codes), P("db", None))
+        # rerank copy in the wrapped hasher's configured dtype — the raw-row
+        # slab is the dominant per-shard allocation (same lever as
+        # rerank_dtype everywhere else)
+        rdt = getattr(hasher.config, "rerank_dtype", "float32")
+        self._dequant = None
+        if rdt == "int8":
+            from scann_tpu.quantization.scalar import ScalarQuantizer
+
+            quant = ScalarQuantizer().calibrate_from_array(data[:n])
+            db = np.zeros((n_pad, data.shape[1]), np.uint8)
+            cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
+            for i in range(0, n, cs):
+                hi = min(i + cs, n)  # db has n_pad rows: slice to the data
+                db[i:hi] = quant.quantize(data[i:hi])
+            self._dequant = (float(quant.scale), float(quant.min_value))
+        else:
+            import ml_dtypes
+
+            db_dt = ml_dtypes.bfloat16 if rdt == "bfloat16" else np.float32
+            db = np.zeros((n_pad, data.shape[1]), db_dt)
+            db[:n] = data.astype(db_dt)
         self._db = sh(jnp.asarray(db), P("db", None))
+        dq = self._dequant
+
+        def _norms_of(x):
+            x = (x.astype(jnp.float32) * dq[0] + dq[1]) if dq is not None \
+                else x.astype(jnp.float32)
+            return jnp.sum(x * x, axis=-1)
+
         self._norms = jax.jit(
-            squared_norms,
+            _norms_of,
             out_shardings=NamedSharding(self.mesh, P("db")))(self._db)
         self._cent = replicate(self.mesh, hasher.codebook.centroids_device())
         self._n = n
@@ -297,7 +329,8 @@ class ShardedAsymmetricHasher(Searcher):
             self._kernels[key] = sharded_ah_sweep_kernel(
                 self.mesh, pre_k=pre_k, k=k, measure=self._measure,
                 kernel=kernel, with_mask=with_mask,
-                r=self.FUSED_R, tile_n=self.FUSED_TILE_N)
+                r=self.FUSED_R, tile_n=self.FUSED_TILE_N,
+                dequant=self._dequant)
         q = replicate(self.mesh, jnp.asarray(queries))
         codes = self._codes_packed if kernel == "fused" else self._codes
         args = [self._cent, codes, self._db, self._norms,

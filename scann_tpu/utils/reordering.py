@@ -98,7 +98,8 @@ def build_rerank_store(data: np.ndarray, n: int, dtype: str,
         # codes upload once, 1/4 the f32 bytes) and f32 temps stay small
         cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
         for i in range(0, n, cs):
-            host[i : i + cs] = quant.quantize(data[i : i + cs])
+            hi = min(i + cs, n)  # host has n_pad rows: slice to the data
+            host[i:hi] = quant.quantize(data[i:hi])
         codes = jnp.asarray(host)
         scale = np.float32(quant.scale)
         mn = np.float32(quant.min_value)
@@ -107,3 +108,19 @@ def build_rerank_store(data: np.ndarray, n: int, dtype: str,
             c.astype(jnp.float32) * scale + mn))(codes)
         return (codes, jnp.float32(scale), jnp.float32(mn)), norms
     raise ValueError(f"unsupported rerank dtype {dtype!r}")
+
+
+def gather_rerank_rows(db_repr, idx):
+    """f32 candidate rows gathered from a rerank store built by
+    :func:`build_rerank_store` (or a plain f32 array): int8 stores
+    dequantize only the gathered rows; bf16 rows cast after the gather."""
+    if isinstance(db_repr, tuple):
+        q8, scale, mn = db_repr
+        return jnp.take(q8, idx, axis=0).astype(jnp.float32) * scale + mn
+    rows = jnp.take(db_repr, idx, axis=0)
+    return rows if rows.dtype == jnp.float32 else rows.astype(jnp.float32)
+
+
+def rerank_store_rows(db_repr) -> int:
+    """Row count (padded) of a rerank store of any representation."""
+    return (db_repr[0] if isinstance(db_repr, tuple) else db_repr).shape[0]

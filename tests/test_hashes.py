@@ -255,3 +255,41 @@ def test_hasher_rejects_unsupported_measure(rng):
         AsymmetricHasher(AsymmetricHasherConfig(
             num_codes=16, num_subspaces=4,
             distance_measure=DistanceMeasure.L1)).build(DenseDataset(db))
+
+
+@pytest.mark.parametrize("rdt", ["bfloat16", "int8"])
+def test_hasher_low_precision_rerank(rng, rdt):
+    """AsymmetricHasherConfig.rerank_dtype: the exact re-rank gathers from
+    a low-precision copy (same HBM lever as tree-AH / block-sweep); recall
+    must hold and the io round-trip must carry the dtype."""
+    db = rng.normal(size=(2000, 32)).astype(np.float32)
+    q = rng.normal(size=(20, 32)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=8, seed=42, rerank_dtype=rdt)).build(ds)
+    rep, norms = h._rerank_state()
+    if rdt == "int8":
+        assert isinstance(rep, tuple) and str(rep[0].dtype) == "uint8"
+    else:
+        assert str(rep.dtype) == "bfloat16"
+    idx, dist = h.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=300))
+    r = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, gt)])
+    assert r >= 0.8, (rdt, r)
+    import tempfile
+
+    from scann_tpu.io import load_index, save_index
+
+    with tempfile.TemporaryDirectory() as td:
+        save_index(td + "/h.npz", h)
+        h2 = load_index(td + "/h.npz")
+        assert h2.config.rerank_dtype == rdt
+        i2, d2 = h2.search_batched_arrays(
+            q, 10, SearchParameters(pre_reordering_num_neighbors=300))
+        np.testing.assert_array_equal(idx, i2)
+
+
+def test_hasher_rerank_dtype_validated():
+    with pytest.raises(Exception):
+        AsymmetricHasher(AsymmetricHasherConfig(rerank_dtype="float16"))

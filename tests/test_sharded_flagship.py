@@ -298,3 +298,20 @@ def test_sharded_tree_ah_low_precision_rerank(data, rdt):
             v1 = d1[b][list(i1[b]).index(cid)]
             v2 = d2[b][list(i2[b]).index(cid)]
             np.testing.assert_allclose(v1, v2, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("rdt", ["bfloat16", "int8"])
+def test_sharded_ah_sweep_low_precision_rerank(data, rdt):
+    """ShardedAsymmetricHasher honors the wrapped hasher's rerank_dtype on
+    its per-shard raw-row slab."""
+    db, q, ds, gt = data
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=8, seed=5, rerank_dtype=rdt)).build(ds)
+    sh = ShardedAsymmetricHasher(h, make_mesh(8, axis_names=("db",)))
+    assert str(sh._db.dtype) == ("bfloat16" if rdt == "bfloat16" else "uint8")
+    params = SearchParameters(pre_reordering_num_neighbors=100)
+    i1, _ = h.search_batched_arrays(q, 10, params)
+    i2, _ = sh.search_batched_arrays(q, 10, params)
+    r1, r2 = _recall(i1, gt), _recall(i2, gt)
+    assert r2 >= r1 - 0.02, (r1, r2)
+    assert r2 >= 0.9

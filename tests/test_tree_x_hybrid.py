@@ -400,3 +400,20 @@ def test_quantized_reordering_via_facade(hybrid_setup):
     assert s._impl.config.rerank_dtype == "int8"
     idx, _ = s.search_batched_arrays(q, 10)
     assert _recall(idx, gt) >= 0.85
+
+
+def test_build_rerank_store_unaligned_n():
+    """Regression: the chunked int8 quantize wrote host[i:i+cs] whose tail
+    slice (padding rows) could be longer than the data slice — broadcast
+    error whenever n is not a multiple of the row alignment."""
+    from scann_tpu.utils.reordering import build_rerank_store
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(13, 5)).astype(np.float32)
+    (codes, scale, mn), norms = build_rerank_store(data, 13, "int8", 8)
+    assert codes.shape[0] == 16  # padded
+    deq = np.asarray(codes[:13]).astype(np.float32) * float(scale) + float(mn)
+    np.testing.assert_allclose(
+        np.asarray(norms)[:13], (deq ** 2).sum(-1), rtol=1e-5, atol=1e-5)
+    rep16, norms16 = build_rerank_store(data, 13, "bfloat16", 8)
+    assert rep16.shape[0] == 16 and str(rep16.dtype) == "bfloat16"
