@@ -59,6 +59,9 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
 # Above this the block sweep's linear-in-N batch cost loses to tree-AH at
 # serving batches (measured crossover, BENCH_NOTES.md "10M-scale").
 AUTO_SWEEP_MAX_N = 6_000_000
+# f32-rerank-copy byte budget before auto() switches to a bf16 rerank copy
+# (~12M x 100d; the padded f32 copy expands 1.28x under TPU lane tiling)
+AUTO_F32_RERANK_MAX_BYTES = 5 * 1024**3
 
 
 def _rerank_dtype_of(r) -> str:
@@ -109,6 +112,13 @@ def auto_config(n: int, dim: int,
     cfg.hash.num_blocks = max(blocks, 1)
     cfg.with_reordering()
     cfg.exact_reordering.num_candidates = 150
+    if n * dim * 4 > AUTO_F32_RERANK_MAX_BYTES:
+        # past ~12M x 100d the padded f32 rerank copy (1.28x lane-padding
+        # expansion on TPU) plus codes/centroids crowds a 16 GB chip —
+        # measured: the 20M x 100d f32 program needed 21.31G vs 15.75G HBM.
+        # bf16 halves the copy at ~0.5pp recall@10 (docs/DESIGN.md
+        # "HBM budget at scale").
+        cfg.exact_reordering.rerank_dtype = "bfloat16"
     return cfg
 
 

@@ -277,3 +277,12 @@ def test_query_config_honored():
                                       pre_reordering_num_neighbors=100),
         query_config=QueryConfig(num_neighbors=2))
     assert i_p.shape == (8, 4)
+
+
+def test_auto_config_selects_bf16_rerank_at_scale():
+    from scann_tpu.models.scann import auto_config
+
+    small = auto_config(8_000_000, 100)
+    big = auto_config(20_000_000, 100)
+    assert small.exact_reordering.rerank_dtype == "float32"
+    assert big.exact_reordering.rerank_dtype == "bfloat16"
