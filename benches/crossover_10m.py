@@ -59,7 +59,12 @@ def recall_at_k(idx, gt, k=K):
 
 def chained(kern_call, arrays, iters, rounds=3):
     """Chained-scan timing of ``kern_call(q_perturbed, *arrays)`` ->
-    (vals, idx); all big arrays ride as jit arguments."""
+    (vals, idx); all big arrays ride as jit arguments.
+
+    Falls back to :func:`pipelined` when the scan wrapper cannot compile:
+    at 20M x 100d XLA rematerializes compressed+uncompressed copies of
+    every multi-GB loop invariant inside the scan (measured +13.4G of HLO
+    temps -> HBM OOM), even though the bare kernel runs fine."""
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +78,34 @@ def chained(kern_call, arrays, iters, rounds=3):
                                   jnp.arange(it, dtype=jnp.float32))
             return acc
         return lambda: run(*arrays)
-    return scan_time(make_scan, iters, rounds)
+    try:
+        return scan_time(make_scan, iters, rounds)
+    except Exception as e:  # jax.errors.JaxRuntimeError: compile OOM
+        log(f"chained-scan timing unavailable ({type(e).__name__}); "
+            f"falling back to pipelined dispatch timing")
+        return pipelined(kern_call, arrays, iters, rounds)
+
+
+def pipelined(kern_call, arrays, iters, rounds=3):
+    """Async-dispatch timing: ``iters`` DISTINCT pre-staged query batches
+    (distinct inputs defeat identical-dispatch elision), all dispatched
+    back-to-back, one block at the end. Per-batch kernel time at this
+    scale (>=25 ms) dwarfs the ~1-3 ms tunnel RTT, which overlaps under
+    async dispatch anyway."""
+    import jax
+    import jax.numpy as jnp
+
+    q0, rest = arrays[0], arrays[1:]
+    qs = [jnp.asarray(q0 + np.float32(i + 1) * 1e-6) for i in range(iters)]
+    jax.block_until_ready(qs)
+    jax.block_until_ready(kern_call(qs[0], *rest))  # compile once
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [kern_call(q, *rest) for q in qs]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
