@@ -78,6 +78,14 @@ def chained(kern_call, arrays, iters, rounds=3):
                                   jnp.arange(it, dtype=jnp.float32))
             return acc
         return lambda: run(*arrays)
+    # past ~15M the scan wrapper's remat copies of the multi-GB invariants
+    # are KNOWN not to fit — skip the multi-minute doomed compile attempt
+    big = sum(getattr(a, "nbytes", 0)
+              for t in arrays for a in (t if isinstance(t, tuple) else (t,)))
+    if big > 6_000_000_000:
+        log("pipelined dispatch timing (scan wrapper cannot fit at this "
+            "scale; kernel time >> overlapped RTT)")
+        return pipelined(kern_call, arrays, iters, rounds)
     try:
         return scan_time(make_scan, iters, rounds)
     except Exception as e:  # jax.errors.JaxRuntimeError: compile OOM
