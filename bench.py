@@ -29,19 +29,12 @@ def log(*a):
 
 
 def scan_time(make_scan, iters=50, rounds=4):
-    """Device-resident loop timing: ``make_scan(iters)`` returns a jitted
-    fn running ``iters`` chained searches in ONE dispatch via lax.scan
-    (per-dispatch tunnel latency amortized to ~0); each step's result feeds
-    the next step's input and the returned scalar, so nothing can be
-    elided. Best of ``rounds`` — noise only ever adds time."""
-    fn = make_scan(iters)
-    float(fn())  # compile + run once
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    """Device-resident chained-scan timing — ONE shared implementation
+    (scann_tpu/utils/benchmarking) used by this driver artifact and every
+    benches/ script, so methodology fixes reach all published numbers."""
+    from scann_tpu.utils.benchmarking import scan_time as _scan_time
+
+    return _scan_time(make_scan, iters, rounds)
 
 
 def main():
@@ -129,8 +122,9 @@ def _clustered(key, n, d, n_clusters, b, spread=2.5):
 
 
 def _recall_at_k(idx, gt, k=10):
-    return float(np.mean([len(set(map(int, a)) & set(map(int, g))) / k
-                          for a, g in zip(idx, gt)]))
+    from scann_tpu.utils.benchmarking import recall_at_k
+
+    return recall_at_k(idx, gt, k)
 
 
 def _run_tree_ah_default(log):

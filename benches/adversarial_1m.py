@@ -35,37 +35,9 @@ def log(*a):
     print(*a, flush=True)
 
 
-def scan_time(make_scan, iters, rounds=3):
-    fn = make_scan(iters)
-    float(fn())
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
-def recall_at_k(idx, gt, k=K):
-    return float(np.mean([len(set(map(int, a)) & set(map(int, g))) / k
-                          for a, g in zip(idx, gt)]))
-
-
-def chained(kern_call, arrays, iters):
-    import jax
-    import jax.numpy as jnp
-
-    def make_scan(it):
-        @jax.jit
-        def run(qq, *rest):
-            def body(acc, i):
-                vals, _ = kern_call(qq + acc * 1e-20 + i * 1e-6, *rest)
-                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0),
-                                  jnp.arange(it, dtype=jnp.float32))
-            return acc
-        return lambda: run(*arrays)
-    return scan_time(make_scan, iters)
+# ONE shared timing/recall implementation (scann_tpu/utils/benchmarking):
+# methodology fixes reach bench.py and every benches/ script at once
+from scann_tpu.utils.benchmarking import chained, recall_at_k, scan_time  # noqa: E402,F401
 
 
 def main():

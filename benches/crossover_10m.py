@@ -41,79 +41,22 @@ def log(*a):
     print(*a, flush=True)
 
 
-def scan_time(make_scan, iters, rounds=3):
-    fn = make_scan(iters)
-    float(fn())  # compile + run once
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+# ONE shared timing/recall implementation (scann_tpu/utils/benchmarking):
+# methodology fixes reach bench.py and every benches/ script at once
+from scann_tpu.utils.benchmarking import (  # noqa: E402,F401
+    chained as _chained,
+    pipelined,
+    recall_at_k as _recall_at_k_shared,
+    scan_time,
+)
 
 
 def recall_at_k(idx, gt, k=K):
-    return float(np.mean([len(set(map(int, a)) & set(map(int, g))) / k
-                          for a, g in zip(idx, gt)]))
+    return _recall_at_k_shared(idx, gt, k)
 
 
 def chained(kern_call, arrays, iters, rounds=3):
-    """Chained-scan timing of ``kern_call(q_perturbed, *arrays)`` ->
-    (vals, idx); all big arrays ride as jit arguments.
-
-    Falls back to :func:`pipelined` when the scan wrapper cannot compile:
-    at 20M x 100d XLA rematerializes compressed+uncompressed copies of
-    every multi-GB loop invariant inside the scan (measured +13.4G of HLO
-    temps -> HBM OOM), even though the bare kernel runs fine."""
-    import jax
-    import jax.numpy as jnp
-
-    def make_scan(it):
-        @jax.jit
-        def run(qq, *rest):
-            def body(acc, i):
-                vals, _ = kern_call(qq + acc * 1e-20 + i * 1e-6, *rest)
-                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0),
-                                  jnp.arange(it, dtype=jnp.float32))
-            return acc
-        return lambda: run(*arrays)
-    # past ~15M the scan wrapper's remat copies of the multi-GB invariants
-    # are KNOWN not to fit — skip the multi-minute doomed compile attempt
-    big = sum(getattr(a, "nbytes", 0)
-              for t in arrays for a in (t if isinstance(t, tuple) else (t,)))
-    if big > 6_000_000_000:
-        log("pipelined dispatch timing (scan wrapper cannot fit at this "
-            "scale; kernel time >> overlapped RTT)")
-        return pipelined(kern_call, arrays, iters, rounds)
-    try:
-        return scan_time(make_scan, iters, rounds)
-    except Exception as e:  # jax.errors.JaxRuntimeError: compile OOM
-        log(f"chained-scan timing unavailable ({type(e).__name__}); "
-            f"falling back to pipelined dispatch timing")
-        return pipelined(kern_call, arrays, iters, rounds)
-
-
-def pipelined(kern_call, arrays, iters, rounds=3):
-    """Async-dispatch timing: ``iters`` DISTINCT pre-staged query batches
-    (distinct inputs defeat identical-dispatch elision), all dispatched
-    back-to-back, one block at the end. Per-batch kernel time at this
-    scale (>=25 ms) dwarfs the ~1-3 ms tunnel RTT, which overlaps under
-    async dispatch anyway."""
-    import jax
-    import jax.numpy as jnp
-
-    q0, rest = arrays[0], arrays[1:]
-    qs = [jnp.asarray(q0 + np.float32(i + 1) * 1e-6) for i in range(iters)]
-    jax.block_until_ready(qs)
-    jax.block_until_ready(kern_call(qs[0], *rest))  # compile once
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        outs = [kern_call(q, *rest) for q in qs]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return _chained(kern_call, arrays, iters, rounds, log=log)
 
 
 def main():
@@ -187,8 +130,13 @@ def main():
         from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
         t0 = time.perf_counter()
+        # B=1024 at 20M OOMs the sweep program (block-minima + approx-top-k
+        # sort temps scale with B: measured 17.44G > 15.75G); B=512 fits
+        # and the sweep is stream-bound, so QPS is within ~10% of B=1024
+        sweep_max_b = 512 if N >= 16_000_000 else 1024
         sweep = BlockSweepSearcher(
-            ds, BlockSweepConfig(rerank_dtype=RERANK_DTYPE))
+            ds, BlockSweepConfig(rerank_dtype=RERANK_DTYPE,
+                                 max_batch=sweep_max_b))
         if RERANK_DTYPE != "float32":
             # the sweep serves from aug + the low-precision rerank copy
             # only; free the f32 database first (at 20M the padded f32
@@ -200,7 +148,7 @@ def main():
         log(f"block-sweep build (bf16 augmented + {RERANK_DTYPE} rerank "
             f"copy): {time.perf_counter()-t0:.1f}s")
 
-        for b in sorted({min(32, B), B}):
+        for b in sorted({min(32, B), min(B, sweep_max_b)}):
             q_dev = jnp.asarray(q_np[:b])
             idx, _ = sweep.search_batched_arrays(q_np[:b], K)
             rec = recall_at_k(idx, gt[:b])

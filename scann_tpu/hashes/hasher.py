@@ -351,10 +351,15 @@ class AsymmetricHasher(Searcher):
             measure=self.config.distance_measure,
         )
         dists, idx = np.asarray(dists), np.asarray(idx)
-        if params is not None and params.pre_reordering_epsilon is not None:
-            over = dists > params.pre_reordering_epsilon
-            dists = np.where(over, np.inf, dists)
-            idx = np.where(over, -1, idx)
+        if params is not None:
+            # approximate-only path: the search IS both stages, so the
+            # tighter of pre/post applies (same single-stage semantics as
+            # every exact searcher — SearchParameters.effective_epsilon)
+            eps = params.effective_epsilon()
+            if np.isfinite(eps):
+                over = dists > eps
+                dists = np.where(over, np.inf, dists)
+                idx = np.where(over, -1, idx)
         return idx, dists
 
     def search_with_reordering(self, query, k: int, pre_reorder_k: int):

@@ -103,12 +103,13 @@ def auto_config(n: int, dim: int,
     cfg.partitioning.num_partitions_to_search = 10
     cfg.with_hashing()
     cfg.hash.num_buckets = 16   # LUT16 production path
-    # 2 dims/subspace when divisible; otherwise the largest divisor of dim
-    # that keeps subspaces at >=2 dims (the codebook requires divisibility,
-    # hashes/codebook.py)
-    blocks = dim // 2 if dim % 2 == 0 else max(
-        (s for s in range(1, dim + 1) if dim % s == 0 and dim // s >= 2),
-        default=1)
+    # aim for ~2 dims/subspace (the codebook requires divisibility,
+    # hashes/codebook.py): pick the divisor of dim whose dims-per-subspace
+    # is closest to 2. Prime dims get dim subspaces of 1 dim each (16-code
+    # per-dim quantization) — NOT one whole-vector subspace, which carries
+    # almost no information and silently collapses recall at scale.
+    blocks = min((s for s in range(1, dim + 1) if dim % s == 0),
+                 key=lambda s: (abs(dim / s - 2), -s), default=1)
     cfg.hash.num_blocks = max(blocks, 1)
     cfg.with_reordering()
     cfg.exact_reordering.num_candidates = 150

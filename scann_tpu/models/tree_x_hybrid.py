@@ -558,8 +558,12 @@ class TreeXHybridSearcher(Searcher):
         # <q, x>), so directions are gathered from the raw rows, not the
         # residuals — per chunk, like the residuals themselves.
         avq = hc.anisotropic_threshold is not None
-        sample_dirs = (np.asarray(_row_gather_kernel(
-            db_dev, jnp.asarray(pts_np[sel]))) if avq else None)
+        # with residuals off, resid_rows already returns the raw rows —
+        # directions are the same array, skip the duplicate gather
+        sample_dirs = (sample if (avq and not use_res) else
+                       np.asarray(_row_gather_kernel(
+                           db_dev, jnp.asarray(pts_np[sel]))) if avq
+                       else None)
 
         self.codebook = Codebook(CodebookConfig(
             num_codes=hc.num_codes,
@@ -575,7 +579,8 @@ class TreeXHybridSearcher(Searcher):
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
             r_dev = resid_rows(pts_np[lo:hi], row_tokens[lo:hi])
-            d_dev = (_row_gather_kernel(db_dev, jnp.asarray(pts_np[lo:hi]))
+            d_dev = (r_dev if (avq and not use_res) else
+                     _row_gather_kernel(db_dev, jnp.asarray(pts_np[lo:hi]))
                      if avq else None)
             codes[lo:hi] = self.codebook.encode_dataset(r_dev, directions=d_dev)
         self.codes = codes

@@ -627,9 +627,13 @@ class ShardedTreeXHybridSearcher(Searcher):
                 pre_eps = float(params.pre_reordering_epsilon)
             if params.post_reordering_epsilon is not None:
                 post_eps = float(params.post_reordering_epsilon)
-        pre_k = min(max(pre_k, k), p * self._l_cap)
-
         mult = self._inner.partitioner.tokenization.max_multiplicity
+        if mult > 1:
+            # spilled points occupy one approx slot per CSR copy: inflate
+            # pre_k so the unique candidate depth matches the request
+            # (same as the single-device searcher)
+            pre_k = pre_k * mult
+        pre_k = min(max(pre_k, k), p * self._l_cap)
         with_mask = allow_mask is not None
         key = (p, pre_k, k, with_mask)
         if key not in self._kernels:

@@ -192,3 +192,26 @@ def test_cosine_tree_ah_pre_epsilon_units(cosine_setup):
     recall = np.mean([len(set(a) & set(b)) / K for a, b in zip(idx, gt_idx)])
     assert recall >= 0.9
     assert np.all(dist[idx >= 0] <= eps + 1e-4)
+
+
+def test_hasher_approx_only_path_honors_post_epsilon():
+    """The approximate-only hasher path (no pre_k) is a single-stage
+    search: min(pre_eps, post_eps) applies, like every exact searcher
+    (SearchParameters.effective_epsilon; reference FastTopNeighbors
+    applies its epsilon to every pushed neighbor, top_k.rs:263-279)."""
+    from scann_tpu.hashes.hasher import AsymmetricHasher, AsymmetricHasherConfig
+
+    rng = np.random.default_rng(4)
+    db = rng.normal(size=(1500, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=4, seed=0)).build(DenseDataset(db))
+    base_i, base_d = h.search_batched_arrays(q, 10)  # approx-only path
+    cutoff = float(np.median(base_d[np.isfinite(base_d)]))
+    idx, dist = h.search_batched_arrays(
+        q, 10, SearchParameters(post_reordering_epsilon=cutoff))
+    m = idx >= 0
+    assert (dist[m] <= cutoff + 1e-5).all()
+    want_masked = np.isfinite(base_d) & (base_d > cutoff + 1e-5)
+    assert (idx[want_masked] == -1).all()
+    assert np.isinf(dist[want_masked]).all()

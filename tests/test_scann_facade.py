@@ -286,3 +286,12 @@ def test_auto_config_selects_bf16_rerank_at_scale():
     big = auto_config(20_000_000, 100)
     assert small.exact_reordering.rerank_dtype == "float32"
     assert big.exact_reordering.rerank_dtype == "bfloat16"
+
+
+def test_auto_config_prime_dims_get_per_dim_subspaces():
+    """Prime dims must not fall back to ONE whole-vector 16-code subspace
+    (an information-free index); they get dim subspaces of 1 dim each."""
+    from scann_tpu.models.scann import auto_config
+
+    assert auto_config(10_000_000, 101).hash.num_blocks == 101
+    assert auto_config(10_000_000, 100).hash.num_blocks == 50

@@ -77,12 +77,17 @@ def test_sharded_tree_ah_spilling_unique(data):
     )).build(ds)
     assert s.partitioner.tokenization.max_multiplicity > 1
     sh = ShardedTreeXHybridSearcher(s, make_mesh(8, axis_names=("db",)))
-    i2, _ = sh.search_batched_arrays(
-        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    i1, _ = s.search_batched_arrays(q, 10, params)
+    i2, _ = sh.search_batched_arrays(q, 10, params)
     for row in i2:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real), row
-    assert _recall(i2, gt) >= 0.9
+    # pre_k must be multiplicity-inflated like the single-device searcher,
+    # or spilled copies halve the unique candidate depth
+    r1, r2 = _recall(i1, gt), _recall(i2, gt)
+    assert r2 >= r1 - 0.02, (r1, r2)
+    assert r2 >= 0.9
 
 
 def test_sharded_tree_ah_uneven_mesh(data):
