@@ -164,6 +164,8 @@ class TreePartitioner:
                     data_dev, tokens, cfg.soar_lambda, cfg.soar_candidates)
             else:
                 extra = self._spill_pairs(data_dev, tokens, cfg.spilling_threshold)
+            if cfg.max_partition_size is not None and extra is not None:
+                extra = self._cap_secondaries(extra, tokens, len(data))
         self.tokenization = DatabaseTokenization(
             tokens, self.centers.shape[0], extra_pairs=extra)
         self._centers_dev = jnp.asarray(self.centers)
@@ -185,10 +187,7 @@ class TreePartitioner:
         # it as splits grow K would shrink the target every round and
         # explode the tree (a 32-partition build measured ballooning to
         # 1536 partitions of mean size 3)
-        cap = cfg.max_partition_size
-        if cap == "auto":
-            cap = max(int(1.5 * n / max(self.centers.shape[0], 1)), 8)
-        cap = int(cap)
+        cap = self._cap_value(n)
         rng = np.random.default_rng(cfg.seed)
         if data_dev is None:
             data_dev = jnp.asarray(data, dtype=jnp.float32)
@@ -328,6 +327,43 @@ class TreePartitioner:
             out.append(np.asarray(sec))
         sec = np.concatenate(out, axis=0)
         return np.stack([np.arange(n, dtype=np.int64), sec], axis=1)
+
+    def _cap_value(self, n: int) -> int:
+        """Balance cap, fixed from the CONFIGURED partition count: balance
+        rounds split oversized partitions (growing the live K), and
+        recomputing from the grown K would shrink the target every round
+        (a 32-partition build measured ballooning to 1536 partitions)."""
+        cap = self.config.max_partition_size
+        if cap == "auto":
+            k0 = max(min(self.config.num_partitions, n), 1)
+            cap = max(int(1.5 * n / k0), 8)
+        return int(cap)
+
+    def _cap_secondaries(self, extra: np.ndarray, tokens: np.ndarray,
+                         n: int) -> np.ndarray:
+        """Bound secondary assignments per partition by the same cap the
+        primaries were balanced to, so spilling cannot re-skew partitions
+        the cap-enforce rounds just flattened (secondaries funnel into
+        popular central partitions on Zipf-mass data; every query pays
+        max_partition_size in l_cap padding). Excess secondaries drop at
+        random (seeded) — those points keep their primary assignment."""
+        cap = self._cap_value(n)
+        prim = np.bincount(tokens, minlength=self.centers.shape[0])
+        # room per partition for secondaries: total (primary+secondary)
+        # bounded by 2*cap — the primary skew bound carried over to the
+        # doubled row count universal spilling implies
+        room = np.maximum(2 * cap - prim, 0)
+        rng = np.random.default_rng(self.config.seed)
+        order = rng.permutation(len(extra))
+        taken = np.zeros(self.centers.shape[0], dtype=np.int64)
+        keep = np.zeros(len(extra), dtype=bool)
+        toks = extra[:, 1].astype(np.int64)
+        for i in order:
+            t = toks[i]
+            if taken[t] < room[t]:
+                taken[t] += 1
+                keep[i] = True
+        return extra[keep]
 
     def _build_hierarchical(self, data: np.ndarray, k: int) -> "TreePartitioner":
         """num_levels > 1: hierarchical k-means, leaves become partitions

@@ -209,3 +209,34 @@ def test_tokenize_host_chunking_matches_single_call(rng):
     finally:
         del p._TOKENIZE_ROWS
     np.testing.assert_array_equal(tok_single, tok_chunked)
+
+
+def test_soar_secondaries_respect_partition_cap(rng):
+    """SOAR spilling must not re-skew partitions past the cap the balance
+    rounds enforced: total (primary+secondary) size stays <= 2*cap, so
+    l_cap padding (every query's leaf-scoring cost) stays bounded on
+    Zipf-mass data where secondaries funnel into central partitions."""
+    from scann_tpu.partitioning.tree_partitioner import (
+        TreePartitioner,
+        TreePartitionerConfig,
+    )
+
+    # heavy central mass: most points near one center
+    centers = rng.normal(size=(16, 16)).astype(np.float32) * 2
+    weights = np.array([0.5] + [0.5 / 15] * 15)
+    assign = rng.choice(16, size=4000, p=weights)
+    data = (centers[assign] + rng.normal(size=(4000, 16)) * 0.5).astype(np.float32)
+
+    p = TreePartitioner(TreePartitionerConfig(
+        num_partitions=16, seed=3, max_partition_size=200,
+        spilling=True, spilling_mode="soar"))
+    p.build(data)
+    cap = p._cap_value(len(data))
+    prim_max = int(np.bincount(p.tokenization.tokens).max())
+    # invariant: secondaries add at most (2*cap - prim) per partition, so
+    # total size is bounded by max(prim_max, 2*cap) — balance is
+    # best-effort on primaries, spilling must not add skew on top
+    assert p.tokenization.max_partition_size <= max(prim_max, 2 * cap), (
+        p.tokenization.max_partition_size, prim_max, cap)
+    # spilling still happened for most points
+    assert p.tokenization.max_multiplicity == 2
