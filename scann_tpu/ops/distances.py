@@ -69,6 +69,17 @@ def approx_to_measure_units(approx: jnp.ndarray, measure: DistanceMeasure) -> jn
     exact passes) and returned approximate distances consistent with the
     exact path. Identity for every other measure (MIPS LUTs already score
     -dot; L2 LUTs are already squared-L2).
+
+    Design note: the conversion deliberately lives HERE, at the
+    output/epsilon boundary, not at LUT construction. The internal
+    approximate unit is "squared L2 on normalized vectors" uniformly
+    across ALL kernel families — LUT paths and the bf16 block sweep alike
+    (the sweep scores -cos and converts with its own affine,
+    ops/sweep_pallas.py) — so halving only the LUT tables would leave two
+    kernel families in different internal units and every merge/compare
+    between them wrong. One internal unit + one boundary conversion is the
+    invariant; every scoring kernel must call this before comparing
+    against user epsilons or returning approximate values.
     """
     if measure == DistanceMeasure.COSINE:
         return approx * 0.5
