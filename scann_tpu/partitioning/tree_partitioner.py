@@ -179,7 +179,7 @@ class TreePartitioner:
         ``balance_rounds`` times or until max size <= cap."""
         import jax
 
-        from scann_tpu.trees.kmeans import _lloyd_step
+        from scann_tpu.trees.kmeans import lloyd_step_sliced
 
         cfg = self.config
         n = len(data)
@@ -214,7 +214,7 @@ class TreePartitioner:
                 centers = np.concatenate([centers, data[extra]], axis=0)
             c_dev = jnp.asarray(centers, dtype=jnp.float32)
             for _ in range(3):
-                c_dev, _ = _lloyd_step(data_dev, c_dev, k=k_pad)
+                c_dev, _ = lloyd_step_sliced(data_dev, c_dev, k=k_pad)
             self.centers = np.asarray(c_dev)
             self._centers_dev = c_dev
             tokens = self.tokenize(data_dev)

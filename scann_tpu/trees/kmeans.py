@@ -164,18 +164,15 @@ def _kmeans_pp_init(key, data: jnp.ndarray, k: int) -> jnp.ndarray:
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
-def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
+def _lloyd_sums(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
                 chunk_size: int = 65536):
-    """One Lloyd's iteration: (new_centers, inertia).
-
-    Single fused pass over the data in chunks: distances (MXU matmul) ->
-    argmin -> one-hot -> partial sums via a second matmul. The cluster-sum
-    is deliberately a one-hot matmul, NOT ``segment_sum`` — XLA's TPU
+    """Traced body shared by _lloyd_step and _lloyd_partial: one fused
+    pass over the data in chunks: distances (MXU matmul) -> argmin ->
+    one-hot -> partial sums via a second matmul. The cluster-sum is
+    deliberately a one-hot matmul, NOT ``segment_sum`` — XLA's TPU
     scatter-add lowering for a [1M, D] operand takes ~8 minutes to COMPILE
     on a constrained host, while this formulation compiles in seconds and
-    runs at matmul speed.
-    """
+    runs at matmul speed. Returns (sums [k, D], counts [k], inertia)."""
     data = data.astype(jnp.float32)
     centers = centers.astype(jnp.float32)
     n, d = data.shape
@@ -213,11 +210,56 @@ def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
     init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32),
             jnp.float32(0.0))
     (sums, counts, inertia), _ = jax.lax.scan(body, init, (chunks, starts))
+    return sums, counts, inertia
 
+
+_lloyd_partial = jax.jit(_lloyd_sums, static_argnames=("k", "chunk_size"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def _lloyd_step(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
+                chunk_size: int = 65536):
+    """One Lloyd's iteration: (new_centers, inertia) — see _lloyd_sums."""
+    sums, counts, inertia = _lloyd_sums(data, centers, k=k,
+                                        chunk_size=chunk_size)
     means = sums / jnp.maximum(counts, 1.0)[:, None]
+    n = data.shape[0]
     reseed = jnp.take(data, jnp.arange(k, dtype=jnp.int32) % n, axis=0)
     new_centers = jnp.where((counts > 0)[:, None], means, reseed)
     return new_centers, inertia
+
+
+# rows per device call in the sliced Lloyd driver: the program pads/copies
+# its input, so a whole-database call duplicates the full [N, D] array
+# (at 20M x 100d a second 9.54 GB allocation — measured OOM)
+_LLOYD_SLICE_ROWS = 1 << 22
+
+
+def lloyd_step_sliced(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
+                      rows: int = _LLOYD_SLICE_ROWS):
+    """One Lloyd's iteration over a device array too large for a single
+    program: partial (sums, counts) accumulate on host across row slices
+    (each [k, D] partial is MBs), then one tiny program finishes
+    means + empty-cluster reseed. Bit-equivalent policy to _lloyd_step."""
+    import numpy as np
+
+    n = data.shape[0]
+    if n <= rows:
+        return _lloyd_step(data, centers, k=k)
+    sums = np.zeros((k, data.shape[1]), np.float32)
+    counts = np.zeros((k,), np.float32)
+    inertia = 0.0
+    for lo in range(0, n, rows):
+        s, c, i = _lloyd_partial(
+            jax.lax.slice_in_dim(data, lo, min(lo + rows, n)), centers, k=k)
+        sums += np.asarray(s)
+        counts += np.asarray(c)
+        inertia += float(i)
+    sums_d, counts_d = jnp.asarray(sums), jnp.asarray(counts)
+    means = sums_d / jnp.maximum(counts_d, 1.0)[:, None]
+    reseed = jnp.take(data, jnp.arange(k, dtype=jnp.int32) % n, axis=0)
+    new_centers = jnp.where((counts_d > 0)[:, None], means, reseed)
+    return new_centers, jnp.float32(inertia)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

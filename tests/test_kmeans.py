@@ -87,3 +87,20 @@ def test_provided_init_requires_centers(rng):
         pts, init_centers=centers
     )
     assert res.centers.shape == (2, 4)
+
+
+def test_lloyd_step_sliced_matches_single_program(rng):
+    """Host-sliced Lloyd (for device arrays whose single-program pad copy
+    would not fit HBM — measured 9.54 GB duplicate at 20M x 100d) must be
+    numerically equivalent to the one-program step."""
+    import jax.numpy as jnp
+
+    from scann_tpu.trees.kmeans import _lloyd_step, lloyd_step_sliced
+
+    data = jnp.asarray(rng.normal(size=(5000, 24)).astype(np.float32))
+    centers = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+    c1, i1 = _lloyd_step(data, centers, k=16)
+    c2, i2 = lloyd_step_sliced(data, centers, k=16, rows=1024)  # 5 slices
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(i1), float(i2), rtol=1e-4)
