@@ -161,7 +161,10 @@ def test_facade_threads_soar(skewed):
     assert cfg2.partitioning.soar_lambda == pytest.approx(1.5)
     s = Scann(DenseDataset(skewed.train[:4000]), cfg)
     tk = s._impl.partitioner.tokenization
-    assert len(tk.point_indices) == 2 * 4000
+    # nearly every point spills; a few secondaries may be dropped by the
+    # per-partition cap (total size bounded by 2x the balance cap — see
+    # TreePartitioner._cap_secondaries), which is the point of the cap
+    assert 1.9 * 4000 <= len(tk.point_indices) <= 2 * 4000
     idx, _ = s.search_batched_arrays(skewed.test[:8], 10)
     assert idx.shape == (8, 10)
     # spilled duplicates must never surface twice in one result list
