@@ -142,6 +142,11 @@ _MIPS = (DistanceMeasure.DOT_PRODUCT, DistanceMeasure.GENERAL_INNER_PRODUCT)
 # to exercise the multi-chunk path at test scale.
 _ENCODE_CHUNK_ELEMS = 150_000_000
 
+# past this many database bytes, build-time row gathers run on HOST
+# (device gathers from the whole database force a full padded-layout
+# copy). Module-level so tests can force the path at test scale.
+_HOST_GATHER_BYTES = 5_000_000_000
+
 
 @jax.jit
 def _residual_gather_kernel(db, centers, idx, tok):
@@ -152,6 +157,13 @@ def _residual_gather_kernel(db, centers, idx, tok):
 @jax.jit
 def _row_gather_kernel(db, idx):
     return jnp.take(db, idx, axis=0)
+
+
+@jax.jit
+def _residual_from_rows(rows, centers, tok):
+    """rows − centers[tok] for host-gathered row chunks (the whole-database
+    device gather forces a full padded-layout copy past ~5 GB)."""
+    return rows - jnp.take(centers, tok, axis=0)
 
 
 def _select_partitions(centers, queries, *, p: int, approx_min: int,
@@ -532,18 +544,36 @@ class TreeXHybridSearcher(Searcher):
         # residual tensor resident (a second database copy) OOMed the 10M x
         # 100d build — dataset 4GB + residuals 4GB filled HBM before PQ
         # training even started.
-        db_dev = dataset.device()[0]
         cent_dev = jnp.asarray(self.partitioner.centers)
         pts_np = np.asarray(tk.point_indices, np.int32)
         hc = cfg.hash_config
         m = len(pts_np)
         use_res = bool(cfg.use_residuals)
 
+        # past ~5 GB, device gathers from the whole database force XLA to
+        # copy the full [N, D] operand to its padded layout (measured:
+        # 9.54 GB temp for a small gather output at 20M x 100d) — gather
+        # the chunk rows on HOST and upload them instead (same total bytes
+        # uploaded once, no whole-array device temps)
+        host_gather = data.nbytes > _HOST_GATHER_BYTES
+        db_dev = None if host_gather else dataset.device()[0]
+
         def resid_rows(idx_np, tok_np):
             """Device [len(idx), D]: rows (− their centroid when residuals)."""
+            if host_gather:
+                rows = jnp.asarray(data[idx_np])
+                if use_res:
+                    return _residual_from_rows(rows, cent_dev,
+                                               jnp.asarray(tok_np))
+                return rows
             if use_res:
                 return _residual_gather_kernel(
                     db_dev, cent_dev, jnp.asarray(idx_np), jnp.asarray(tok_np))
+            return _row_gather_kernel(db_dev, jnp.asarray(idx_np))
+
+        def raw_rows(idx_np):
+            if host_gather:
+                return jnp.asarray(data[idx_np])
             return _row_gather_kernel(db_dev, jnp.asarray(idx_np))
 
         if hc.training_sample_size < m:
@@ -561,8 +591,7 @@ class TreeXHybridSearcher(Searcher):
         # with residuals off, resid_rows already returns the raw rows —
         # directions are the same array, skip the duplicate gather
         sample_dirs = (sample if (avq and not use_res) else
-                       np.asarray(_row_gather_kernel(
-                           db_dev, jnp.asarray(pts_np[sel]))) if avq
+                       np.asarray(raw_rows(pts_np[sel])) if avq
                        else None)
 
         self.codebook = Codebook(CodebookConfig(
@@ -580,8 +609,7 @@ class TreeXHybridSearcher(Searcher):
             hi = min(lo + chunk, m)
             r_dev = resid_rows(pts_np[lo:hi], row_tokens[lo:hi])
             d_dev = (r_dev if (avq and not use_res) else
-                     _row_gather_kernel(db_dev, jnp.asarray(pts_np[lo:hi]))
-                     if avq else None)
+                     raw_rows(pts_np[lo:hi]) if avq else None)
             codes[lo:hi] = self.codebook.encode_dataset(r_dev, directions=d_dev)
         self.codes = codes
         self._norms_cache = None

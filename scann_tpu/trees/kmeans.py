@@ -257,7 +257,14 @@ def lloyd_step_sliced(data: jnp.ndarray, centers: jnp.ndarray, *, k: int,
         inertia += float(i)
     sums_d, counts_d = jnp.asarray(sums), jnp.asarray(counts)
     means = sums_d / jnp.maximum(counts_d, 1.0)[:, None]
-    reseed = jnp.take(data, jnp.arange(k, dtype=jnp.int32) % n, axis=0)
+    # reseed from the first k rows: with k <= n this equals the
+    # arange(k) % n gather policy, but lowers as a SLICE — a whole-array
+    # gather forces XLA to copy the full [N, D] operand to its padded
+    # layout first (measured 9.54 GB temp for a 16.8 MB output at 20M)
+    if k <= n:
+        reseed = jax.lax.slice_in_dim(data, 0, k)
+    else:
+        reseed = jnp.take(data, jnp.arange(k, dtype=jnp.int32) % n, axis=0)
     new_centers = jnp.where((counts_d > 0)[:, None], means, reseed)
     return new_centers, jnp.float32(inertia)
 

@@ -417,3 +417,23 @@ def test_build_rerank_store_unaligned_n():
         np.asarray(norms)[:13], (deq ** 2).sum(-1), rtol=1e-5, atol=1e-5)
     rep16, norms16 = build_rerank_store(data, 13, "bfloat16", 8)
     assert rep16.shape[0] == 16 and str(rep16.dtype) == "bfloat16"
+
+
+def test_host_gather_build_matches_device_gather(hybrid_setup, monkeypatch):
+    """Past _HOST_GATHER_BYTES the build gathers encode chunks on host
+    (whole-database device gathers force a full padded-layout copy);
+    results must be identical to the device-gather build."""
+    import scann_tpu.models.tree_x_hybrid as tx
+
+    db, q, ds, gt, s_dev = hybrid_setup
+    monkeypatch.setattr(tx, "_HOST_GATHER_BYTES", 0)
+    s_host = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=42),
+    )).build(DenseDataset(db))
+    np.testing.assert_array_equal(s_host.codes, s_dev.codes)
+    i1, d1 = s_dev.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i2, d2 = s_host.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    np.testing.assert_array_equal(i1, i2)
