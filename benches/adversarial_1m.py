@@ -121,11 +121,15 @@ def main():
     cent = s.partitioner.centers_device()
     cb = s.codebook.centroids_device()
     grouped = s._use_grouped_pallas()
-    log(f"l_cap={l_cap} kernel={'grouped-pallas' if grouped else 'xla'}")
+    # SOAR builds assign points to up to 2 partitions: the timing kernel must
+    # run with the same dedup multiplicity the searcher serves with
+    mult = s.partitioner.tokenization.max_multiplicity
+    log(f"l_cap={l_cap} multiplicity={mult} "
+        f"kernel={'grouped-pallas' if grouped else 'xla'}")
 
     for p, pre_k in ((10, 150), (20, 200), (30, 300)):
         kw = dict(p=p, pre_k=pre_k, k=K, l_cap=l_cap, use_residuals=True,
-                  measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
+                  measure=DistanceMeasure.SQUARED_L2, multiplicity=mult,
                   approx_select_min=cfg.approx_selection_min_partitions)
         if grouped:
             kern, codes_arg = tree_ah_grouped_kernel, codes_csr

@@ -87,6 +87,17 @@ def test_harness_brute_force_end_to_end():
     assert report.train_size == 500
 
 
+def test_harness_pipelined_serving_matches_serial():
+    """--pipeline N overlaps in-flight batches on worker threads; results
+    (and therefore recall) must be identical to the serial loop."""
+    args = make_parser().parse_args(
+        ["--algorithm", "brute-force", "--batch-size", "8", "--pipeline", "4"])
+    data = generate_synthetic_dataset(500, 40, 8, 10, 42)
+    report = run_benchmark("brute-force", data, args)
+    assert report.recall_at_k == pytest.approx(1.0)
+    assert report.timing_mode == "wall_clock_pipelined_x4"
+
+
 def test_harness_tree_ah_end_to_end():
     args = make_parser().parse_args(
         ["--algorithm", "tree-ah", "--num-partitions", "10",
