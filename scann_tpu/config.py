@@ -193,16 +193,23 @@ class QueryConfig(_JsonMixin):
 
     def to_search_parameters(self):
         """Map onto SearchParameters: partitions -> leaves to search,
-        reordering candidates -> pre_k, epsilon -> the approximate-search
-        threshold (pre-reordering units, matching FastTopNeighbors'
-        epsilon in src/brute_force/top_k.rs:263-279)."""
+        reordering candidates -> pre_k, epsilon -> the FINAL-distance
+        threshold (post-reordering). Mapping epsilon to the post stage
+        keeps one semantic across every search mode: results whose
+        reported distance exceeds epsilon are dropped, whether the mode
+        is exact (effective_epsilon takes the tighter of pre/post) or
+        re-ranked (exact distances filtered after the rerank). Mapping it
+        to the pre stage instead would compare exact-unit epsilons
+        against quantized approximate scores in re-ranked modes
+        (reference epsilon semantics: src/brute_force/top_k.rs:263-279,
+        always applied to the distances actually returned)."""
         from scann_tpu.models.searcher import SearchParameters
 
         return SearchParameters(
             num_neighbors=self.num_neighbors,
             num_leaves_to_search=self.num_partitions_to_search,
             pre_reordering_num_neighbors=self.reordering_num_candidates,
-            pre_reordering_epsilon=self.epsilon,
+            post_reordering_epsilon=self.epsilon,
         )
 
 

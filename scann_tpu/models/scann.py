@@ -8,6 +8,7 @@ Hashed / TreeAH, each backed by the corresponding fused TPU searcher.
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from typing import Optional
 
@@ -40,12 +41,15 @@ class SearchMode(enum.Enum):
 
 def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
                        measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
+                       rerank_dtype: str = "float32",
                        ) -> AsymmetricHasherConfig:
     """HashConfig(num_buckets, num_blocks) -> AH(num_codes, num_subspaces).
 
     For tree-AH the reference's production setting is 16-code (LUT16) blocks;
     standalone hashing defaults to 256 codes (reference: config.rs:221-230,
-    hasher.rs:30-40)."""
+    hasher.rs:30-40). ``rerank_dtype`` carries the exact-reordering copy
+    dtype into standalone HASHED mode (tree-AH threads its own via
+    TreeXHybridConfig.rerank_dtype)."""
     return AsymmetricHasherConfig(
         num_codes=int(hc.num_buckets),
         num_subspaces=int(hc.num_blocks),
@@ -53,6 +57,7 @@ def _hash_to_ah_config(hc: HashConfig, for_tree_ah: bool,
         seed=42,
         distance_measure=measure,
         anisotropic_threshold=hc.anisotropic_threshold,
+        rerank_dtype=rerank_dtype,
     )
 
 
@@ -140,9 +145,14 @@ class Scann(Searcher):
                 BlockSweepSearcher,
             )
 
+            # an explicit ExactReorderingConfig wins for the rerank depth
+            # (same precedence as the HASHED branch's default pre_k)
+            pre_k = (int(config.exact_reordering.num_candidates)
+                     if config.exact_reordering is not None
+                     else int(config.brute_force.block_sweep_pre_k))
             self._impl = BlockSweepSearcher(dataset, BlockSweepConfig(
                 distance_measure=measure,
-                pre_reorder_k=int(config.brute_force.block_sweep_pre_k),
+                pre_reorder_k=pre_k,
                 rerank_dtype=_rerank_dtype_of(config.exact_reordering)))
             self.search_mode = SearchMode.BRUTE_FORCE
         elif config.brute_force is not None and config.brute_force.scalar_quantization:
@@ -201,8 +211,9 @@ class Scann(Searcher):
             self.search_mode = SearchMode.PARTITIONED
         elif config.hash is not None:
             self._impl = AsymmetricHasher(
-                _hash_to_ah_config(config.hash, for_tree_ah=False,
-                                   measure=measure)
+                _hash_to_ah_config(
+                    config.hash, for_tree_ah=False, measure=measure,
+                    rerank_dtype=_rerank_dtype_of(config.exact_reordering))
             ).build(dataset)
             self.search_mode = SearchMode.HASHED
         else:
@@ -276,12 +287,19 @@ class Scann(Searcher):
             if params is None:
                 params = qp
         k = k if k is not None else self._config.num_neighbors
-        # default reordering depth from the config for approximate modes
-        if (params is None and self._config.exact_reordering is not None
+        # default reordering depth from the config for approximate modes —
+        # also when params came from a query_config that left the depth
+        # unset (otherwise any per-query override silently disables the
+        # configured exact reordering)
+        if (self._config.exact_reordering is not None
                 and self.search_mode == SearchMode.HASHED):
-            params = SearchParameters(
-                pre_reordering_num_neighbors=self._config.exact_reordering.num_candidates
-            )
+            if params is None:
+                params = SearchParameters()
+            if params.pre_reordering_num_neighbors is None:
+                params = dataclasses.replace(
+                    params,
+                    pre_reordering_num_neighbors=(
+                        self._config.exact_reordering.num_candidates))
         return self._impl.search_batched_arrays(queries, k, params)
 
 

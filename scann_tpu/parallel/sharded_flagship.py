@@ -191,10 +191,13 @@ def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
         nrm = jnp.take(norms_blk, safe, axis=0)
         exact = gathered_distances(measure, queries, rows, nrm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
+        # local partials can be narrower than k (pk = blk when k > blk),
+        # but the merged width must be the requested k: the all_gather
+        # supplies n_sh*k_local >= k candidates (k <= n <= n_sh*blk)
         vals, pos = top_k_smallest(exact, min(k, pk))
         idx = jnp.take_along_axis(cand, pos, axis=1) + row0
         idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
-        return _merge_partials(vals, idx, min(k, pk), 1, post_eps, db_axis)
+        return _merge_partials(vals, idx, k, 1, post_eps, db_axis)
 
     return jax.jit(_kern)
 
@@ -229,44 +232,35 @@ class ShardedAsymmetricHasher(Searcher):
         n_pad = n_sh * blk
         self._blk = blk
 
-        codes = np.zeros((n_pad, hasher.codes.shape[1]), np.uint8)
-        codes[:n] = hasher.codes
         # cosine: the inner hasher normalized its stored dataset at build;
         # the shards inherit the normalized rows
         data = hasher._dataset.numpy()
         sh = lambda a, spec: jax.device_put(a, NamedSharding(self.mesh, spec))
-        self._codes = sh(jnp.asarray(codes), P("db", None))
+        # row-major u8 codes serve only the XLA fallback (masked queries /
+        # pre_k too large for the fused block-min); when the fused kernel
+        # is eligible they stay on host until a fallback query needs them
+        # (~2x the packed slab's HBM otherwise — same skip as the
+        # single-device _csr_state)
+        codes = np.zeros((n_pad, hasher.codes.shape[1]), np.uint8)
+        codes[:n] = hasher.codes
+        self._codes_host = codes
+        self._codes = None
         # rerank copy in the wrapped hasher's configured dtype — the raw-row
         # slab is the dominant per-shard allocation (same lever as
-        # rerank_dtype everywhere else)
+        # rerank_dtype everywhere else; codec shared via rerank_codec)
+        from scann_tpu.utils.reordering import (
+            encode_rerank_rows,
+            rerank_codec,
+            rerank_norms_fn,
+        )
+
         rdt = getattr(hasher.config, "rerank_dtype", "float32")
-        self._dequant = None
-        if rdt == "int8":
-            from scann_tpu.quantization.scalar import ScalarQuantizer
-
-            quant = ScalarQuantizer().calibrate_from_array(data[:n])
-            db = np.zeros((n_pad, data.shape[1]), np.uint8)
-            cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
-            for i in range(0, n, cs):
-                hi = min(i + cs, n)  # db has n_pad rows: slice to the data
-                db[i:hi] = quant.quantize(data[i:hi])
-            self._dequant = (float(quant.scale), float(quant.min_value))
-        else:
-            import ml_dtypes
-
-            db_dt = ml_dtypes.bfloat16 if rdt == "bfloat16" else np.float32
-            db = np.zeros((n_pad, data.shape[1]), db_dt)
-            db[:n] = data.astype(db_dt)
+        db_dt, encode, self._dequant = rerank_codec(data, n, rdt)
+        db = np.zeros((n_pad, data.shape[1]), db_dt)
+        encode_rerank_rows(db, data, n, encode)
         self._db = sh(jnp.asarray(db), P("db", None))
-        dq = self._dequant
-
-        def _norms_of(x):
-            x = (x.astype(jnp.float32) * dq[0] + dq[1]) if dq is not None \
-                else x.astype(jnp.float32)
-            return jnp.sum(x * x, axis=-1)
-
-        self._norms = jax.jit(
-            _norms_of,
+        self._norms = rerank_norms_fn(
+            self._dequant,
             out_shardings=NamedSharding(self.mesh, P("db")))(self._db)
         self._cent = replicate(self.mesh, hasher.codebook.centroids_device())
         self._n = n
@@ -300,6 +294,15 @@ class ShardedAsymmetricHasher(Searcher):
         return (self._fused_ok and not with_mask
                 and self._blk // self.FUSED_R >= 2 * pre_k)
 
+    def _codes_rows(self):
+        """Row-major u8 code slab, uploaded (sharded) on first XLA-path
+        query and cached; fused-path serving never pays its HBM."""
+        if self._codes is None:
+            self._codes = jax.device_put(
+                jnp.asarray(self._codes_host),
+                NamedSharding(self.mesh, P("db", None)))
+        return self._codes
+
     def search_batched_arrays(self, queries: np.ndarray, k: int,
                               params: Optional[SearchParameters] = None,
                               allow_mask: Optional[np.ndarray] = None):
@@ -332,7 +335,8 @@ class ShardedAsymmetricHasher(Searcher):
                 r=self.FUSED_R, tile_n=self.FUSED_TILE_N,
                 dequant=self._dequant)
         q = replicate(self.mesh, jnp.asarray(queries))
-        codes = self._codes_packed if kernel == "fused" else self._codes
+        codes = (self._codes_packed if kernel == "fused"
+                 else self._codes_rows())
         args = [self._cent, codes, self._db, self._norms,
                 jnp.int32(self._n), q]
         if with_mask:
@@ -524,23 +528,12 @@ class ShardedTreeXHybridSearcher(Searcher):
 
         # rerank copy in the wrapped searcher's configured dtype: the
         # [Sh, L_sh, D] raw-row slab is the dominant per-shard allocation
-        # (same lever as single-device rerank_dtype; docs/DESIGN.md
-        # "HBM budget at scale")
+        # (same lever as single-device rerank_dtype; codec shared via
+        # rerank_codec; docs/DESIGN.md "HBM budget at scale")
+        from scann_tpu.utils.reordering import rerank_codec, rerank_norms_fn
+
         rdt = getattr(searcher.config, "rerank_dtype", "float32")
-        self._dequant = None
-        quant = None
-        if rdt == "bfloat16":
-            import ml_dtypes
-
-            db_dt = ml_dtypes.bfloat16
-        elif rdt == "int8":
-            from scann_tpu.quantization.scalar import ScalarQuantizer
-
-            quant = ScalarQuantizer().calibrate_from_array(data)
-            self._dequant = (float(quant.scale), float(quant.min_value))
-            db_dt = np.uint8
-        else:
-            db_dt = np.float32
+        db_dt, encode, self._dequant = rerank_codec(data, len(data), rdt)
 
         codes_sh = np.zeros((n_sh, l_sh, s_pad), np.uint8)
         perm_sh = np.zeros((n_sh, l_sh), np.int32)
@@ -557,10 +550,7 @@ class ShardedTreeXHybridSearcher(Searcher):
                     searcher.codes[csr_off[t] : csr_off[t] + sz]
                 ids = tk.partition_indices(t)
                 perm_sh[sh, lo : lo + sz] = ids
-                rows = data[ids]
-                db_sh[sh, lo : lo + sz] = (quant.quantize(rows)
-                                           if quant is not None
-                                           else rows.astype(db_dt))
+                db_sh[sh, lo : lo + sz] = encode(data[ids])
 
         put = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
@@ -572,17 +562,8 @@ class ShardedTreeXHybridSearcher(Searcher):
             self._codes = put(codes_sh, P("db", None, None))
         self._perm = put(perm_sh, P("db", None))
         self._db = put(db_sh, P("db", None, None))
-        # norms from the SAME rounded/dequantized rows the rerank gathers
-        # (f32 accumulation), or small exact distances go negative
-        dq = self._dequant
-
-        def _norms_of(x):
-            x = (x.astype(jnp.float32) * dq[0] + dq[1]) if dq is not None \
-                else x.astype(jnp.float32)
-            return jnp.sum(x * x, axis=-1)
-
-        self._norms = jax.jit(
-            _norms_of,
+        self._norms = rerank_norms_fn(
+            self._dequant,
             out_shardings=NamedSharding(self.mesh, P("db", None)))(self._db)
         self._sizes = put(sizes_sh, P("db", None))
         self._offs = put(offs_sh, P("db", None))

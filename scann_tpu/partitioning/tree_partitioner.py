@@ -355,14 +355,21 @@ class TreePartitioner:
         room = np.maximum(2 * cap - prim, 0)
         rng = np.random.default_rng(self.config.seed)
         order = rng.permutation(len(extra))
-        taken = np.zeros(self.centers.shape[0], dtype=np.int64)
+        toks = extra[order, 1].astype(np.int64)
+        # keep the first room[t] secondaries of each token in permuted
+        # order: rank = occurrence index within the token group (stable
+        # sort preserves the permuted order inside equal tokens) — one
+        # vectorized pass instead of a per-secondary Python loop (there is
+        # one secondary PER DATABASE POINT under SOAR spilling)
+        sorter = np.argsort(toks, kind="stable")
+        sorted_toks = toks[sorter]
+        grp_start = np.r_[0, np.flatnonzero(np.diff(sorted_toks)) + 1]
+        group_first = np.repeat(
+            grp_start, np.diff(np.r_[grp_start, len(toks)]))
+        rank = np.empty(len(toks), np.int64)
+        rank[sorter] = np.arange(len(toks)) - group_first
         keep = np.zeros(len(extra), dtype=bool)
-        toks = extra[:, 1].astype(np.int64)
-        for i in order:
-            t = toks[i]
-            if taken[t] < room[t]:
-                taken[t] += 1
-                keep[i] = True
+        keep[order] = rank < room[toks]
         return extra[keep]
 
     def _build_hierarchical(self, data: np.ndarray, k: int) -> "TreePartitioner":

@@ -63,51 +63,82 @@ class ReorderingHelper:
         return np.asarray(idx), np.asarray(vals)
 
 
+def rerank_codec(data: np.ndarray, n: int, dtype: str):
+    """Shared rerank-copy codec: (storage dtype, row encoder, dequant).
+
+    ``dequant`` is None for float storage, or ``(scale, min)`` for int8 —
+    the ``codes * scale + min`` fusion the search kernels apply after the
+    candidate gather. int8 calibration follows quantization/scalar.py
+    (the reference's mean±3σ codec, scalar.rs:113-119). ONE definition of
+    the codec, used by build_rerank_store and by the sharded wrappers'
+    custom layouts (per-shard blocks, per-partition CSR)."""
+    if dtype == "int8":
+        from scann_tpu.quantization.scalar import ScalarQuantizer
+
+        quant = ScalarQuantizer().calibrate_from_array(data[:n])
+        return (np.uint8, quant.quantize,
+                (np.float32(quant.scale), np.float32(quant.min_value)))
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        dt = ml_dtypes.bfloat16
+    elif dtype == "float32":
+        dt = np.float32
+    else:
+        raise ValueError(f"unsupported rerank dtype {dtype!r}")
+    return dt, (lambda rows: rows.astype(dt)), None
+
+
+def encode_rerank_rows(out: np.ndarray, data: np.ndarray, n: int, encode):
+    """Chunked host-side encode of ``data[:n]`` into a preallocated store
+    (keeps f32 temps ~16 MB regardless of N; ``out`` may be padded past n)."""
+    cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
+    for i in range(0, n, cs):
+        hi = min(i + cs, n)
+        out[i:hi] = encode(data[i:hi])
+
+
+def rerank_norms_fn(dequant, out_shardings=None):
+    """Jitted squared-norms over a rerank store. Norms MUST come from the
+    SAME rounded/dequantized rows the rerank gathers (f32 accumulation),
+    or small exact distances go negative; the dequant fuses into the
+    reduction so no [N, D] f32 copy lands in HBM."""
+    def _norms(x):
+        x = (x.astype(jnp.float32) * dequant[0] + dequant[1]) \
+            if dequant is not None else x.astype(jnp.float32)
+        return jnp.sum(x * x, axis=-1)
+
+    if out_shardings is not None:
+        return jax.jit(_norms, out_shardings=out_shardings)
+    return jax.jit(_norms)
+
+
 def build_rerank_store(data: np.ndarray, n: int, dtype: str,
                        row_align: int):
     """(db_repr, norms): the device copy exact re-ranking gathers from.
 
     ``dtype``: "float32" (caller should use its own f32 device cache
     instead), "bfloat16" — bf16 rows at half the f32 bytes, or "int8" —
-    calibrated u8 codes (quantization/scalar.py, the reference's
-    mean±3σ codec, scalar.rs:113-119) at a quarter, returned as a
-    ``(codes, scale, min)`` tuple whose dequant the search kernels fuse
-    after the candidate gather. Low-precision copies upload straight from
-    host — no f32 device copy is ever materialized — and norms come from
-    the SAME rounded rows the gather returns (f32 accumulation), or small
-    exact distances go negative. Shared by TreeXHybridSearcher and
-    BlockSweepSearcher (rerank_dtype) and the sharded wrappers.
+    calibrated u8 codes at a quarter, returned as a ``(codes, scale, min)``
+    tuple whose dequant the search kernels fuse after the candidate gather
+    (see :func:`rerank_codec`). Low-precision copies upload straight from
+    host — no f32 device copy is ever materialized. Shared by
+    TreeXHybridSearcher and BlockSweepSearcher (rerank_dtype); the sharded
+    wrappers compose the same codec helpers over their own layouts.
     """
-    from scann_tpu.ops.distances import squared_norms
     from scann_tpu.types import align_up
 
+    if dtype == "float32":
+        raise ValueError("unsupported rerank dtype 'float32'")
     n_pad = align_up(max(n, 1), row_align)
-    if dtype == "bfloat16":
-        import ml_dtypes
-
-        host = np.zeros((n_pad, data.shape[1]), dtype=ml_dtypes.bfloat16)
-        host[:n] = data[:n].astype(ml_dtypes.bfloat16)
-        db_repr = jnp.asarray(host)
-        return db_repr, jax.jit(squared_norms)(db_repr)
-    if dtype == "int8":
-        from scann_tpu.quantization.scalar import ScalarQuantizer
-
-        quant = ScalarQuantizer().calibrate_from_array(data[:n])
-        host = np.zeros((n_pad, data.shape[1]), dtype=np.uint8)
-        # chunk rows so quantize() stays on the host CPU path (the u8
-        # codes upload once, 1/4 the f32 bytes) and f32 temps stay small
-        cs = max(1, (1 << 22) // max(data.shape[1], 1) - 1)
-        for i in range(0, n, cs):
-            hi = min(i + cs, n)  # host has n_pad rows: slice to the data
-            host[i:hi] = quant.quantize(data[i:hi])
-        codes = jnp.asarray(host)
-        scale = np.float32(quant.scale)
-        mn = np.float32(quant.min_value)
-        # dequant fuses into the reduction: no [N, D] f32 in HBM
-        norms = jax.jit(lambda c: squared_norms(
-            c.astype(jnp.float32) * scale + mn))(codes)
-        return (codes, jnp.float32(scale), jnp.float32(mn)), norms
-    raise ValueError(f"unsupported rerank dtype {dtype!r}")
+    dt, encode, dequant = rerank_codec(data, n, dtype)
+    host = np.zeros((n_pad, data.shape[1]), dtype=dt)
+    encode_rerank_rows(host, data, n, encode)
+    store = jnp.asarray(host)
+    norms = rerank_norms_fn(dequant)(store)
+    if dequant is not None:
+        return (store, jnp.float32(dequant[0]), jnp.float32(dequant[1])), norms
+    return store, norms
 
 
 def gather_rerank_rows(db_repr, idx):

@@ -306,3 +306,72 @@ def test_auto_config_prime_dims_get_per_dim_subspaces():
 
     assert auto_config(10_000_000, 101).hash.num_blocks == 101
     assert auto_config(10_000_000, 100).hash.num_blocks == 50
+
+
+def test_query_config_keeps_configured_reordering(small_db):
+    """A per-query override that leaves the reordering depth unset must
+    not disable HASHED mode's configured exact reordering (the default
+    pre_k previously only applied when params was None entirely)."""
+    from scann_tpu.config import ExactReorderingConfig, QueryConfig
+
+    q = small_db[:6]
+    s = Scann(DenseDataset(small_db), ScannConfig(
+        hash=HashConfig(num_blocks=4, num_buckets=16),
+        exact_reordering=ExactReorderingConfig(num_candidates=100)))
+    i_plain, d_plain = s.search_batched_arrays(q, 5)
+    i_qc, d_qc = s.search_batched_arrays(
+        q, 5, query_config=QueryConfig(num_neighbors=5))
+    np.testing.assert_array_equal(i_plain, i_qc)
+    np.testing.assert_allclose(d_plain, d_qc, rtol=1e-6)
+    # reordered distances are exact: re-derive them from the raw rows
+    exact = ((q[:, None, :] - small_db[i_qc]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_qc, exact, rtol=1e-4, atol=1e-4)
+
+
+def test_query_config_epsilon_filters_final_distances(small_db):
+    """QueryConfig.epsilon means the same thing in every mode: results
+    whose FINAL (reported) distance exceeds it are dropped."""
+    from scann_tpu.config import ExactReorderingConfig, QueryConfig
+
+    q = small_db[:4]
+    s = Scann(DenseDataset(small_db), ScannConfig(
+        hash=HashConfig(num_blocks=4, num_buckets=16),
+        exact_reordering=ExactReorderingConfig(num_candidates=100)))
+    _, d_all = s.search_batched_arrays(q, 5)
+    eps = float(np.sort(d_all, axis=1)[:, 2].max())  # keeps ~3 of 5
+    idx, dists = s.search_batched_arrays(
+        q, 5, query_config=QueryConfig(epsilon=eps))
+    kept = idx >= 0
+    assert kept.any() and (~kept).any()
+    assert np.all(dists[kept] <= eps + 1e-6)
+    np.testing.assert_array_equal(idx[~kept], -1)
+
+
+def test_hashed_mode_threads_rerank_dtype(small_db):
+    """ExactReorderingConfig.quantized / rerank_dtype reach the standalone
+    AsymmetricHasher (previously silently dropped in HASHED mode)."""
+    from scann_tpu.config import ExactReorderingConfig
+
+    s = Scann(DenseDataset(small_db), ScannConfig(
+        hash=HashConfig(num_blocks=4, num_buckets=16),
+        exact_reordering=ExactReorderingConfig(num_candidates=60,
+                                               quantized=True)))
+    assert s.search_mode == SearchMode.HASHED
+    assert s.impl.config.rerank_dtype == "int8"
+    q = small_db[:4]
+    idx, dists = s.search_batched_arrays(q, 3)
+    assert idx.shape == (4, 3)
+    assert (idx >= 0).all()
+
+
+def test_block_sweep_honors_reordering_depth(small_db):
+    """ExactReorderingConfig.num_candidates sets the block sweep's rerank
+    depth, same precedence as the HASHED branch."""
+    from scann_tpu.config import ExactReorderingConfig
+
+    cfg = ScannConfig(exact_reordering=ExactReorderingConfig(
+        num_candidates=77))
+    cfg.with_brute_force()
+    cfg.brute_force.block_sweep = True
+    s = Scann(DenseDataset(small_db), cfg)
+    assert s.impl._config.pre_reorder_k == 77

@@ -320,3 +320,24 @@ def test_sharded_ah_sweep_low_precision_rerank(data, rdt):
     r1, r2 = _recall(i1, gt), _recall(i2, gt)
     assert r2 >= r1 - 0.02, (r1, r2)
     assert r2 >= 0.9
+
+
+def test_sharded_ah_k_wider_than_shard_block(data):
+    """k larger than the per-shard block: local partials are only blk wide,
+    but the merged output must still carry the requested k columns (the
+    all_gather supplies n_shards*blk >= n >= k candidates). Regression: the
+    merge previously truncated to min(k, blk)."""
+    db, q, ds, gt = data
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=8, seed=5)).build(ds)
+    sh = ShardedAsymmetricHasher(h, make_mesh(8, axis_names=("db",)))
+    k = 2000
+    assert k > sh._blk, "fixture must exercise k > per-shard block"
+    idx, dists = sh.search_batched_arrays(q, k)
+    assert idx.shape == (len(q), k)
+    assert (idx >= 0).all()  # 3000 valid rows cover k=2000 everywhere
+    # pre_k clamps to blk = every local row: the pipeline degenerates to
+    # an exact search, so distances must match the exact top-k
+    exact = np.sort(((q[:, None, :] - db[None, :, :]) ** 2).sum(-1),
+                    axis=1)[:, :k]
+    np.testing.assert_allclose(dists, exact, rtol=1e-3, atol=1e-3)
