@@ -38,6 +38,13 @@ class Datapoint:
         if self.indices is not None:
             if len(self.indices) != len(self.values):
                 raise ScannError.invalid_argument("indices/values length mismatch")
+            if len(self.indices) > 1 and np.any(np.diff(self.indices) < 0):
+                # get() binary-searches the indices: keep them sorted no
+                # matter the construction order (the reference requires
+                # ascending sparse indices; we normalize instead)
+                order = np.argsort(self.indices, kind="stable")
+                self.indices = self.indices[order]
+                self.values = self.values[order]
             self.dimensionality = dimensionality if dimensionality is not None else (
                 int(self.indices.max()) + 1 if len(self.indices) else 0
             )

@@ -87,6 +87,11 @@ class MutationBuffer:
                 arr = np.ascontiguousarray(m.data, dtype=np.float32)
                 data_ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
                 dim = arr.size
+                # flush() sizes its output rows from self._dim: learn it
+                # from pushed payloads so a dim=0 construction still
+                # round-trips vectors (parity with the Python fallback)
+                if dim > self._dim:
+                    self._dim = int(dim)
             return self._lib.mbuf_push(self._h, int(m.kind), m.index, data_ptr, dim) == 0
         with self._lock:
             if len(self._q) >= self.max_buffer_size:
@@ -129,8 +134,12 @@ class MutationBuffer:
             ts = ctypes.c_uint64()
             buf = np.zeros(max(dim, 1), dtype=np.float32)
             ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-            while self._lib.mbuf_pop(self._h, ctypes.byref(kind), ctypes.byref(idx),
-                                     ctypes.byref(ts), ptr, dim) == 0:
+            while True:
+                buf[:] = 0.0  # entries may carry fewer floats than dim
+                if self._lib.mbuf_pop(self._h, ctypes.byref(kind),
+                                      ctypes.byref(idx), ctypes.byref(ts),
+                                      ptr, dim) != 0:
+                    break
                 k = MutationKind(kind.value)
                 data = buf[:dim].copy() if k != MutationKind.REMOVE else None
                 out.append(Mutation(k, idx.value, data, ts.value))
@@ -280,6 +289,10 @@ class MutableDataset:
             self._core = _PyDatasetCore(self.dim)
             self.native = False
         self._mutations = MutationBuffer(1 << 20, dim=self.dim)
+        # True once the bounded buffer rejected a push: the delta log is
+        # no longer a complete record and incremental consumers must
+        # resync from snapshot() (flush_mutations resets the flag)
+        self.mutation_log_overflowed = False
 
     @classmethod
     def from_dataset(cls, dataset: DenseDataset, use_native: bool = True) -> "MutableDataset":
@@ -288,19 +301,32 @@ class MutableDataset:
             m._core.add(row)
         return m
 
+    def _log(self, m: Mutation) -> None:
+        """Record a mutation in the bounded delta log; on overflow, flag
+        (and warn once) rather than silently dropping — the core already
+        holds the change, only incremental replay loses completeness."""
+        if not self._mutations.push(m) and not self.mutation_log_overflowed:
+            self.mutation_log_overflowed = True
+            import warnings
+
+            warnings.warn(
+                "MutableDataset mutation log overflowed; incremental "
+                "consumers must resync from snapshot() (the dataset "
+                "itself is unaffected)", RuntimeWarning, stacklevel=3)
+
     # -- mutations ---------------------------------------------------------
     def add(self, data) -> int:
         v = np.asarray(data, dtype=np.float32)
         if v.shape != (self.dim,):
             raise ScannError.invalid_argument(f"point shape {v.shape} != ({self.dim},)")
         idx = self._core.add(v)
-        self._mutations.push(Mutation.add(idx, v))
+        self._log(Mutation.add(idx, v))
         return idx
 
     def remove(self, index: int) -> None:
         if not self._core.remove(index):
             raise ScannError.not_found(f"index {index} not found or already removed")
-        self._mutations.push(Mutation.remove(index))
+        self._log(Mutation.remove(index))
 
     def update(self, index: int, data) -> None:
         v = np.asarray(data, dtype=np.float32)
@@ -308,7 +334,7 @@ class MutableDataset:
             raise ScannError.invalid_argument(f"point shape {v.shape} != ({self.dim},)")
         if not self._core.update(index, v):
             raise ScannError.not_found(f"index {index} not found")
-        self._mutations.push(Mutation.update(index, v))
+        self._log(Mutation.update(index, v))
 
     # -- reads -------------------------------------------------------------
     def get(self, index: int) -> Optional[np.ndarray]:
@@ -339,7 +365,9 @@ class MutableDataset:
         return self._core.snapshot()
 
     def flush_mutations(self) -> List[Mutation]:
-        return self._mutations.flush(self.dim)
+        out = self._mutations.flush(self.dim)
+        self.mutation_log_overflowed = False
+        return out
 
     def compact(self) -> int:
         self._mutations.flush(self.dim)
@@ -484,7 +512,6 @@ class DynamicSearcher:
     def _rebuild(self):
         data, deleted = self._mutable.snapshot()
         self._snapshot_rows = len(data)
-        self._deleted_at_build = deleted.astype(bool)
         # snapshot rows stay device-resident between rebuilds; per-search
         # uploads are then just queries + candidate ids + the small delta slab
         self._snapshot_ds = DenseDataset(data)
@@ -572,7 +599,26 @@ class DynamicSearcher:
                 while (need > 0 and fetch < snap_rows
                        and cand_valid.sum(axis=1).min() < need):
                     fetch = min(fetch * 2, snap_rows)
+                    prev_width = cand_i.shape[1]
                     cand_i, cand_valid = _fetch_candidates(fetch)
+                    if cand_i.shape[1] <= prev_width:
+                        # the main index caps its candidate width (e.g.
+                        # tree-AH's p*l_cap ceiling): doubling fetch can't
+                        # widen the window, so stop re-searching and
+                        # surface the lever instead of looping to
+                        # fetch == snap_rows
+                        if cand_valid.sum(axis=1).min() < need:
+                            import warnings
+
+                            warnings.warn(
+                                "DynamicSearcher: the main index caps "
+                                f"candidates at {cand_i.shape[1]} < the "
+                                f"{need} live results some query needs "
+                                "under heavy deletes; raise the searcher's"
+                                " candidate ceiling (e.g. "
+                                "num_leaves_to_search) or force_rebuild()",
+                                RuntimeWarning, stacklevel=2)
+                        break
             else:
                 cand_i = np.zeros((b, 0), np.int64)
                 cand_valid = np.zeros_like(cand_i, bool)

@@ -37,6 +37,20 @@ class ChunkingProjection(Projection):
         self.config = config
         self.chunk_dim = config.input_dim // config.num_chunks
         self.chunk_projections: List[Optional[Projection]] = [None] * config.num_chunks
+        if config.project_chunks:
+            # honor with_projection(): seed-deterministic random-orthogonal
+            # per chunk (train-free; callers wanting learned per-chunk
+            # projections install them via set_chunk_projection)
+            from scann_tpu.projection.random import RandomOrthogonalProjection
+
+            out = config.chunk_output_dim
+            if out is None or not 0 < out <= self.chunk_dim:
+                raise ScannError.invalid_argument(
+                    f"chunk_output_dim must be in (0, {self.chunk_dim}], "
+                    f"got {out}")
+            for i in range(config.num_chunks):
+                self.chunk_projections[i] = RandomOrthogonalProjection(
+                    self.chunk_dim, out, seed=42 + i)
 
     @property
     def input_dim(self) -> int:

@@ -16,9 +16,13 @@ class RandomOrthogonalProjection(Projection):
     """Rows of a random orthogonal matrix (reference: random.rs:40-107)."""
 
     def __init__(self, input_dim: int, output_dim: Optional[int] = None, seed: int = 42):
+        from scann_tpu.errors import ScannError
+
         self._in = int(input_dim)
         self._out = int(output_dim) if output_dim is not None else self._in
-        assert self._out <= self._in
+        if not 0 < self._out <= self._in:
+            raise ScannError.invalid_argument(
+                f"output_dim must be in (0, {self._in}], got {self._out}")
         full = random_orthogonal_matrix(self._in, seed)
         self.matrix = full[: self._out]  # [out, in]
 

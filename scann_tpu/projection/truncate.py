@@ -14,6 +14,9 @@ class TruncateProjection(Projection):
     """Keep dims [offset, offset+output_dim)."""
 
     def __init__(self, input_dim: int, output_dim: int, offset: int = 0):
+        if offset < 0 or output_dim <= 0:
+            raise ScannError.invalid_argument(
+                "truncation window must have offset >= 0 and output_dim > 0")
         if offset + output_dim > input_dim:
             raise ScannError.invalid_argument("truncation window exceeds input dim")
         self._in = int(input_dim)

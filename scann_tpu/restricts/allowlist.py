@@ -79,15 +79,26 @@ class RestrictDenylist:
         return d
 
     def deny(self, index: int) -> None:
-        if 0 <= index < len(self._denied):
-            self._denied[index] = True
+        if index < 0:
+            return
+        if index >= len(self._denied):
+            # grow so points appended after construction can be denied
+            grown = np.zeros(max(index + 1, 2 * len(self._denied)), bool)
+            grown[: len(self._denied)] = self._denied
+            self._denied = grown
+        self._denied[index] = True
 
     def allow(self, index: int) -> None:
         if 0 <= index < len(self._denied):
             self._denied[index] = False
 
     def is_allowed(self, index: int) -> bool:
-        return bool(0 <= index < len(self._denied) and not self._denied[index])
+        """Everything is allowed unless explicitly denied — including
+        indices beyond the constructed capacity (e.g. points appended to
+        the dataset after the denylist was built)."""
+        if 0 <= index < len(self._denied):
+            return bool(not self._denied[index])
+        return True
 
     def clear(self) -> None:
         self._denied[:] = False
@@ -97,7 +108,8 @@ class RestrictDenylist:
         return len(self._denied)
 
     def to_mask(self, n: int) -> np.ndarray:
-        out = np.zeros(n, dtype=bool)
+        # never-denied indices past the capacity stay allowed (True)
+        out = np.ones(n, dtype=bool)
         m = min(n, len(self._denied))
         out[:m] = ~self._denied[:m]
         return out

@@ -368,6 +368,14 @@ class KMeans:
             raise ScannError.invalid_argument("Number of clusters must be > 0")
         if cfg.init_method == KMeansInit.PROVIDED and init_centers is None:
             raise ScannError.invalid_argument("Provided initialization requires initial centers")
+        if init_centers is not None:
+            init_centers = np.asarray(init_centers, dtype=np.float32)
+            # the Lloyd step builds its one-hot with k columns: centers
+            # beyond k would silently drop their points from every update
+            if init_centers.shape != (k, arr.shape[1]):
+                raise ScannError.invalid_argument(
+                    f"init_centers shape {init_centers.shape} != "
+                    f"({k}, {arr.shape[1]})")
 
         data_dev = jnp.asarray(arr, dtype=jnp.float32)
         seed = cfg.seed if cfg.seed is not None else np.random.SeedSequence().entropy % (2**31)

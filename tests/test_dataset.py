@@ -87,3 +87,17 @@ def test_empty_dataset():
     assert ds.is_empty and ds.dimensionality == 7
     arr, n = ds.device()
     assert n == 0 and arr.shape[0] >= 1
+
+
+def test_sparse_datapoint_unsorted_indices_get():
+    """get() binary-searches sparse indices: unsorted construction order
+    must not change lookups (indices are normalized to ascending)."""
+    from scann_tpu.data.dataset import Datapoint
+
+    p = Datapoint.sparse([5, 2, 9], [1.0, 2.0, 3.0])
+    assert p.get(2) == 2.0
+    assert p.get(5) == 1.0
+    assert p.get(9) == 3.0
+    assert p.get(3) == 0.0
+    dense = p.to_dense()
+    assert dense.get(2) == 2.0 and dense.get(9) == 3.0

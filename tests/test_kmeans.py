@@ -104,3 +104,21 @@ def test_lloyd_step_sliced_matches_single_program(rng):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(i1), float(i2), rtol=1e-4)
+
+
+def test_provided_init_centers_shape_validated():
+    import numpy as np
+    import pytest
+
+    from scann_tpu.errors import ScannError
+    from scann_tpu.trees.kmeans import KMeans, KMeansConfig, KMeansInit
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(100, 8)).astype(np.float32)
+    km = KMeans(KMeansConfig(num_clusters=4, init_method=KMeansInit.PROVIDED))
+    with pytest.raises(ScannError):
+        km.fit(data, init_centers=rng.normal(size=(6, 8)).astype(np.float32))
+    with pytest.raises(ScannError):
+        km.fit(data, init_centers=rng.normal(size=(4, 7)).astype(np.float32))
+    res = km.fit(data, init_centers=data[:4].copy())
+    assert res.centers.shape == (4, 8)

@@ -229,3 +229,51 @@ def test_dynamic_searcher_heavy_deletes(rng):
     idx2, _ = ds2.search_batched_arrays(q[:1], 5)
     got2 = {int(i) for i in idx2[0] if i >= 0}
     assert got2 == {3, 11}
+
+
+def test_mutation_buffer_default_dim_round_trips_payloads():
+    """flush() must return the pushed vectors even when the buffer was
+    constructed without an explicit dim (the native path previously sized
+    its output rows from dim=0 and dropped every payload)."""
+    import numpy as np
+
+    from scann_tpu.mutator import MutationBuffer, MutationKind
+
+    buf = MutationBuffer(64)
+    buf.add(0, np.array([1.0, 2.0, 3.0], np.float32))
+    buf.remove(1)
+    buf.update(2, np.array([4.0, 5.0, 6.0], np.float32))
+    out = buf.flush()
+    assert [m.kind for m in out] == [
+        MutationKind.ADD, MutationKind.REMOVE, MutationKind.UPDATE]
+    np.testing.assert_allclose(out[0].data[:3], [1.0, 2.0, 3.0])
+    assert out[1].data is None
+    np.testing.assert_allclose(out[2].data[:3], [4.0, 5.0, 6.0])
+
+
+def test_mutable_dataset_flags_log_overflow():
+    """A full delta log must not pass silently: the dataset still applies
+    the change but flags that incremental replay lost completeness."""
+    import warnings
+
+    import numpy as np
+
+    from scann_tpu.mutator import MutableDataset
+
+    m = MutableDataset(4)
+    m._mutations.max_buffer_size = 2
+    if m._mutations._lib is not None:
+        # shrink the native buffer too
+        m._mutations._lib.mbuf_destroy(m._mutations._h)
+        m._mutations._h = m._mutations._lib.mbuf_create(2)
+    v = np.zeros(4, np.float32)
+    m.add(v); m.add(v)
+    assert not m.mutation_log_overflowed
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m.add(v)
+    assert m.mutation_log_overflowed
+    assert any("overflowed" in str(x.message) for x in w)
+    assert m.size == 3  # the dataset itself is unaffected
+    m.flush_mutations()
+    assert not m.mutation_log_overflowed

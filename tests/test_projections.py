@@ -142,3 +142,43 @@ def test_factory():
         "random_orthogonal", input_dim=8, output_dim=4).output_dim == 4
     with pytest.raises(ScannError):
         ProjectionFactory.create("bogus")
+
+
+def test_truncate_rejects_negative_offset():
+    import pytest
+
+    from scann_tpu.errors import ScannError
+    from scann_tpu.projection.truncate import TruncateProjection
+
+    with pytest.raises(ScannError):
+        TruncateProjection(input_dim=8, output_dim=4, offset=-4)
+
+
+def test_random_orthogonal_rejects_expanding_output():
+    import pytest
+
+    from scann_tpu.errors import ScannError
+    from scann_tpu.projection.random import RandomOrthogonalProjection
+
+    with pytest.raises(ScannError):
+        RandomOrthogonalProjection(input_dim=4, output_dim=8)
+
+
+def test_chunking_with_projection_is_honored():
+    """ChunkingConfig.with_projection installs real per-chunk projections
+    (previously a dead config flag)."""
+    import numpy as np
+
+    from scann_tpu.projection.chunking import ChunkingConfig, ChunkingProjection
+
+    cfg = ChunkingConfig(input_dim=16, num_chunks=4).with_projection(2)
+    proj = ChunkingProjection(cfg)
+    assert proj.output_dim == 8
+    x = np.random.default_rng(0).normal(size=(5, 16)).astype(np.float32)
+    y = proj.project(x)
+    assert y.shape == (5, 8)
+    # orthogonal per-chunk projections preserve chunk norms
+    xc = x.reshape(5, 4, 4)
+    yc = y.reshape(5, 4, 2)
+    assert not np.allclose(np.linalg.norm(xc, axis=-1) ** 2,
+                           np.linalg.norm(yc, axis=-1) ** 2)  # dim reduced

@@ -147,3 +147,20 @@ def test_crowding_multidimensional():
         from collections import Counter
         cnt = Counter(int(cm.attributes[d, i]) for i in ids)
         assert max(cnt.values()) <= limit
+
+
+def test_denylist_allows_beyond_capacity():
+    """Everything-allowed-unless-denied holds past the constructed
+    capacity: points appended to the dataset after the denylist was built
+    stay allowed, and deny() grows to cover them."""
+    from scann_tpu.restricts.allowlist import RestrictDenylist
+
+    d = RestrictDenylist(4)
+    d.deny(1)
+    assert d.is_allowed(100)  # beyond capacity: never denied
+    m = d.to_mask(8)
+    assert m.tolist() == [True, False, True, True, True, True, True, True]
+    d.deny(6)  # grows
+    assert not d.is_allowed(6)
+    assert d.to_mask(8).tolist() == [
+        True, False, True, True, True, True, False, True]
