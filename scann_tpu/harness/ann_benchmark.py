@@ -206,35 +206,45 @@ def generate_adversarial_dataset(train_size: int, test_size: int, dim: int,
 
 
 def load_hdf5_dataset(path: str, k: int, limit_train: Optional[int] = None,
-                      limit_test: Optional[int] = None) -> BenchmarkData:
+                      limit_test: Optional[int] = None,
+                      distance: str = "squared-l2") -> BenchmarkData:
     """Native ANN-Benchmarks HDF5 (train/test/neighbors datasets) — the
     reference requires an HDF5->JSON conversion step (README.md:718-730);
-    here the standard files load directly."""
+    here the standard files load directly. Truncating the train set
+    invalidates the file's neighbor ids (they index the FULL set), so GT is
+    recomputed exactly over the truncated rows in that case."""
     import h5py
 
     with h5py.File(path, "r") as f:
         train = np.asarray(f["train"], dtype=np.float32)
         test = np.asarray(f["test"], dtype=np.float32)
         neighbors = np.asarray(f["neighbors"], dtype=np.int64)
+    truncated = bool(limit_train) and limit_train < len(train)
     if limit_train:
         train = train[:limit_train]
     if limit_test:
         test = test[:limit_test]
         neighbors = neighbors[:limit_test]
-    if neighbors.shape[1] < k:
-        raise ValueError(f"neighbors rows must have at least {k} entries")
-    gt = neighbors[: len(test), :k].astype(np.int32)
+    if truncated:
+        gt = exact_ground_truth(train, test, k, distance=distance)
+    else:
+        if neighbors.shape[1] < k:
+            raise ValueError(f"neighbors rows must have at least {k} entries")
+        gt = neighbors[: len(test), :k].astype(np.int32)
     return BenchmarkData(train, test, gt, path, train.shape[1])
 
 
 def load_json_dataset(path: str, k: int, limit_train: Optional[int] = None,
-                      limit_test: Optional[int] = None) -> BenchmarkData:
-    """(reference: ann_benchmark.rs:357-400)."""
+                      limit_test: Optional[int] = None,
+                      distance: str = "squared-l2") -> BenchmarkData:
+    """(reference: ann_benchmark.rs:357-400). As with the HDF5 loader, GT
+    is recomputed when --limit-train truncates the indexable rows."""
     with open(path) as f:
         raw = json.load(f)
     train = np.asarray(raw["train"], dtype=np.float32)
     test = np.asarray(raw["test"], dtype=np.float32)
     neighbors = [list(map(int, row)) for row in raw["neighbors"]]
+    truncated = bool(limit_train) and limit_train < len(train)
     if limit_train:
         train = train[:limit_train]
     if limit_test:
@@ -242,9 +252,12 @@ def load_json_dataset(path: str, k: int, limit_train: Optional[int] = None,
         neighbors = neighbors[:limit_test]
     if len(train) == 0 or len(test) == 0 or len(neighbors) == 0:
         raise ValueError("dataset JSON must include non-empty train/test/neighbors")
-    if any(len(r) < k for r in neighbors):
-        raise ValueError(f"neighbors rows must have at least {k} entries")
-    gt = np.asarray([r[:k] for r in neighbors[: len(test)]], dtype=np.int32)
+    if truncated:
+        gt = exact_ground_truth(train, test, k, distance=distance)
+    else:
+        if any(len(r) < k for r in neighbors):
+            raise ValueError(f"neighbors rows must have at least {k} entries")
+        gt = np.asarray([r[:k] for r in neighbors[: len(test)]], dtype=np.int32)
     return BenchmarkData(train, test, gt, path, train.shape[1])
 
 
@@ -423,7 +436,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.dataset:
         loader = load_hdf5_dataset if args.dataset.endswith(
             (".hdf5", ".h5")) else load_json_dataset
-        data = loader(args.dataset, args.k, args.limit_train, args.limit_test)
+        data = loader(args.dataset, args.k, args.limit_train, args.limit_test,
+                      distance=args.distance)
     elif args.adversarial:
         data = generate_adversarial_dataset(
             args.synthetic_train, args.synthetic_test, args.dim, args.k,

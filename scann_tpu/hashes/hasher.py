@@ -25,7 +25,7 @@ from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
 from scann_tpu.hashes.codebook import Codebook, CodebookConfig, lut_kernel
 from scann_tpu.hashes.lut16 import PackedCodes4Bit
-from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.searcher import SearchParameters, Searcher, epsilons
 from scann_tpu.ops.distances import (
     DistanceMeasure,
     approx_to_measure_units,
@@ -33,18 +33,12 @@ from scann_tpu.ops.distances import (
 )
 from scann_tpu.ops.lut16_scoring import lut_score
 from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
-from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up
+from scann_tpu.types import MASKED_DISTANCE, SUBLANE_I8, align_up, is_tpu
 
 
-def _epsilons(params: Optional[SearchParameters]):
-    """Per-query distance thresholds (reference: src/searcher.rs:12-30)."""
-    pre = post = np.inf
-    if params is not None:
-        if params.pre_reordering_epsilon is not None:
-            pre = float(params.pre_reordering_epsilon)
-        if params.post_reordering_epsilon is not None:
-            post = float(params.post_reordering_epsilon)
-    return pre, post
+# shared threshold ladder (models/searcher.epsilons); kept under the old
+# module-local name for existing callers
+_epsilons = epsilons
 
 
 @dataclasses.dataclass
@@ -274,11 +268,7 @@ class AsymmetricHasher(Searcher):
 
     def _use_pallas(self) -> bool:
         """LUT16 Pallas sweep: C<=16 on a real TPU (4-5x the XLA one-hot)."""
-        try:
-            return (self.codebook.num_codes <= 16
-                    and jax.devices()[0].platform == "tpu")
-        except Exception:  # pragma: no cover
-            return False
+        return self.codebook.num_codes <= 16 and is_tpu()
 
     def _device_codes_t(self):
         if getattr(self, "_codes_t_dev", None) is None:
@@ -368,7 +358,11 @@ class AsymmetricHasher(Searcher):
         if self.config.distance_measure == DistanceMeasure.COSINE:
             qn = np.sqrt(np.einsum("bd,bd->b", q, q))
             q = q / np.maximum(qn, 1e-30)[:, None]
-        idx, dist = self._search_reorder(q, min(k, self._n), min(pre_reorder_k, self._n))
+        k_c = min(k, self._n)
+        # the exact stage's top-k can only be as wide as its candidate
+        # list: pre_reorder_k below k would crash the final top_k
+        pre_c = min(max(pre_reorder_k, k_c), self._n)
+        idx, dist = self._search_reorder(q, k_c, pre_c)
         return self._to_results(idx, dist)[0]
 
     def _use_fused(self, pre_k: int) -> bool:

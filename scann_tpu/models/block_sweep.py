@@ -23,7 +23,7 @@ import numpy as np
 
 from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
-from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.searcher import SearchParameters, Searcher, epsilons, pad_results_to_k
 from scann_tpu.ops.distances import DistanceMeasure, squared_norms
 from scann_tpu.ops.sweep_pallas import (
     build_augmented_db,
@@ -161,10 +161,9 @@ class BlockSweepSearcher(Searcher):
 
     @staticmethod
     def _interpret() -> bool:
-        try:
-            return jax.devices()[0].platform != "tpu"
-        except Exception:  # pragma: no cover
-            return True
+        from scann_tpu.types import is_tpu
+
+        return not is_tpu()
 
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
@@ -176,17 +175,15 @@ class BlockSweepSearcher(Searcher):
             raise ScannError.invalid_argument(f"k must be positive, got {k}")
         cfg = self._config
         pre_k = max(cfg.pre_reorder_k, k)
-        pre_eps = post_eps = np.inf
-        if params is not None:
-            if params.pre_reordering_num_neighbors is not None:
-                pre_k = max(int(params.pre_reordering_num_neighbors), k)
-            if params.pre_reordering_epsilon is not None:
-                pre_eps = float(params.pre_reordering_epsilon)
-            if params.post_reordering_epsilon is not None:
-                post_eps = float(params.post_reordering_epsilon)
+        if params is not None and params.pre_reordering_num_neighbors is not None:
+            pre_k = max(int(params.pre_reordering_num_neighbors), k)
+        pre_eps, post_eps = epsilons(params)
         aug, db, norms, n_valid = self._device_state()
-        # one survivor per r-block caps usable pre_k
+        # one survivor per r-block caps usable pre_k — and with it the
+        # usable k: the kernel's final top-k can only be pre_k wide (the
+        # output pads back to the requested k below)
         pre_k = min(pre_k, aug.shape[0] // cfg.block_r)
+        k_kern = min(k, pre_k)
 
         out_i, out_d = [], []
         max_batch = cfg.max_batch // 2 if cfg.top2 else cfg.max_batch
@@ -200,11 +197,12 @@ class BlockSweepSearcher(Searcher):
             dists, idx = sweep_search_kernel(
                 aug, db, norms, jnp.int32(n_valid), jnp.asarray(q),
                 jnp.float32(pre_eps), jnp.float32(post_eps),
-                pre_k=pre_k, k=k, measure=self._measure,
+                pre_k=pre_k, k=k_kern, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 interpret=self._interpret(), top2=cfg.top2,
                 inv_perm=self._inv_perm,
             )
             out_i.append(np.asarray(idx)[:b])
             out_d.append(np.asarray(dists)[:b])
-        return np.concatenate(out_i), np.concatenate(out_d)
+        return pad_results_to_k(np.concatenate(out_i),
+                                np.concatenate(out_d), k)

@@ -23,7 +23,7 @@ import numpy as np
 
 from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
-from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.searcher import SearchParameters, Searcher, pad_results_to_k
 from scann_tpu.ops.distances import (
     DistanceMeasure,
     gathered_distances,
@@ -130,4 +130,6 @@ class PartitionedSearcher(Searcher):
             jnp.float32(eps), measure=self._measure, p=p, k=k_eff,
             multiplicity=self.partitioner.tokenization.max_multiplicity,
         )
-        return np.asarray(idx), np.asarray(dists)
+        # p*leaf_cap can cap k_eff below k: keep the [B, k] contract by
+        # padding the unreachable slots with (-1, inf)
+        return pad_results_to_k(np.asarray(idx), np.asarray(dists), k)

@@ -127,11 +127,9 @@ class ScalarQuantizedBruteForceSearcher(Searcher):
     def _use_pallas(self) -> bool:
         """int8/int4 on real TPU: stream u8 tiles with the Pallas kernel
         (5x the XLA dequant-matmul path, measured at 1M x 128d)."""
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            on_tpu = False
-        return on_tpu and hasattr(self._quantized, "device_transposed")
+        from scann_tpu.types import is_tpu
+
+        return is_tpu() and hasattr(self._quantized, "device_transposed")
 
     def search_batched_arrays(self, queries: np.ndarray, k: int,
                               params: Optional[SearchParameters] = None):

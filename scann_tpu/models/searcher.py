@@ -62,6 +62,33 @@ class SearchParameters:
         return eps
 
 
+def epsilons(params: Optional["SearchParameters"]):
+    """(pre, post) per-query distance thresholds — the ONE place the
+    None-defaulting ladder lives (reference: src/searcher.rs:12-30)."""
+    pre = post = np.inf
+    if params is not None:
+        if params.pre_reordering_epsilon is not None:
+            pre = float(params.pre_reordering_epsilon)
+        if params.post_reordering_epsilon is not None:
+            post = float(params.post_reordering_epsilon)
+    return pre, post
+
+
+def pad_results_to_k(idx: np.ndarray, dists: np.ndarray, k: int):
+    """Pad [B, w] results out to the [B, k] contract with (-1, inf) slots
+    when a searcher's candidate ceiling makes w < k (e.g. one survivor per
+    r-block in the sweep, p*leaf_cap in partitioned search)."""
+    w = idx.shape[1]
+    if w >= k:
+        return idx, dists
+    b = idx.shape[0]
+    pi = np.full((b, k), -1, dtype=idx.dtype)
+    pd = np.full((b, k), np.inf, dtype=dists.dtype)
+    pi[:, :w] = idx
+    pd[:, :w] = dists
+    return pi, pd
+
+
 @dataclasses.dataclass
 class NNResult:
     """One neighbor (reference: src/searcher.rs:64-101)."""
@@ -200,7 +227,9 @@ class Searcher:
         out_d = np.full((len(q), k), np.inf, dtype=np.float32)
         for bi in range(len(q)):
             w = 0
-            for j in range(fetch):
+            # iterate the columns actually returned (a searcher's candidate
+            # ceiling may cap them below the requested fetch)
+            for j in range(idx.shape[1]):
                 i = int(idx[bi, j])
                 if i >= 0 and mask[i]:
                     out_i[bi, w], out_d[bi, w] = i, dist[bi, j]

@@ -41,7 +41,7 @@ from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
 from scann_tpu.hashes.codebook import Codebook, CodebookConfig, lut_kernel
 from scann_tpu.hashes.hasher import AsymmetricHasherConfig
-from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.searcher import SearchParameters, Searcher, epsilons
 from scann_tpu.ops.distances import (
     DistanceMeasure,
     approx_to_measure_units,
@@ -628,10 +628,21 @@ class TreeXHybridSearcher(Searcher):
         return self._dataset.docids if self._dataset is not None else None
 
     def memory_usage(self) -> int:
-        """PQ code bytes (packed when 4-bit) + centroids + codebook."""
-        code_bytes = self.codes.shape[0] * ((self.codes.shape[1] + 1) // 2) \
-            if self.codebook.num_codes <= 16 else self.codes.nbytes
-        return int(code_bytes + self.partitioner.centers.nbytes
+        """Device bytes of the serving CSR code slab + centroids +
+        codebook. The slab stores one UNPACKED byte per (assignment,
+        subspace) padded to s_pad=align_up(S,32) columns plus 128-aligned
+        partition gaps — the actual HBM the kernels read, not the
+        theoretical packed-int4 size (which understated S=8 indexes 8x+;
+        the harness publishes this as index_device_bytes)."""
+        tk = self.partitioner.tokenization
+        sizes = tk.partition_sizes.astype(np.int64)
+        aligned_rows = int((((sizes + 127) // 128) * 128).sum())
+        l_tile = max(int(self.config.score_l_tile), 128)
+        aligned_rows += int(align_up(max(tk.max_partition_size, 8), l_tile))
+        s_pad = int(align_up(self.codes.shape[1], 32))
+        return int(aligned_rows * s_pad  # u8 code slab (+ int32 perm below)
+                   + aligned_rows * 4
+                   + self.partitioner.centers.nbytes
                    + self.codebook.centroids.nbytes)
 
     def _device_state(self):
@@ -700,10 +711,9 @@ class TreeXHybridSearcher(Searcher):
         return self._csr_cache
 
     def _use_grouped_pallas(self) -> bool:
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            return False
+        from scann_tpu.types import is_tpu
+
+        return is_tpu()
 
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
@@ -731,13 +741,7 @@ class TreeXHybridSearcher(Searcher):
             pre_k = int(params.pre_reordering_num_neighbors)
         else:
             pre_k = int(np.ceil(k * cfg.pre_reorder_multiplier))
-        pre_eps = np.float32(np.inf)
-        post_eps = np.float32(np.inf)
-        if params is not None:
-            if params.pre_reordering_epsilon is not None:
-                pre_eps = np.float32(params.pre_reordering_epsilon)
-            if params.post_reordering_epsilon is not None:
-                post_eps = np.float32(params.post_reordering_epsilon)
+        pre_eps, post_eps = (np.float32(e) for e in epsilons(params))
 
         db, norms, n_valid = self._device_state()
         codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = \

@@ -26,19 +26,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from scann_tpu.types import cdiv, is_tpu
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _is_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +70,7 @@ def lut16_score_pallas(luts: jnp.ndarray, codes_t: jnp.ndarray,
     b, s, c = luts.shape
     n = codes_t.shape[1]
     luts_flat = luts.reshape(b, s * c)
-    grid = (_cdiv(n, tile_n),)
+    grid = (cdiv(n, tile_n),)
 
     return pl.pallas_call(
         functools.partial(_lut16_kernel, num_codes=c),
@@ -103,7 +94,7 @@ def lut16_score_auto(luts: jnp.ndarray, codes_t: jnp.ndarray,
                      tile_n: int = 2048, out_dtype=jnp.float32) -> jnp.ndarray:
     """Pallas on TPU, interpret-mode fallback elsewhere."""
     return lut16_score_pallas(luts, codes_t, tile_n=tile_n,
-                              interpret=not _is_tpu(), out_dtype=out_dtype)
+                              interpret=not is_tpu(), out_dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +166,7 @@ def lut16_fused_sweep_pallas(luts_i8: jnp.ndarray, codes_packed_t: jnp.ndarray,
     b = luts_i8.shape[0]
     sh, n = codes_packed_t.shape
     c = luts_i8.shape[1] // (2 * sh)
-    grid = (_cdiv(n, tile_n),)
+    grid = (cdiv(n, tile_n),)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     return pl.pallas_call(
         functools.partial(_lut16_fused_kernel, num_codes=c, r=r, tile_n=tile_n),
@@ -202,7 +193,7 @@ def lut16_fused_sweep_pallas(luts_i8: jnp.ndarray, codes_packed_t: jnp.ndarray,
 def lut16_fused_sweep_auto(luts_i8: jnp.ndarray, codes_packed_t: jnp.ndarray,
                            n_valid, tile_n: int = 1024, r: int = 32) -> jnp.ndarray:
     return lut16_fused_sweep_pallas(luts_i8, codes_packed_t, n_valid,
-                                    tile_n=tile_n, r=r, interpret=not _is_tpu())
+                                    tile_n=tile_n, r=r, interpret=not is_tpu())
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +225,7 @@ def int8_dots_pallas(queries: jnp.ndarray, codes_t: jnp.ndarray,
     """
     b, d = queries.shape
     n = codes_t.shape[1]
-    grid = (_cdiv(n, tile_n),)
+    grid = (cdiv(n, tile_n),)
     return pl.pallas_call(
         _int8_dots_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
@@ -255,4 +246,4 @@ def int8_dots_pallas(queries: jnp.ndarray, codes_t: jnp.ndarray,
 
 def int8_dots_auto(queries: jnp.ndarray, codes_t: jnp.ndarray,
                    tile_n: int = 2048) -> jnp.ndarray:
-    return int8_dots_pallas(queries, codes_t, tile_n=tile_n, interpret=not _is_tpu())
+    return int8_dots_pallas(queries, codes_t, tile_n=tile_n, interpret=not is_tpu())

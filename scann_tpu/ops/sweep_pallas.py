@@ -41,22 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scann_tpu.ops.distances import DistanceMeasure, gathered_distances
 from scann_tpu.ops.topk import approx_top_k_smallest, top_k_smallest
-from scann_tpu.types import MASKED_DISTANCE, align_up
+from scann_tpu.types import MASKED_DISTANCE, align_up, cdiv
 
 # Sentinel carried in the augmented norm column of invalid rows. bf16-exact
 # (a power of two) and far above any real score, far below bf16 max.
 BLOCK_MASK_VALUE = float(2.0 ** 30)
-
-
-def _is_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 def augmented_dim(d: int) -> int:
@@ -224,7 +213,7 @@ def block_min_sweep_pallas(
         functools.partial(_block_min_kernel, r=r),
         out_shape=(jax.ShapeDtypeStruct((n // r, b), jnp.float32),
                    jax.ShapeDtypeStruct((n // r, b), jnp.int32)),
-        grid=(_cdiv(n, tile_n),),
+        grid=(cdiv(n, tile_n),),
         in_specs=[
             pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -261,7 +250,7 @@ def block_min2_sweep_pallas(
                    jax.ShapeDtypeStruct((n // r, b), jnp.int32),
                    jax.ShapeDtypeStruct((n // r, b), jnp.float32),
                    jax.ShapeDtypeStruct((n // r, b), jnp.int32)),
-        grid=(_cdiv(n, tile_n),),
+        grid=(cdiv(n, tile_n),),
         in_specs=[
             pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -43,14 +43,12 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scann_tpu.data.dataset import DenseDataset
 from scann_tpu.errors import ScannError
 from scann_tpu.models.searcher import SearchParameters, Searcher
 from scann_tpu.ops.distances import (
     DistanceMeasure,
     approx_to_measure_units,
     gathered_distances,
-    squared_norms,
 )
 from scann_tpu.ops.lut16_scoring import lut_score
 from scann_tpu.ops.topk import (
@@ -64,10 +62,9 @@ from scann_tpu.types import MASKED_DISTANCE, align_up
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from scann_tpu.types import is_tpu
+
+    return is_tpu()
 
 
 def _merge_partials(vals, idx, k: int, multiplicity: int, post_eps,

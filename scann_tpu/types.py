@@ -36,6 +36,18 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def is_tpu() -> bool:
+    """True when the default JAX backend is a real TPU — the ONE platform
+    probe every kernel-dispatch decision (Pallas vs XLA, interpret mode)
+    shares."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
 def pad_rows(arr: np.ndarray, multiple: int, fill=0) -> np.ndarray:
     """Pad the leading dimension of ``arr`` up to a multiple of ``multiple``."""
     n = arr.shape[0]

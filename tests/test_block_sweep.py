@@ -255,3 +255,22 @@ def test_block_sweep_low_precision_rerank(rng, rdt):
         i2, d2 = s2.search_batched_arrays(q, k)
         np.testing.assert_array_equal(idx, i2)
         np.testing.assert_allclose(dist, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_block_sweep_k_beyond_block_count_pads(rng):
+    """k larger than the number of r-blocks: the kernel can only produce
+    one candidate per block, so the output pads to [B, k] with (-1, inf)
+    instead of crashing the final top-k (regression: Scann.auto() routes
+    every small dataset here)."""
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+
+    db = rng.normal(size=(1000, 16)).astype(np.float32)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db))
+    k = 100  # > N_pad / block_r = 2048/32 = 64 blocks
+    idx, dists = s.search_batched_arrays(q, k)
+    assert idx.shape == (3, k)
+    valid = idx >= 0
+    assert valid[:, :32].all()          # plenty of real candidates up front
+    assert (~valid[:, -8:]).all()       # block ceiling pads the tail
+    assert np.all(np.isinf(dists[~valid]))

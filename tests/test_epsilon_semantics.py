@@ -215,3 +215,28 @@ def test_hasher_approx_only_path_honors_post_epsilon():
     want_masked = np.isfinite(base_d) & (base_d > cutoff + 1e-5)
     assert (idx[want_masked] == -1).all()
     assert np.isinf(dist[want_masked]).all()
+
+
+def test_partitioned_k_beyond_candidate_ceiling_pads():
+    """p * leaf_cap can cap reachable candidates below k: the searcher
+    must keep the [B, k] contract by padding, and the base-class filtered
+    fallback must tolerate the narrower real width (regression: it
+    previously indexed out of bounds)."""
+    rng = np.random.default_rng(5)
+    db = rng.normal(size=(2000, 8)).astype(np.float32)
+    q = rng.normal(size=(4, 8)).astype(np.float32)
+    s = PartitionedSearcher(DenseDataset(db), num_partitions_to_search=2)
+    k = 400
+    idx, dists = s.search_batched_arrays(q, k)
+    assert idx.shape == (4, k)
+    assert (idx[:, 0] >= 0).all()
+    pad = idx < 0
+    assert np.all(np.isinf(dists[pad]))
+    # filtered fallback over the capped searcher must not crash
+    from scann_tpu.restricts.filters import PredicateFilter
+
+    res = s.search_batched_with_filter(
+        q, 300, PredicateFilter(lambda i: i % 2 == 1))
+    for r in res:
+        for nn in r.neighbors:
+            assert nn.index % 2 == 1

@@ -293,3 +293,14 @@ def test_hasher_low_precision_rerank(rng, rdt):
 def test_hasher_rerank_dtype_validated():
     with pytest.raises(Exception):
         AsymmetricHasher(AsymmetricHasherConfig(rerank_dtype="float16"))
+
+
+def test_hasher_reordering_pre_k_below_k_clamped(rng):
+    """search_with_reordering(pre_reorder_k < k) must clamp the candidate
+    width up to k instead of crashing the exact stage's top-k."""
+    db = rng.normal(size=(500, 16)).astype(np.float32)
+    h = AsymmetricHasher(AsymmetricHasherConfig(
+        num_codes=16, num_subspaces=4, seed=2)).build(DenseDataset(db))
+    res = h.search_with_reordering(db[7], k=50, pre_reorder_k=10)
+    assert len(res.neighbors) == 50
+    assert res.neighbors[0].index == 7

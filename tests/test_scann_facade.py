@@ -375,3 +375,36 @@ def test_block_sweep_honors_reordering_depth(small_db):
     cfg.brute_force.block_sweep = True
     s = Scann(DenseDataset(small_db), cfg)
     assert s.impl._config.pre_reorder_k == 77
+
+
+def test_limit_train_recomputes_ground_truth(tmp_path):
+    """--limit-train truncates the indexable rows, so the file's neighbor
+    ids (computed over the FULL train set) are invalid: the loader must
+    recompute exact GT over the truncated set (regression: stale GT
+    silently corrupted every reported recall)."""
+    import json
+
+    from scann_tpu.harness.ann_benchmark import load_json_dataset
+
+    data = generate_synthetic_dataset(200, 6, 4, 3, 1)
+    p = tmp_path / "ds.json"
+    p.write_text(json.dumps({
+        "train": data.train.tolist(),
+        "test": data.test.tolist(),
+        "neighbors": data.gt.tolist(),
+    }))
+    loaded = load_json_dataset(str(p), 3, limit_train=50)
+    assert len(loaded.train) == 50
+    assert loaded.gt.max() < 50  # ids index the truncated set
+    # and the GT is the true exact answer over those 50 rows
+    exact = np.argsort(((data.test[:, None, :] - data.train[None, :50, :])
+                        ** 2).sum(-1), axis=1)[:, :3]
+    # distance-level check (robust to ties)
+    d_loaded = np.take_along_axis(
+        ((data.test[:, None, :] - data.train[None, :50, :]) ** 2).sum(-1),
+        loaded.gt.astype(np.int64), axis=1)
+    d_exact = np.take_along_axis(
+        ((data.test[:, None, :] - data.train[None, :50, :]) ** 2).sum(-1),
+        exact, axis=1)
+    np.testing.assert_allclose(np.sort(d_loaded, axis=1),
+                               np.sort(d_exact, axis=1), rtol=1e-5)
