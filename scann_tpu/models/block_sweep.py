@@ -179,11 +179,11 @@ class BlockSweepSearcher(Searcher):
             pre_k = max(int(params.pre_reordering_num_neighbors), k)
         pre_eps, post_eps = epsilons(params)
         aug, db, norms, n_valid = self._device_state()
-        # one survivor per r-block caps usable pre_k — and with it the
-        # usable k: the kernel's final top-k can only be pre_k wide (the
-        # output pads back to the requested k below)
+        # one survivor per r-block (two with top2) caps usable pre_k — and
+        # with it the usable k: the kernel's final top-k can only be as
+        # wide as its candidate list (output pads back to the requested k)
         pre_k = min(pre_k, aug.shape[0] // cfg.block_r)
-        k_kern = min(k, pre_k)
+        k_kern = min(k, pre_k * (2 if cfg.top2 else 1))
 
         out_i, out_d = [], []
         max_batch = cfg.max_batch // 2 if cfg.top2 else cfg.max_batch

@@ -94,12 +94,9 @@ class BruteForceSearcher(Searcher):
         batch-aware: a 20k x 64d database passes a db-only check but OOMs
         scoped VMEM at B=200 (measured: 17.8M > the 16M limit)."""
         from scann_tpu.ops.fused_bf_pallas import vmem_resident_limit_bytes
-        from scann_tpu.types import SUBLANE_F32, align_up
+        from scann_tpu.types import SUBLANE_F32, align_up, is_tpu
 
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            on_tpu = False
+        on_tpu = is_tpu()
         n_pad = align_up(max(self._dataset.size, 1), SUBLANE_F32)
         b_pad = align_up(max(b, 1), SUBLANE_F32)
         d = self._dataset.dimensionality

@@ -370,7 +370,9 @@ class MutableDataset:
         return out
 
     def compact(self) -> int:
-        self._mutations.flush(self.dim)
+        # drain through flush_mutations so a prior log overflow clears:
+        # compaction starts a fresh delta epoch
+        self.flush_mutations()
         return self._core.compact()
 
     def to_dense_dataset(self) -> DenseDataset:
@@ -599,9 +601,13 @@ class DynamicSearcher:
                 while (need > 0 and fetch < snap_rows
                        and cand_valid.sum(axis=1).min() < need):
                     fetch = min(fetch * 2, snap_rows)
-                    prev_width = cand_i.shape[1]
+                    # real (non-padding) candidates, deleted or not: stops
+                    # growing when the main index hits its candidate
+                    # ceiling — robust to searchers that pad their output
+                    # to the requested width with -1 slots
+                    prev_real = int((cand_i >= 0).sum(axis=1).max())
                     cand_i, cand_valid = _fetch_candidates(fetch)
-                    if cand_i.shape[1] <= prev_width:
+                    if int((cand_i >= 0).sum(axis=1).max()) <= prev_real:
                         # the main index caps its candidate width (e.g.
                         # tree-AH's p*l_cap ceiling): doubling fetch can't
                         # widen the window, so stop re-searching and

@@ -44,7 +44,11 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scann_tpu.errors import ScannError
-from scann_tpu.models.searcher import SearchParameters, Searcher
+from scann_tpu.models.searcher import (
+    SearchParameters,
+    Searcher,
+    pad_results_to_k,
+)
 from scann_tpu.ops.distances import (
     DistanceMeasure,
     approx_to_measure_units,
@@ -293,11 +297,13 @@ class ShardedAsymmetricHasher(Searcher):
 
     def _codes_rows(self):
         """Row-major u8 code slab, uploaded (sharded) on first XLA-path
-        query and cached; fused-path serving never pays its HBM."""
+        query and cached; fused-path serving never pays its HBM. The host
+        copy is released after the upload — one resident copy at a time."""
         if self._codes is None:
             self._codes = jax.device_put(
                 jnp.asarray(self._codes_host),
                 NamedSharding(self.mesh, P("db", None)))
+            self._codes_host = None
         return self._codes
 
     def search_batched_arrays(self, queries: np.ndarray, k: int,
@@ -462,7 +468,12 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         sel_rows = jnp.take_along_axis(pre_rows, pos, axis=1)
         idx = jnp.take(perm, sel_rows, axis=0)
         idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
-        return _merge_partials(vals, idx, k, multiplicity, post_eps, db_axis)
+        # the all_gather supplies n_shards*k_local candidates; when the
+        # per-shard candidate ceiling makes that less than k, merge to
+        # what is reachable (the wrapper pads back to [B, k])
+        k_merge = min(k, mesh.shape[db_axis] * k_local)
+        return _merge_partials(vals, idx, k_merge, multiplicity, post_eps,
+                               db_axis)
 
     return jax.jit(_kern)
 
@@ -632,4 +643,6 @@ class ShardedTreeXHybridSearcher(Searcher):
             args.append(replicate(self.mesh, jnp.asarray(m)))
         args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
         dists, idx = self._kernels[key](*args)
-        return np.asarray(idx), np.asarray(dists)
+        # per-shard candidate ceilings can merge fewer than k columns:
+        # pad back to the [B, k] contract
+        return pad_results_to_k(np.asarray(idx), np.asarray(dists), k)

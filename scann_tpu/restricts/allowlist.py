@@ -72,9 +72,13 @@ class RestrictDenylist:
 
     @classmethod
     def from_indices(cls, indices: Iterable[int], capacity: int) -> "RestrictDenylist":
-        d = cls(capacity)
         idx = np.asarray(list(indices), dtype=np.int64)
-        idx = idx[(idx >= 0) & (idx < capacity)]
+        idx = idx[idx >= 0]
+        # same grow-past-capacity semantics as deny(): every listed index
+        # is denied, even beyond the constructed capacity
+        if len(idx):
+            capacity = max(int(capacity), int(idx.max()) + 1)
+        d = cls(capacity)
         d._denied[idx] = True
         return d
 

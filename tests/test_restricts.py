@@ -164,3 +164,12 @@ def test_denylist_allows_beyond_capacity():
     assert not d.is_allowed(6)
     assert d.to_mask(8).tolist() == [
         True, False, True, True, True, True, False, True]
+
+
+def test_denylist_from_indices_grows_past_capacity():
+    from scann_tpu.restricts.allowlist import RestrictDenylist
+
+    d = RestrictDenylist.from_indices([1, 10], capacity=4)
+    assert not d.is_allowed(1)
+    assert not d.is_allowed(10)  # grew past the constructed capacity
+    assert d.is_allowed(5)

@@ -341,3 +341,25 @@ def test_sharded_ah_k_wider_than_shard_block(data):
     exact = np.sort(((q[:, None, :] - db[None, :, :]) ** 2).sum(-1),
                     axis=1)[:, :k]
     np.testing.assert_allclose(dists, exact, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_tree_ah_k_beyond_candidate_ceiling(data):
+    """k beyond n_shards * per-shard candidate ceiling must pad to the
+    [B, k] contract instead of crashing the ICI merge's top-k."""
+    db, q, ds, gt = data
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=2,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=5),
+    )).build(ds)
+    sh = ShardedTreeXHybridSearcher(s, make_mesh(8, axis_names=("db",)))
+    k = 2500  # > 8 shards * (p=2 * l_cap) reachable candidates
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the pre_k clamp warning is expected
+        idx, dists = sh.search_batched_arrays(q, k)
+    assert idx.shape == (len(q), k)
+    assert (idx[:, 0] >= 0).all()
+    pad = idx < 0
+    assert pad.any() and np.all(np.isinf(dists[pad]))
