@@ -24,11 +24,16 @@ _tried = False
 
 def _build() -> bool:
     try:
+        # compile to a per-process temp path then atomically rename:
+        # concurrent processes (multihost workers, pytest-xdist) must never
+        # dlopen a partially written .so
+        tmp = f"{_SO}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO)
         return True
     except Exception:
         return False

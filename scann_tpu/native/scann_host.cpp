@@ -48,18 +48,24 @@ struct MDS {
   std::mutex row_mu[kRowStripes];      // striped row-payload locks
 };
 
-void* mds_create(uint64_t dim, uint64_t initial_capacity) {
+// Exceptions (std::bad_alloc from vector/deque growth) must not cross the
+// C ABI into ctypes — that aborts the Python process. Allocating entry
+// points catch everything and return their error value instead so the
+// caller can fall back.
+void* mds_create(uint64_t dim, uint64_t initial_capacity) try {
   auto* m = new MDS();
   m->dim = dim;
   m->capacity_rows = initial_capacity ? initial_capacity : 64;
   m->slab.resize(m->capacity_rows * dim);
   m->deleted.resize(m->capacity_rows, 0);
   return m;
+} catch (...) {
+  return nullptr;
 }
 
 void mds_destroy(void* h) { delete static_cast<MDS*>(h); }
 
-int64_t mds_add(void* h, const float* data) {
+int64_t mds_add(void* h, const float* data) try {
   auto* m = static_cast<MDS*>(h);
   std::lock_guard<std::mutex> ap(m->append_mu);
   uint64_t r = m->rows.load(std::memory_order_relaxed);
@@ -79,6 +85,8 @@ int64_t mds_add(void* h, const float* data) {
   m->rows.store(r + 1, std::memory_order_release);
   m->live.fetch_add(1, std::memory_order_relaxed);
   return static_cast<int64_t>(r);
+} catch (...) {
+  return -1;  // allocation failure: caller keeps the pre-add state
 }
 
 int mds_remove(void* h, uint64_t idx) {
@@ -194,16 +202,18 @@ struct MBuf {
   std::atomic<uint64_t> ts{0};
 };
 
-void* mbuf_create(uint64_t max_size) {
+void* mbuf_create(uint64_t max_size) try {
   auto* b = new MBuf();
   b->max_size = max_size ? max_size : 1024;
   return b;
+} catch (...) {
+  return nullptr;
 }
 
 void mbuf_destroy(void* h) { delete static_cast<MBuf*>(h); }
 
 int mbuf_push(void* h, int32_t kind, uint64_t index, const float* data,
-              uint64_t dim) {
+              uint64_t dim) try {
   auto* b = static_cast<MBuf*>(h);
   std::lock_guard<std::mutex> lk(b->mu);
   if (b->q.size() >= b->max_size) return -1;
@@ -214,6 +224,8 @@ int mbuf_push(void* h, int32_t kind, uint64_t index, const float* data,
   if (data && dim) e.data.assign(data, data + dim);
   b->q.push_back(std::move(e));
   return 0;
+} catch (...) {
+  return -1;  // bad_alloc on entry copy/deque growth: reject the push
 }
 
 uint64_t mbuf_len(void* h) {

@@ -38,14 +38,23 @@ def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("db"
 
 def shard_rows(mesh: Mesh, arr, axis: str = "db"):
     """Place an array with its leading dim sharded over ``axis`` (pads rows
-    to a multiple of the axis size first)."""
-    import jax.numpy as jnp
+    to a multiple of the axis size first).
 
+    Pass host (numpy) arrays for large data: padding then happens on host
+    and ``device_put`` transfers straight into the sharded layout — no
+    staging copy of the WHOLE array on one device, which would cap the
+    shardable size at a single chip's HBM."""
     size = mesh.shape[axis]
     n = arr.shape[0]
     n_pad = ((n + size - 1) // size) * size
     if n_pad != n:
-        arr = jnp.pad(arr, [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1))
+        if isinstance(arr, np.ndarray):
+            pad = np.zeros((n_pad - n,) + arr.shape[1:], dtype=arr.dtype)
+            arr = np.concatenate([arr, pad], axis=0)
+        else:
+            import jax.numpy as jnp
+
+            arr = jnp.pad(arr, [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1))
     spec = P(axis, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec)), n
 

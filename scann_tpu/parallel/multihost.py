@@ -35,7 +35,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already initialized" not in str(e):
+        # idempotent re-init: match both historical JAX double-init
+        # messages ("already initialized" and the current "should only be
+        # called once")
+        msg = str(e)
+        if ("already initialized" not in msg
+                and "should only be called once" not in msg):
             raise ScannError.internal(f"jax.distributed init failed: {e}") from e
     return jax.process_index()
 

@@ -52,6 +52,14 @@ def sharded_search_kernel(mesh: Mesh, measure: DistanceMeasure, k: int,
         shard_idx = jax.lax.axis_index(db_axis)
         blk = db_blk.shape[0]
         row0 = shard_idx * blk
+        n_shards = mesh.shape[db_axis]
+        if k > n_shards * min(k, blk):
+            # surfaced at trace time with the real constraint, instead of
+            # an opaque lax.top_k failure deep inside merge_top_k
+            raise ScannError.invalid_argument(
+                f"k={k} exceeds the {n_shards * min(k, blk)} gathered "
+                f"candidates ({n_shards} shards x {blk} rows); clamp k to "
+                "the padded database size")
 
         dists = many_to_many(measure, q_blk, db_blk, norms_blk)
         # mask padded / out-of-range rows globally
@@ -75,17 +83,21 @@ def sharded_search_kernel(mesh: Mesh, measure: DistanceMeasure, k: int,
 def sharded_kmeans_step(mesh: Mesh, k: int, db_axis: str = "db"):
     """One Lloyd's iteration over sharded data.
 
-    Returns fn(data_blk [N,D] sharded, centers [K,D] replicated) ->
-    (new_centers [K,D] replicated, counts [K], inertia scalar).
+    Returns fn(data_blk [N,D] sharded, centers [K,D] replicated, n_valid) ->
+    (new_centers [K,D] replicated, counts [K], inertia scalar). ``n_valid``
+    is the REAL global row count: shard_rows pads the leading dim to a
+    multiple of the mesh size, and unmasked zero-padding rows would count
+    as datapoints — dragging centroids toward the origin and inflating
+    counts/inertia on any N not divisible by the device count.
     """
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(db_axis, None), P(None, None)),
+        in_specs=(P(db_axis, None), P(None, None), P()),
         out_specs=(P(None, None), P(None), P()),
         check_vma=False,
     )
-    def _step(data_blk, centers):
+    def _step(data_blk, centers, n_valid):
         from scann_tpu.trees.kmeans import assign_clusters
 
         # cluster sums via chunked one-hot matmuls, NOT segment_sum: XLA's
@@ -95,6 +107,11 @@ def sharded_kmeans_step(mesh: Mesh, k: int, db_axis: str = "db"):
         # [chunk, K] one-hot on-chip-sized for million-row shards
         assign, min_d = assign_clusters(data_blk, centers)
         nb, d = data_blk.shape
+        row0 = jax.lax.axis_index(db_axis) * nb
+        valid = row0 + jnp.arange(nb, dtype=jnp.int32) < n_valid
+        # padding rows join no cluster and contribute no inertia
+        assign = jnp.where(valid, assign, -1)
+        min_d = jnp.where(valid, min_d, 0.0)
         chunk = min(65536, max(nb, 1))
         n_chunks = -(-nb // chunk)
         n_pad = n_chunks * chunk
@@ -139,8 +156,9 @@ class ShardedBruteForceSearcher(Searcher):
         self._dataset = dataset
         self._measure = distance_measure
         self.mesh = mesh or make_mesh(axis_names=("db",))
-        arr = jnp.asarray(dataset.numpy())
-        self._db, self._n = shard_rows(self.mesh, arr)
+        # host array straight into the sharded layout: no device-0 staging
+        # copy, so the database can exceed one chip's HBM
+        self._db, self._n = shard_rows(self.mesh, dataset.numpy())
         self._norms = jax.jit(
             squared_norms,
             out_shardings=jax.sharding.NamedSharding(self.mesh, P("db")),
@@ -166,4 +184,12 @@ class ShardedBruteForceSearcher(Searcher):
             self._kernels[k] = sharded_search_kernel(self.mesh, self._measure, k)
         q = replicate(self.mesh, jnp.asarray(queries))
         dists, idx = self._kernels[k](self._db, self._norms, jnp.int32(self._n), q)
-        return np.asarray(idx), np.asarray(dists)
+        dists, idx = np.asarray(dists), np.asarray(idx)
+        # single-stage exact search: the tighter of pre/post epsilon applies
+        # to the returned distances, same as BruteForceSearcher
+        eps = params.effective_epsilon() if params is not None else np.inf
+        if np.isfinite(eps):
+            over = dists > eps
+            dists = np.where(over, np.inf, dists)
+            idx = np.where(over, -1, idx)
+        return idx, dists

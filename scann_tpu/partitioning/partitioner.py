@@ -20,6 +20,8 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
+from scann_tpu.errors import ScannError
+
 
 @dataclasses.dataclass
 class PartitionResult:
@@ -53,6 +55,10 @@ class DatabaseTokenization:
             extra_pairs = np.asarray(extra_pairs, dtype=np.int32)
             pts = np.concatenate([pts, extra_pairs[:, 0]])
             toks = np.concatenate([toks, extra_pairs[:, 1]])
+        if len(toks) and (toks.min() < 0 or toks.max() >= num_partitions):
+            raise ScannError.invalid_argument(
+                f"tokens must lie in [0, {num_partitions}); got range "
+                f"[{int(toks.min())}, {int(toks.max())}]")
         order = np.argsort(toks, kind="stable")
         counts = np.bincount(toks, minlength=num_partitions).astype(np.int32)
         self.offsets = np.zeros(num_partitions + 1, dtype=np.int32)
@@ -103,12 +109,14 @@ class DatabaseTokenization:
         """(leaf_indices [K, L_max] int32 device array, -1 padded). L_max is
         rounded up to ``pad_multiple`` to stabilize compiled shapes across
         small rebuilds."""
-        if self._padded_cache is None:
+        # cache keyed on the multiple: a second caller with a different
+        # alignment must not get the first caller's padding
+        if self._padded_cache is None or self._padded_cache[0] != pad_multiple:
             lmax = self.max_partition_size
             lmax = max(((lmax + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
             out = np.full((self.num_partitions, lmax), -1, dtype=np.int32)
             for t in range(self.num_partitions):
                 idx = self.partition_indices(t)
                 out[t, : len(idx)] = idx
-            self._padded_cache = jnp.asarray(out)
-        return self._padded_cache
+            self._padded_cache = (pad_multiple, jnp.asarray(out))
+        return self._padded_cache[1]

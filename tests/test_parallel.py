@@ -57,12 +57,16 @@ def test_sharded_k_larger_than_shard(rng):
 
 
 def test_sharded_kmeans_step_matches_single(rng):
-    data = rng.normal(size=(512, 8)).astype(np.float32)
+    # 501 rows: NOT a multiple of the 8-device mesh, so shard_rows pads —
+    # the step must mask the padding rows out of counts/centers/inertia
+    data = rng.normal(size=(501, 8)).astype(np.float32)
     centers = data[:10].copy()
     mesh = make_mesh()
     step = sharded_kmeans_step(mesh, k=10)
-    data_sh, _ = shard_rows(mesh, jnp.asarray(data))
-    new_c, counts, inertia = step(data_sh, jnp.asarray(centers))
+    data_sh, n = shard_rows(mesh, jnp.asarray(data))
+    new_c, counts, inertia = step(data_sh, jnp.asarray(centers),
+                                  jnp.int32(n))
+    assert float(np.asarray(counts).sum()) == 501
 
     assign, min_d = assign_clusters(jnp.asarray(data), jnp.asarray(centers))
     ref_c, ref_counts = update_centers(jnp.asarray(data), assign, 10)
@@ -93,3 +97,43 @@ def test_2d_mesh_query_sharding(rng):
     ds = DenseDataset(db)
     gt_idx, gt_dist = BruteForceSearcher(ds).search_batched_arrays(q, 5)
     np.testing.assert_allclose(np.asarray(dists), gt_dist, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_bf_honors_epsilon(rng):
+    """The sharded exact searcher applies effective_epsilon() to its
+    returned distances exactly like the single-device BruteForceSearcher
+    (regression: SearchParameters were silently ignored)."""
+    from scann_tpu import SearchParameters
+
+    db = rng.normal(size=(600, 8)).astype(np.float32)
+    q = rng.normal(size=(5, 8)).astype(np.float32)
+    ds = DenseDataset(db)
+    s = ShardedBruteForceSearcher(ds)
+    _, d_all = s.search_batched_arrays(q, 5)
+    eps = float(np.median(d_all[:, 2]))
+    p = SearchParameters(pre_reordering_epsilon=eps)
+    i_sh, d_sh = s.search_batched_arrays(q, 5, p)
+    i_bf, d_bf = BruteForceSearcher(ds).search_batched_arrays(q, 5, p)
+    np.testing.assert_array_equal(i_sh, i_bf)
+    kept = i_sh >= 0
+    assert kept.any() and (~kept).any()
+    assert np.all(d_sh[kept] <= eps + 1e-6)
+
+
+def test_sharded_kernel_rejects_unreachable_k(rng):
+    """Direct kernel use with k beyond the gathered candidate width fails
+    with a typed, explanatory error at trace time (not an opaque top_k
+    failure)."""
+    from scann_tpu import ScannError
+    from scann_tpu.parallel.sharded import sharded_search_kernel
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    db = rng.normal(size=(64, 8)).astype(np.float32)
+    mesh = make_mesh()
+    db_sh, n = shard_rows(mesh, db)
+    norms = jnp.sum(jnp.asarray(db) ** 2, axis=1)
+    norms_sh, _ = shard_rows(mesh, np.asarray(norms))
+    kern = sharded_search_kernel(mesh, DistanceMeasure.SQUARED_L2, k=100)
+    with pytest.raises(ScannError):
+        kern(db_sh, norms_sh, jnp.int32(n),
+             jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32)))
