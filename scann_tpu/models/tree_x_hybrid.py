@@ -79,6 +79,9 @@ class TreeXHybridConfig:
     # partition balancing cap ("auto" = 1.5x mean, None = off): leaf-scoring
     # cost has an l_cap term, so skew directly slows every query
     max_partition_size: Optional[object] = "auto"
+    # hard-cap guarantee: principal-axis split of partitions the demote
+    # rounds left oversized (see TreePartitionerConfig.split_stragglers)
+    split_stragglers: bool = True
     # partitioner training knobs (threaded into TreePartitionerConfig so the
     # Scann facade's PartitioningConfig fields are honored, not dropped)
     spilling: bool = False
@@ -524,6 +527,7 @@ class TreeXHybridSearcher(Searcher):
             num_partitions=cfg.num_partitions,
             seed=cfg.hash_config.seed if cfg.hash_config.seed is not None else 42,
             max_partition_size=cfg.max_partition_size,
+            split_stragglers=cfg.split_stragglers,
             spilling=cfg.spilling,
             spilling_threshold=cfg.spilling_threshold,
             spilling_mode=cfg.spilling_mode,

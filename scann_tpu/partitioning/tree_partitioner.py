@@ -67,6 +67,13 @@ class TreePartitionerConfig:
     # extra rounds are host-side build-time only.
     cap_enforce_rounds: int = 12
     cap_enforce_choices: int = 12
+    # hard-cap guarantee: split any partition the demote rounds left
+    # oversized into principal-axis chunks of <= cap, each with its own
+    # mean centroid (K grows by the straggler surplus). Assignments stay
+    # local — only the partition granularity changes where data is densest
+    # — so l_cap (the padded-leaf cost every query pays) is bounded by the
+    # cap exactly instead of cap + straggler slack.
+    split_stragglers: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "p"))
@@ -220,7 +227,57 @@ class TreePartitioner:
             tokens = self.tokenize(data_dev)
         # LBG splitting alone may plateau above the cap (measured: max size
         # 1664 vs an 885 cap at 1.18M); hard-enforce by demotion
-        return self._enforce_cap(data_dev, tokens, cap)
+        tokens = self._enforce_cap(data_dev, tokens, cap)
+        if cfg.split_stragglers:
+            tokens = self._split_stragglers(data, tokens, cap)
+        return tokens
+
+    def _split_stragglers(self, data: np.ndarray, tokens: np.ndarray,
+                          cap: int) -> np.ndarray:
+        """Hard cap guarantee for the partitions the demote rounds left
+        oversized (their points exhausted every nearby-center fallback —
+        exactly the Zipf hotspots where another demotion round would ship
+        points to *far* centroids and hurt recall). Each straggler is cut
+        along its members' principal axis into equal chunks of <= cap;
+        every chunk becomes a partition with its own mean centroid. No
+        point moves to a farther centroid — the partition granularity
+        grows where the data is densest, and the padded-leaf kernels'
+        l_cap term (paid by EVERY query) drops to the cap exactly.
+        Host-side, runs once per build on the straggler tail only."""
+        cfg = self.config
+        sizes = np.bincount(tokens, minlength=self.centers.shape[0])
+        over = np.nonzero(sizes > cap)[0]
+        if len(over) == 0:
+            return tokens
+        tokens = tokens.copy()
+        centers = [self.centers.copy()]
+        next_tok = self.centers.shape[0]
+        for t in over:
+            members = np.nonzero(tokens == t)[0]
+            x = data[members].astype(np.float32)
+            mu = x.mean(axis=0)
+            xc = x - mu
+            # principal axis via a few power iterations (members are at
+            # most a small multiple of cap — host cost is negligible)
+            rng = np.random.default_rng(cfg.seed + int(t))
+            v = rng.normal(size=x.shape[1]).astype(np.float32)
+            for _ in range(8):
+                v = xc.T @ (xc @ v)
+                nv = float(np.linalg.norm(v))
+                if nv < 1e-30:
+                    break
+                v /= nv
+            order = np.argsort(xc @ v, kind="stable")
+            n_child = -(-len(members) // cap)
+            chunks = np.array_split(order, n_child)
+            centers[0][t] = mu + xc[chunks[0]].mean(axis=0)
+            for c in chunks[1:]:
+                tokens[members[c]] = next_tok
+                centers.append((mu + xc[c].mean(axis=0))[None, :])
+                next_tok += 1
+        self.centers = np.concatenate(centers, axis=0).astype(np.float32)
+        self._centers_dev = jnp.asarray(self.centers)
+        return tokens
 
     def _enforce_cap(self, data_dev, tokens: np.ndarray, cap: int) -> np.ndarray:
         """Demote members of oversized partitions to their next-nearest

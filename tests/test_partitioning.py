@@ -2,6 +2,8 @@
 selection, recall with enough leaves (reference test analog:
 tests/unit_tests.rs partitioning_tests)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -163,6 +165,35 @@ def test_balancing_caps_partition_sizes(rng):
                             num_partitions_to_search=bal.num_partitions)
     idx, _ = s.search_batched_arrays(db[:5], 1)
     assert (idx[:, 0] == np.arange(5)).all()
+
+
+def test_straggler_split_hard_caps_partition_sizes(rng):
+    """The straggler split must bound EVERY partition by the cap exactly —
+    including Zipf hotspots whose points exhaust all demote fallbacks —
+    with all points still assigned exactly once and search still exact."""
+    # pathological hotspot: 900 near-identical points — demotion alone
+    # cannot spread them without shipping points to far centroids
+    blob = rng.normal(size=(900, 8)).astype(np.float32) * 0.01
+    spread = rng.normal(size=(100, 8)).astype(np.float32) * 5.0 + 10.0
+    db = np.concatenate([blob, spread]).astype(np.float32)
+    cap = 100
+    cfg = TreePartitionerConfig(
+        num_partitions=10, seed=42, max_partition_size=cap,
+        balance_rounds=0, cap_enforce_rounds=2, cap_enforce_choices=2)
+    nosplit = TreePartitioner(dataclasses.replace(
+        cfg, split_stragglers=False)).build(DenseDataset(db))
+    assert nosplit.partition_sizes().max() > cap  # the regime split fixes
+    tp = TreePartitioner(cfg).build(DenseDataset(db))
+    assert tp.partition_sizes().max() <= cap
+    assert tp.partition_sizes().sum() == len(db)
+    assert tp.num_partitions >= 10
+    # split children carry their own mean centroids: searching all
+    # partitions is still exact
+    from scann_tpu.models.partitioned import PartitionedSearcher
+    s = PartitionedSearcher(DenseDataset(db), partitioner=tp,
+                            num_partitions_to_search=tp.num_partitions)
+    idx, _ = s.search_batched_arrays(db[::97], 1)
+    assert (idx[:, 0] == np.arange(0, len(db), 97)).all()
 
 
 def test_spilling_results_unique(rng):
