@@ -52,10 +52,18 @@ class _JsonMixin:
     def from_dict(cls, d: dict):
         kwargs = {}
         for f in dataclasses.fields(cls):
-            if f.name not in d or d[f.name] is None:
+            if f.name not in d:
                 continue
             v = d[f.name]
             t = _FIELD_TYPES.get((cls.__name__, f.name))
+            if v is None:
+                # converter-typed (nested/enum) fields treat None as absent;
+                # plain fields keep an explicit None — it can be meaningful
+                # against a non-None default (max_partition_size None =
+                # balancing off vs the "auto" default)
+                if t is None:
+                    kwargs[f.name] = None
+                continue
             if t is not None:
                 v = t.from_dict(v) if isinstance(v, dict) else t(v)
             kwargs[f.name] = v
@@ -106,6 +114,12 @@ class PartitioningConfig(_JsonMixin):
     # TPU extension: cap on training sample size; the reference trains on the
     # full dataset, which is also the default here (None).
     training_sample_size: Optional[int] = None
+    # TPU extension: partition balance cap ("auto" = 1.5x mean, None = off)
+    # and the hard-cap straggler split — skewed partitions directly cost
+    # every query l_cap padding in the leaf-scoring kernels (see
+    # TreePartitionerConfig)
+    max_partition_size: Optional[object] = "auto"
+    split_stragglers: bool = True
 
     def with_partitions_to_search(self, n: int) -> "PartitioningConfig":
         self.num_partitions_to_search = n

@@ -175,6 +175,8 @@ class Scann(Searcher):
                 spilling_threshold=float(p.spilling_threshold),
                 spilling_mode=str(p.spilling_mode),
                 soar_lambda=float(p.soar_lambda),
+                max_partition_size=p.max_partition_size,
+                split_stragglers=bool(p.split_stragglers),
                 partition_max_iterations=int(p.max_training_iterations),
                 partition_convergence_threshold=float(p.convergence_threshold),
                 partition_num_levels=int(p.num_levels),
@@ -204,6 +206,8 @@ class Scann(Searcher):
                     spilling_threshold=float(p.spilling_threshold),
                     spilling_mode=str(p.spilling_mode),
                     soar_lambda=float(p.soar_lambda),
+                    max_partition_size=p.max_partition_size,
+                    split_stragglers=bool(p.split_stragglers),
                 ),
                 num_partitions_to_search=int(p.num_partitions_to_search),
                 distance_measure=measure,
