@@ -363,3 +363,32 @@ def test_sharded_tree_ah_k_beyond_candidate_ceiling(data):
     assert (idx[:, 0] >= 0).all()
     pad = idx < 0
     assert pad.any() and np.all(np.isinf(dists[pad]))
+
+
+def test_sharded_tree_ah_crowding(data):
+    """Crowding composes with the sharded flagship via the base-class
+    over-fetch wrapper (reference crowding semantics: crowding.rs:81-104):
+    per-group caps hold on the merged multi-chip results and match the
+    single-device searcher's crowded output on the same index."""
+    from scann_tpu.restricts.crowding import CrowdingConfig, CrowdingConstraint
+
+    db, q, ds, gt = data
+    attrs = (np.arange(len(db)) % 7).astype(np.int64)
+    c = CrowdingConstraint(attrs, CrowdingConfig(per_crowd_limit=2, enabled=True))
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=5))).build(ds)
+    sh = ShardedTreeXHybridSearcher(s, make_mesh(8, axis_names=("db",)))
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    res_sh = sh.search_with_crowding(q, 10, c, params)
+    res_1d = s.search_with_crowding(q, 10, c, params)
+    for r_sh, r_1d in zip(res_sh, res_1d):
+        ids = [n.index for n in r_sh.neighbors if n.index >= 0]
+        # per-group cap holds on the merged sharded results
+        groups, counts = np.unique(attrs[ids], return_counts=True)
+        assert counts.max() <= 2
+        assert len(ids) == 10
+        # parity with the single-device crowded search
+        ids_1d = [n.index for n in r_1d.neighbors if n.index >= 0]
+        assert len(set(ids) & set(ids_1d)) >= 8
