@@ -85,15 +85,20 @@ class BruteForceConfig(_JsonMixin):
     # (recall ~0.998 at pre-reorder depth 100), not exact brute force
     block_sweep: bool = False
     block_sweep_pre_k: int = 100
+    # dtype of the streamed sweep copy: "bfloat16" or "int8" (half the HBM
+    # stream -> ~1.6x QPS at low batch; see BlockSweepConfig.sweep_dtype)
+    block_sweep_dtype: str = "bfloat16"
 
     def with_scalar_quantization(self, bits: int = 8) -> "BruteForceConfig":
         self.scalar_quantization = True
         self.quantization_bits = bits
         return self
 
-    def with_block_sweep(self, pre_k: int = 100) -> "BruteForceConfig":
+    def with_block_sweep(self, pre_k: int = 100,
+                         sweep_dtype: str = "bfloat16") -> "BruteForceConfig":
         self.block_sweep = True
         self.block_sweep_pre_k = pre_k
+        self.block_sweep_dtype = sweep_dtype
         return self
 
 

@@ -288,7 +288,9 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
         cfg.with_brute_force()
     elif algorithm == "block-sweep":
         cfg.with_brute_force()
-        cfg.brute_force.with_block_sweep(pre_k=args.reorder or 100)
+        cfg.brute_force.with_block_sweep(
+            pre_k=args.reorder or 100,
+            sweep_dtype=getattr(args, "sweep_dtype", "bfloat16"))
     elif algorithm == "partitioned":
         cfg.with_partitioning(PartitioningConfig(
             num_partitions=args.num_partitions,
@@ -410,6 +412,10 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16", "int8"],
                    help="tree-ah exact-rerank copy dtype (bfloat16 halves / "
                         "int8 quarters the dominant serving allocation)")
+    p.add_argument("--sweep-dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="block-sweep streamed-copy dtype (int8 halves the "
+                        "HBM stream; recall recovered by the exact re-rank)")
     p.add_argument("--limit-train", type=int, default=None)
     p.add_argument("--limit-test", type=int, default=None)
     p.add_argument("--synthetic-train", type=int, default=10_000)

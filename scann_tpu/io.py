@@ -154,7 +154,8 @@ def _serialize(searcher):
              "pre_reorder_k": cfg.pre_reorder_k, "block_r": cfg.block_r,
              "tile_n": cfg.tile_n, "max_batch": cfg.max_batch,
              "top2": cfg.top2, "shuffle": cfg.shuffle,
-             "rerank_dtype": cfg.rerank_dtype},
+             "rerank_dtype": cfg.rerank_dtype,
+             "sweep_dtype": cfg.sweep_dtype},
         )
     raise ScannError.unimplemented(f"cannot serialize {type(searcher).__name__}")
 
@@ -214,7 +215,8 @@ def load_index(path: str):
             block_r=int(meta["block_r"]), tile_n=int(meta["tile_n"]),
             max_batch=int(meta["max_batch"]), top2=bool(meta["top2"]),
             shuffle=bool(meta.get("shuffle", True)),
-            rerank_dtype=str(meta.get("rerank_dtype", "float32"))))
+            rerank_dtype=str(meta.get("rerank_dtype", "float32")),
+            sweep_dtype=str(meta.get("sweep_dtype", "bfloat16"))))
     if kind == "scalar_quantized":
         if "codes" in arrays:
             quant = ScalarQuantizer(ScalarQuantizerConfig(bits=meta["bits"]))

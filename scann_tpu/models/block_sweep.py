@@ -59,6 +59,13 @@ class BlockSweepConfig:
     # HBM — "bfloat16" (half) or "int8" (quarter, calibrated
     # ScalarQuantizer codec) keeps the sweep on one chip past ~15M points.
     rerank_dtype: str = "float32"
+    # dtype of the streamed sweep copy: "bfloat16" (default) or "int8"
+    # (per-dim symmetric scales folded into the query head, squared norm
+    # as exact base-128 digits in the padding lanes — see
+    # ops/sweep_pallas.build_int8_augmented_db). int8 halves the sweep's
+    # HBM stream — the dominant cost at low batch — for a small
+    # quantization-noise recall cost recovered by the exact re-rank.
+    sweep_dtype: str = "bfloat16"
 
 
 class BlockSweepSearcher(Searcher):
@@ -81,10 +88,16 @@ class BlockSweepSearcher(Searcher):
             raise ScannError.invalid_argument(
                 f"rerank_dtype must be float32, bfloat16 or int8, got "
                 f"{cfg.rerank_dtype!r}")
+        if cfg.sweep_dtype not in ("bfloat16", "int8"):
+            raise ScannError.invalid_argument(
+                f"sweep_dtype must be bfloat16 or int8, got "
+                f"{cfg.sweep_dtype!r}")
         self._config = cfg
         self._dataset = dataset
         self._measure = cfg.distance_measure
         self._aug_dev = None
+        self._aug_scales = None
+        self._aug_sn = 0.0
         self._inv_perm = None
         self._rerank_cache = None
 
@@ -103,10 +116,11 @@ class BlockSweepSearcher(Searcher):
         return self._dataset.docids
 
     def memory_usage(self) -> int:
-        """Device bytes beyond the raw dataset: the bf16 augmented copy
+        """Device bytes beyond the raw dataset: the augmented sweep copy
         plus any low-precision rerank copy (f32 rerank shares the
         DenseDataset cache and is not counted here)."""
-        total = 0 if self._aug_dev is None else self._aug_dev.size * 2
+        total = (0 if self._aug_dev is None
+                 else self._aug_dev.size * self._aug_dev.dtype.itemsize)
         if self._rerank_cache is not None and \
                 self._config.rerank_dtype != "float32":
             rep = self._rerank_cache[0]
@@ -139,7 +153,19 @@ class BlockSweepSearcher(Searcher):
         return db_repr, norms
 
     def _device_state(self):
-        from scann_tpu.ops.sweep_pallas import shuffle_stride_for
+        from scann_tpu.ops.sweep_pallas import (
+            build_int8_augmented_db,
+            qmajor_step_rows,
+            shuffle_stride_for,
+        )
+        from scann_tpu.types import cdiv
+
+        # pad rows to a multiple of the q-major step (a tile_n multiple, so
+        # the row-major kernels stay valid too); enables the transpose-free
+        # q-major sweep whenever the step divides the padded row count
+        cfg_tile = self._config.tile_n
+        pad_to = cfg_tile * cdiv(qmajor_step_rows(self._config.block_r),
+                                 cfg_tile)
 
         n = self._dataset.size
         if self._aug_dev is None or self._rerank_cache is None or \
@@ -152,9 +178,16 @@ class BlockSweepSearcher(Searcher):
                 self._inv_perm = jnp.asarray(inv)
             else:
                 stride, self._inv_perm = 0, None
-            aug = build_augmented_db(self._dataset.numpy(), n, self._measure,
-                                     tile_n=self._config.tile_n,
-                                     shuffle_stride=stride)
+            if self._config.sweep_dtype == "int8":
+                aug, scales, sn = build_int8_augmented_db(
+                    self._dataset.numpy(), n, self._measure,
+                    tile_n=pad_to, shuffle_stride=stride)
+                self._aug_scales = jnp.asarray(scales)
+                self._aug_sn = sn
+            else:
+                aug = build_augmented_db(
+                    self._dataset.numpy(), n, self._measure,
+                    tile_n=pad_to, shuffle_stride=stride)
             self._aug_dev = jnp.asarray(aug)
         db_repr, norms = self._rerank_state(n)
         return self._aug_dev, db_repr, norms, n
@@ -201,6 +234,7 @@ class BlockSweepSearcher(Searcher):
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 interpret=self._interpret(), top2=cfg.top2,
                 inv_perm=self._inv_perm,
+                aug_scales=self._aug_scales, aug_sn=self._aug_sn,
             )
             out_i.append(np.asarray(idx)[:b])
             out_d.append(np.asarray(dists)[:b])

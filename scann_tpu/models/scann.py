@@ -153,6 +153,7 @@ class Scann(Searcher):
             self._impl = BlockSweepSearcher(dataset, BlockSweepConfig(
                 distance_measure=measure,
                 pre_reorder_k=pre_k,
+                sweep_dtype=config.brute_force.block_sweep_dtype,
                 rerank_dtype=_rerank_dtype_of(config.exact_reordering)))
             self.search_mode = SearchMode.BRUTE_FORCE
         elif config.brute_force is not None and config.brute_force.scalar_quantization:

@@ -47,6 +47,14 @@ from scann_tpu.types import MASKED_DISTANCE, align_up, cdiv
 # (a power of two) and far above any real score, far below bf16 max.
 BLOCK_MASK_VALUE = float(2.0 ** 30)
 
+# int8 sweep: the squared norm is carried as THREE base-128 digits in the
+# row's padding lanes (digits in [-64, 63], slot multipliers sn * (1, 128,
+# 16384) with sn a power of two — every multiplier and digit is exact in
+# bf16, so the decoded norm is exact to sn/2). Max encodable magnitude:
+INT8_NORM_DIGIT_MAX = 63 + 63 * 128 + 63 * 16384  # 1,040,319
+# real norms are scaled to stay below this, leaving >2x margin to the mask
+INT8_NORM_REAL_MAX = 400_000
+
 
 def augmented_dim(d: int) -> int:
     """Minor dim of the augmented row: original + norm slot, sublane-aligned."""
@@ -74,7 +82,8 @@ def shuffle_stride_for(n: int) -> int:
 
 def build_augmented_db(db: np.ndarray, n_valid: int, measure: DistanceMeasure,
                        tile_n: int = 2048,
-                       shuffle_stride: int = 0) -> np.ndarray:
+                       shuffle_stride: int = 0,
+                       pad_rows_to: int = 0) -> np.ndarray:
     """[N_pad, D1] bf16 augmented rows (built once at index time).
 
     The norm slot holds ||x||^2 for SQUARED_L2, 0 for DOT_PRODUCT/COSINE
@@ -91,7 +100,7 @@ def build_augmented_db(db: np.ndarray, n_valid: int, measure: DistanceMeasure,
     db = np.asarray(db, dtype=np.float32)
     n, d = db.shape
     d1 = augmented_dim(d)
-    n_pad = align_up(max(n_valid, 1), tile_n)
+    n_pad = max(align_up(max(n_valid, 1), tile_n), pad_rows_to)
     out = np.zeros((n_pad, d1), dtype=np.float32)
     rows = db
     if measure == DistanceMeasure.COSINE:
@@ -109,6 +118,108 @@ def build_augmented_db(db: np.ndarray, n_valid: int, measure: DistanceMeasure,
         else:
             out[:n, d] = sq
     out[n_valid:, d] = BLOCK_MASK_VALUE
+    return out.astype(jnp.bfloat16)
+
+
+def _encode_norm_digits(m: np.ndarray):
+    """Non-negative ints -> three balanced base-128 digits in [-64, 63]."""
+    d0 = ((m + 64) % 128) - 64
+    c = (m - d0) // 128
+    d1 = ((c + 64) % 128) - 64
+    d2 = (c - d1) // 128
+    return d0, d1, d2
+
+
+def build_int8_augmented_db(db: np.ndarray, n_valid: int,
+                            measure: DistanceMeasure, tile_n: int = 2048,
+                            shuffle_stride: int = 0,
+                            pad_rows_to: int = 0):
+    """int8 sweep storage: HALF the bf16 stream bytes at near-equal recall.
+
+    Returns ``(codes int8 [N_pad, D1], scales f32 [d], sn: float)``:
+
+    - ``codes[:, :d]`` = per-dimension symmetric int8 (scale ``s_j =
+      max|x_j| / 127``, folded into the query head at search time so the
+      kernel is one int8->bf16 convert + the same MXU matmul);
+    - ``codes[:, d:d+3]`` = the squared norm as base-128 digits (see
+      INT8_NORM_DIGIT_MAX) for SQUARED_L2, zeros for dot/cosine;
+    - padded/invalid rows carry the all-63 mask digits (decoded magnitude
+      INT8_NORM_DIGIT_MAX * sn, >2.5x any real score — same sentinel role
+      as BLOCK_MASK_VALUE in the bf16 layout).
+
+    The norm digits live in lanes the (8,128) layout pads anyway (d=100 ->
+    104 minor), so the norm costs zero extra bytes; its resolution sn/2 is
+    ~200x finer than the bf16 layout's one-slot norm. Quantization noise in
+    the -2q.x term is the only recall cost, recovered by the exact re-rank
+    exactly as bf16 rounding is.
+    """
+    db = np.asarray(db, dtype=np.float32)
+    n, d = db.shape
+    d1 = align_up(d + 3, 8)
+    n_pad = max(align_up(max(n_valid, 1), tile_n), pad_rows_to)
+    rows = db
+    if measure == DistanceMeasure.COSINE:
+        norms = np.sqrt(np.einsum("nd,nd->n", db, db))
+        rows = db / np.maximum(norms, 1e-30)[:, None]
+    scales = np.abs(rows[:n_valid]).max(axis=0) / 127.0
+    scales = np.maximum(scales, 1e-30).astype(np.float32)
+    codes = np.zeros((n_pad, d1), dtype=np.int8)
+    q = np.clip(np.rint(rows[:n_valid] / scales), -127, 127).astype(np.int8)
+    if measure == DistanceMeasure.SQUARED_L2:
+        sq = np.einsum("nd,nd->n", db[:n_valid], db[:n_valid])
+        sn = float(2.0 ** np.ceil(np.log2(
+            max(float(sq.max()), 1e-30) / INT8_NORM_REAL_MAX)))
+        m = np.rint(sq / sn).astype(np.int64)
+    else:
+        # digits are zero for real rows; sn only scales the mask sentinel.
+        # 512 puts the mask at ~5.3e8, the bf16 layout's 2^30-class margin.
+        sn = 512.0
+        m = np.zeros(n_valid, dtype=np.int64)
+    g0, g1, g2 = _encode_norm_digits(m)
+    if shuffle_stride:
+        pos = (np.arange(n_valid, dtype=np.int64) * shuffle_stride) \
+            % max(n_valid, 1)
+    else:
+        pos = np.arange(n_valid, dtype=np.int64)
+    codes[pos, :d] = q
+    codes[pos, d] = g0.astype(np.int8)
+    codes[pos, d + 1] = g1.astype(np.int8)
+    codes[pos, d + 2] = g2.astype(np.int8)
+    # mask sentinel on padded rows (all-63 digits decode to DIGIT_MAX)
+    mask_rows = np.ones(n_pad, dtype=bool)
+    mask_rows[pos] = False
+    codes[mask_rows, d:d + 3] = 63
+    return codes, scales, sn
+
+
+def int8_mask_cut(sn: float) -> float:
+    """Validity threshold for int8-sweep block minima (mask sentinel / 2)."""
+    return INT8_NORM_DIGIT_MAX * sn * 0.5
+
+
+def _augment_queries_int8(queries: jnp.ndarray, measure: DistanceMeasure,
+                          scales: jnp.ndarray, sn: float,
+                          d1: int) -> jnp.ndarray:
+    """[B, D1] bf16 query block matching ``build_int8_augmented_db``: the
+    per-dim scales fold into the head; the three norm slots carry the
+    base-128 multipliers (powers of two x sn -> exact in bf16)."""
+    q = queries.astype(jnp.float32)
+    b, d = q.shape
+    if measure == DistanceMeasure.SQUARED_L2:
+        head = -2.0 * q * scales
+    elif measure == DistanceMeasure.COSINE:
+        nq = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        head = -(q / jnp.maximum(nq, 1e-30)) * scales
+    elif measure in (DistanceMeasure.DOT_PRODUCT,
+                     DistanceMeasure.GENERAL_INNER_PRODUCT):
+        head = -q * scales
+    else:
+        raise ValueError(f"unsupported sweep measure {measure}")
+    out = jnp.zeros((b, d1), jnp.float32)
+    out = out.at[:, :d].set(head)
+    out = out.at[:, d].set(sn)
+    out = out.at[:, d + 1].set(128.0 * sn)
+    out = out.at[:, d + 2].set(16384.0 * sn)
     return out.astype(jnp.bfloat16)
 
 
@@ -134,8 +245,10 @@ def _augment_queries(queries: jnp.ndarray, measure: DistanceMeasure,
 
 
 def _block_min_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
+    # int8 rows convert to bf16 in VMEM (no-op for bf16 rows); the matmul
+    # stays hidden behind the halved HBM stream
     scores = jax.lax.dot_general(
-        db_ref[:], q_ref[:],
+        db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # [TN, B] f32
@@ -145,13 +258,85 @@ def _block_min_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
     locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.int32)
 
 
+def _block_min_qmajor_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
+    """Block-min with query-major OUTPUT: the same contiguous r:1 reduction
+    as the row-major kernel (major-dim reshape is layout-free), then an
+    in-kernel transpose of the small [128, B] minima tile, so the block
+    minima land in HBM as [B, N/r] — already the layout ``approx_min_k``
+    wants. This removes the [N/r, B] -> [B, N/r] transpose the row-major
+    kernel forces on the host program (a full read+write of the minima
+    array, ~2 ms at B=1024, N=1.18M — measured round 3).
+
+    Each grid step covers 128*r rows so the output tile is a full 128-lane
+    block; blocks stay contiguous, so candidate reconstruction is the
+    standard ``blk * r + loc``.
+    """
+    scores = jax.lax.dot_general(
+        db_ref[:].astype(jnp.bfloat16), q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [STEP, B] f32
+    tn, b = scores.shape
+    s3 = scores.reshape(tn // r, r, b)
+    vals_ref[:] = jnp.min(s3, axis=1).T            # [B, 128]
+    locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.int32).T
+
+
+def qmajor_step_rows(r: int) -> int:
+    """Rows per q-major grid step: the minima block's lane dim must be a
+    128-multiple, so each step covers 128 blocks = 128*r rows."""
+    return 128 * r
+
+
+# scores + iota intermediates per step: b * step * 8 bytes; cap well below
+# v5e VMEM so the pipeline's in/out buffers still fit
+_QMAJOR_VMEM_BYTES = 80 * 1024 * 1024
+
+
+def qmajor_supported(n_rows: int, b: int, r: int) -> bool:
+    step = qmajor_step_rows(r)
+    return n_rows % step == 0 and b * step * 8 <= _QMAJOR_VMEM_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def block_min_sweep_qmajor_pallas(
+    q_aug: jnp.ndarray, db_aug: jnp.ndarray, r: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query-major-output sweep: returns (vals [B, N/r] f32, locs [B, N/r]
+    int32 within-block offsets, contiguous blocks). Requires
+    N % (128*r) == 0 — see ``qmajor_supported``."""
+    b, d1 = q_aug.shape
+    n = db_aug.shape[0]
+    step = qmajor_step_rows(r)
+    blk = pl.BlockSpec((b, 128), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_min_qmajor_kernel, r=r),
+        out_shape=(jax.ShapeDtypeStruct((b, n // r), jnp.float32),
+                   jax.ShapeDtypeStruct((b, n // r), jnp.int32)),
+        grid=(cdiv(n, step),),
+        in_specs=[
+            pl.BlockSpec((step, d1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(blk, blk),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d1 * n,
+            bytes_accessed=d1 * n * db_aug.dtype.itemsize + (n // r) * b * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(db_aug, q_aug)
+
+
 def _block_min2_kernel(db_ref, q_ref, v1_ref, l1_ref, v2_ref, l2_ref,
                        *, r: int):
     """Per-block (min, argmin) AND (2nd-min, 2nd-argmin) via a tournament
     tree — two same-block near-neighbors both survive to the re-rank,
     removing the one-candidate-per-block recall ceiling."""
     scores = jax.lax.dot_general(
-        db_ref[:], q_ref[:],
+        db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # [TN, B] f32
@@ -225,7 +410,7 @@ def block_min_sweep_pallas(
                                 memory_space=pltpu.VMEM)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d1 * n,
-            bytes_accessed=d1 * n * 2 + (n // r) * b * 8,
+            bytes_accessed=d1 * n * db_aug.dtype.itemsize + (n // r) * b * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -259,23 +444,68 @@ def block_min2_sweep_pallas(
         out_specs=(blk, blk, blk, blk),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d1 * n,
-            bytes_accessed=d1 * n * 2 + (n // r) * b * 16,
+            bytes_accessed=d1 * n * db_aug.dtype.itemsize + (n // r) * b * 16,
             transcendentals=0,
         ),
         interpret=interpret,
     )(db_aug, q_aug)
 
 
+def sweep_block_candidates(q_aug, db_aug, *, pre_k: int, r: int, tile_n: int,
+                           interpret: bool):
+    """Block-min sweep over (a shard block of) the augmented rows ->
+    (pv [B, pre_k] raw sweep scores f32, cand [B, pre_k] int32 local row
+    indices). Picks the transpose-free q-major kernel when supported (TPU
+    serving path), else the row-major + transpose formulation. Shared by
+    the single-device pipeline and the sharded wrapper's shard body."""
+    if not interpret and qmajor_supported(db_aug.shape[0],
+                                          q_aug.shape[0], r):
+        # TPU path only: XLA:CPU (interpret mode) miscompiles the fold
+        # program at some batch shapes (compile-time CHECK crash / hang,
+        # jax 0.8 era); CPU tests cover q-major via the kernel-level
+        # parity test and take the row-major path here.
+        vals, locs = block_min_sweep_qmajor_pallas(
+            q_aug, db_aug, r=r, interpret=interpret)
+        pv, blk = approx_top_k_smallest(vals, pre_k)     # [B, pre_k]
+        local = jnp.take_along_axis(locs, blk, axis=1)
+        cand = blk * r + local                           # global point ids
+    else:
+        vals, locs = block_min_sweep_pallas(q_aug, db_aug, tile_n=tile_n,
+                                            r=r, interpret=interpret)
+        pv, blk = approx_top_k_smallest(vals.T, pre_k)   # [B, pre_k]
+        local = jnp.take_along_axis(locs.T, blk, axis=1)
+        cand = blk * r + local                           # global point ids
+    return pv, cand
+
+
+def sweep_approx_in_measure_units(pv, queries, measure: DistanceMeasure):
+    """Sweep scores -> the measure's own units (for pre_eps compares):
+    L2 adds ||q||^2 (pv = ||x||^2 - 2 q.x), cosine adds 1 (pv = -cos)."""
+    if measure == DistanceMeasure.SQUARED_L2:
+        q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
+        return pv + q_sq[:, None]
+    if measure == DistanceMeasure.COSINE:
+        return 1.0 + pv
+    return pv
+
+
 @functools.partial(jax.jit, static_argnames=("pre_k", "k", "measure", "r",
-                                             "tile_n", "interpret", "top2"))
+                                             "tile_n", "interpret", "top2",
+                                             "aug_sn"))
 def sweep_search_kernel(
     db_aug, db, db_sq_norms, n_valid, queries,
-    pre_eps=jnp.inf, post_eps=jnp.inf, inv_perm=None, *, pre_k: int, k: int,
+    pre_eps=jnp.inf, post_eps=jnp.inf, inv_perm=None, aug_scales=None,
+    *, pre_k: int, k: int,
     measure: DistanceMeasure, r: int = 32, tile_n: int = 2048,
-    interpret: bool = False, top2: bool = False,
+    interpret: bool = False, top2: bool = False, aug_sn: float = 0.0,
 ):
-    """Full pipeline: bf16 block-min sweep -> approx top-pre_k over block
+    """Full pipeline: block-min sweep -> approx top-pre_k over block
     minima -> exact f32 re-rank -> top-k. One device program.
+
+    ``db_aug`` is either the bf16 layout (build_augmented_db) or the int8
+    layout (build_int8_augmented_db, half the stream bytes); for int8 pass
+    ``aug_scales`` ([d] f32) and ``aug_sn`` (static float) so the query
+    head folds the per-dim scales and the norm-digit multipliers.
 
     pre_eps filters on the sweep's (rank-equivalent) approximate distances,
     post_eps on exact re-ranked distances — SearchParameters semantics
@@ -286,7 +516,13 @@ def sweep_search_kernel(
     at the cost of doubled block-minima writes and re-rank width.
     """
     d1 = db_aug.shape[1]
-    q_aug = _augment_queries(queries, measure, d1)
+    if db_aug.dtype == jnp.int8:
+        q_aug = _augment_queries_int8(queries, measure, aug_scales, aug_sn,
+                                      d1)
+        mask_cut = int8_mask_cut(aug_sn)
+    else:
+        q_aug = _augment_queries(queries, measure, d1)
+        mask_cut = BLOCK_MASK_VALUE / 2
     if top2:
         v1, l1, v2, l2 = block_min2_sweep_pallas(
             q_aug, db_aug, tile_n=tile_n, r=r, interpret=interpret)
@@ -298,11 +534,8 @@ def sweep_search_kernel(
         cand = jnp.concatenate(
             [blk * r + loc1, blk * r + loc2], axis=1)
     else:
-        vals, locs = block_min_sweep_pallas(q_aug, db_aug, tile_n=tile_n,
-                                            r=r, interpret=interpret)
-        pv, blk = approx_top_k_smallest(vals.T, pre_k)   # [B, pre_k]
-        local = jnp.take_along_axis(locs.T, blk, axis=1)
-        cand = blk * r + local                           # global point ids
+        pv, cand = sweep_block_candidates(q_aug, db_aug, pre_k=pre_k, r=r,
+                                          tile_n=tile_n, interpret=interpret)
 
     if inv_perm is not None:
         # stored positions are (id * stride) % n_valid; resolve true ids via
@@ -313,14 +546,8 @@ def sweep_search_kernel(
                         axis=0)
 
     # approximate distance in the measure's own units for pre_eps
-    if measure == DistanceMeasure.SQUARED_L2:
-        q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
-        approx = pv + q_sq[:, None]
-    elif measure == DistanceMeasure.COSINE:
-        approx = 1.0 + pv
-    else:
-        approx = pv
-    pre_valid = (pv < BLOCK_MASK_VALUE / 2) & (approx <= pre_eps)
+    approx = sweep_approx_in_measure_units(pv, queries, measure)
+    pre_valid = (pv < mask_cut) & (approx <= pre_eps)
 
     from scann_tpu.utils.reordering import (
         gather_rerank_rows,

@@ -19,12 +19,20 @@ from scann_tpu.parallel.sharded import (
     sharded_kmeans_step,
     sharded_search_kernel,
 )
+from scann_tpu.parallel.sharded_flagship import (
+    ShardedAsymmetricHasher,
+    ShardedBlockSweepSearcher,
+    ShardedTreeXHybridSearcher,
+)
 
 __all__ = [
     "make_mesh",
     "shard_rows",
     "replicate",
     "ShardedBruteForceSearcher",
+    "ShardedAsymmetricHasher",
+    "ShardedBlockSweepSearcher",
+    "ShardedTreeXHybridSearcher",
     "sharded_kmeans_step",
     "sharded_search_kernel",
 ]

@@ -646,3 +646,220 @@ class ShardedTreeXHybridSearcher(Searcher):
         # per-shard candidate ceilings can merge fewer than k columns:
         # pad back to the [B, k] contract
         return pad_results_to_k(np.asarray(idx), np.asarray(dists), k)
+
+
+# ---------------------------------------------------------------------------
+# sharded block-min sweep (BlockSweepSearcher scale-out)
+# ---------------------------------------------------------------------------
+
+
+def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
+                               measure: DistanceMeasure, r: int,
+                               tile_n: int, int8_sweep: bool,
+                               aug_sn: float = 0.0,
+                               db_axis: str = "db", dequant=None):
+    """fn(aug [N_pad, D1] row-sharded, rdb [N_pad, Dp] row-sharded (SAME
+    permuted row order as aug, so re-rank gathers stay local), norms [N_pad]
+    sharded, queries replicated[, aug_scales replicated], pre_eps, post_eps)
+    -> (dists, idx) with idx in the PERMUTED global coordinates (the wrapper
+    translates winners through the inverse permutation — a [B, k] host
+    gather, the only non-local step).
+
+    Per shard: block-min sweep over the local augmented block (the same
+    q-major / row-major kernel choice as the single-device pipeline via
+    sweep_block_candidates) -> local approx top-pre_k -> local exact re-rank
+    -> local top-k; [k]-sized exact partials all_gather + merge over ICI.
+    """
+    from scann_tpu.ops.sweep_pallas import (
+        BLOCK_MASK_VALUE,
+        _augment_queries,
+        _augment_queries_int8,
+        int8_mask_cut,
+        sweep_approx_in_measure_units,
+        sweep_block_candidates,
+    )
+
+    in_specs = [P(db_axis, None), P(db_axis, None), P(db_axis),
+                P(None, None)]
+    if int8_sweep:
+        in_specs.append(P())
+    in_specs += [P(), P()]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def _kern(aug_blk, db_blk, norms_blk, queries, *rest):
+        if int8_sweep:
+            scales, pre_eps, post_eps = rest
+            q_aug = _augment_queries_int8(queries, measure, scales, aug_sn,
+                                          aug_blk.shape[1])
+            mask_cut = int8_mask_cut(aug_sn)
+        else:
+            pre_eps, post_eps = rest
+            q_aug = _augment_queries(queries, measure, aug_blk.shape[1])
+            mask_cut = BLOCK_MASK_VALUE / 2
+        shard = jax.lax.axis_index(db_axis)
+        blk = aug_blk.shape[0]
+        row0 = shard * blk
+
+        pk = min(pre_k, blk // r)
+        pv, cand = sweep_block_candidates(q_aug, aug_blk, pre_k=pk, r=r,
+                                          tile_n=tile_n,
+                                          interpret=not _on_tpu())
+        approx = sweep_approx_in_measure_units(pv, queries, measure)
+        pre_valid = (pv < mask_cut) & (approx <= pre_eps)
+
+        safe = jnp.clip(cand, 0, blk - 1)
+        rows = jnp.take(db_blk, safe, axis=0)
+        if dequant is not None:
+            rows = rows.astype(jnp.float32) * dequant[0] + dequant[1]
+        elif rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)
+        nrm = jnp.take(norms_blk, safe, axis=0)
+        exact = gathered_distances(measure, queries, rows, nrm)
+        exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
+        vals, pos = top_k_smallest(exact, min(k, pk))
+        idx = jnp.take_along_axis(cand, pos, axis=1) + row0
+        idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
+        return _merge_partials(vals, idx, k, 1, post_eps, db_axis)
+
+    return jax.jit(_kern)
+
+
+class ShardedBlockSweepSearcher(Searcher):
+    """Block-min sweep with the augmented copy + rerank rows row-sharded
+    over the mesh — the scale-out of the flagship <=10M serving path (the
+    single-chip sweep is HBM-stream-bound, so N shards stream N x faster
+    and hold N x the rows; BENCH_NOTES 'only multi-chip sharding moves
+    it'). Wraps a single-device BlockSweepSearcher's config + dataset."""
+
+    def __init__(self, sweep, mesh: Optional[Mesh] = None):
+        from scann_tpu.models.block_sweep import BlockSweepSearcher
+        from scann_tpu.ops.sweep_pallas import (
+            build_augmented_db,
+            build_int8_augmented_db,
+            qmajor_step_rows,
+            shuffle_stride_for,
+        )
+        from scann_tpu.utils.reordering import (
+            encode_rerank_rows,
+            rerank_codec,
+            rerank_norms_fn,
+        )
+
+        if not isinstance(sweep, BlockSweepSearcher):
+            raise ScannError.invalid_argument(
+                "ShardedBlockSweepSearcher wraps a BlockSweepSearcher")
+        cfg = sweep._config
+        if cfg.top2:
+            raise ScannError.unimplemented(
+                "sharded block sweep does not support top2 yet")
+        self._cfg = cfg
+        self._measure = cfg.distance_measure
+        self._inner = sweep
+        self.mesh = mesh or make_mesh(axis_names=("db",))
+        n_sh = self.mesh.shape["db"]
+        data = sweep.dataset.numpy()
+        n = sweep.dataset_size()
+        self._n = n
+
+        # per-shard blocks: a tile_n multiple that also covers the q-major
+        # step, so every shard runs the same kernel the single device does
+        unit = cfg.tile_n * (-(-qmajor_step_rows(cfg.block_r) // cfg.tile_n))
+        per_shard = -(-n // n_sh)
+        blk = int(align_up(per_shard, unit))
+        n_pad = n_sh * blk
+        self._blk = blk
+
+        if cfg.shuffle and n > 1:
+            stride = shuffle_stride_for(n)
+            pos = (np.arange(n, dtype=np.int64) * stride) % n
+            inv = np.empty(n, np.int32)
+            inv[pos] = np.arange(n, dtype=np.int32)
+            self._inv = inv
+        else:
+            stride, self._inv = 0, None
+
+        sh = lambda a, spec: jax.device_put(a, NamedSharding(self.mesh, spec))
+        self._aug_scales = None
+        self._aug_sn = 0.0
+        if cfg.sweep_dtype == "int8":
+            aug, scales, sn = build_int8_augmented_db(
+                data, n, self._measure, tile_n=blk, shuffle_stride=stride,
+                pad_rows_to=n_pad)
+            self._aug_scales = replicate(self.mesh, jnp.asarray(scales))
+            self._aug_sn = sn
+        else:
+            aug = build_augmented_db(
+                data, n, self._measure, tile_n=blk, shuffle_stride=stride,
+                pad_rows_to=n_pad)
+        self._aug = sh(jnp.asarray(aug), P("db", None))
+
+        # rerank rows in the SAME permuted order as the augmented copy, so
+        # each shard re-ranks its own candidates locally
+        data_perm = data if self._inv is None else data[self._inv]
+        db_dt, encode, self._dequant = rerank_codec(data_perm, n,
+                                                    cfg.rerank_dtype)
+        rdb = np.zeros((n_pad, data.shape[1]), db_dt)
+        encode_rerank_rows(rdb, data_perm, n, encode)
+        self._rdb = sh(jnp.asarray(rdb), P("db", None))
+        self._norms = rerank_norms_fn(
+            self._dequant,
+            out_shardings=NamedSharding(self.mesh, P("db")))(self._rdb)
+        self._kernels = {}
+
+    def dataset_size(self) -> int:
+        return self._n
+
+    def dimensionality(self) -> int:
+        return self._inner.dimensionality()
+
+    def _docids(self):
+        return self._inner._docids()
+
+    def search_batched_arrays(self, queries: np.ndarray, k: int,
+                              params: Optional[SearchParameters] = None):
+        from scann_tpu.models.searcher import epsilons
+        from scann_tpu.types import SUBLANE_BF16
+
+        queries = self._validate_queries(queries)
+        k = min(int(k), self._n)
+        if k <= 0:
+            raise ScannError.invalid_argument("k must be positive")
+        cfg = self._cfg
+        pre_k = max(cfg.pre_reorder_k, k)
+        if params is not None and \
+                params.pre_reordering_num_neighbors is not None:
+            pre_k = max(int(params.pre_reordering_num_neighbors), k)
+        pre_k = min(pre_k, self._blk // cfg.block_r)
+        pre_eps, post_eps = epsilons(params)
+
+        b = len(queries)
+        b_pad = align_up(b, SUBLANE_BF16)
+        if b_pad != b:
+            queries = np.concatenate(
+                [queries, np.zeros((b_pad - b, queries.shape[1]),
+                                   np.float32)])
+        key = (pre_k, k)
+        if key not in self._kernels:
+            self._kernels[key] = sharded_block_sweep_kernel(
+                self.mesh, pre_k=pre_k, k=k, measure=self._measure,
+                r=cfg.block_r, tile_n=cfg.tile_n,
+                int8_sweep=cfg.sweep_dtype == "int8", aug_sn=self._aug_sn,
+                dequant=self._dequant)
+        q = replicate(self.mesh, jnp.asarray(queries))
+        args = [self._aug, self._rdb, self._norms, q]
+        if cfg.sweep_dtype == "int8":
+            args.append(self._aug_scales)
+        args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
+        dists, idx = self._kernels[key](*args)
+        idx = np.asarray(idx)[:b]
+        dists = np.asarray(dists)[:b]
+        if self._inv is not None:
+            valid = idx >= 0
+            idx = np.where(
+                valid, self._inv[np.clip(idx, 0, self._n - 1)], -1)
+        return pad_results_to_k(idx, dists, k)

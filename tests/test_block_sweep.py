@@ -274,3 +274,147 @@ def test_block_sweep_k_beyond_block_count_pads(rng):
     assert valid[:, :32].all()          # plenty of real candidates up front
     assert (~valid[:, -8:]).all()       # block ceiling pads the tail
     assert np.all(np.isinf(dists[~valid]))
+
+
+# -- int8 sweep copy ---------------------------------------------------------
+
+def test_int8_norm_digits_roundtrip():
+    from scann_tpu.ops.sweep_pallas import (
+        INT8_NORM_DIGIT_MAX,
+        _encode_norm_digits,
+    )
+
+    m = np.concatenate([np.arange(0, 2000),
+                        np.array([INT8_NORM_DIGIT_MAX, 400_000, 123_457])])
+    d0, d1, d2 = _encode_norm_digits(m)
+    for dd in (d0, d1, d2):
+        assert dd.min() >= -64 and dd.max() <= 63
+    np.testing.assert_array_equal(d0 + 128 * d1 + 16384 * d2, m)
+
+
+@pytest.mark.parametrize("measure", [DistanceMeasure.SQUARED_L2,
+                                     DistanceMeasure.DOT_PRODUCT,
+                                     DistanceMeasure.COSINE])
+def test_int8_sweep_recall_matches_bf16(rng, measure):
+    """int8 streamed copy reaches the bf16 copy's recall (both recover via
+    the exact re-rank) on every supported measure."""
+    n, d, b, k = 4096, 32, 24, 10
+    db = (rng.normal(size=(n, d)) * 2.0).astype(np.float32)
+    q = (rng.normal(size=(b, d)) * 2.0).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds, measure).search_batched_arrays(q, k)
+    recalls = {}
+    for sd in ("bfloat16", "int8"):
+        s = BlockSweepSearcher(ds, BlockSweepConfig(
+            distance_measure=measure, sweep_dtype=sd, pre_reorder_k=64))
+        idx, dists = s.search_batched_arrays(q, k)
+        recalls[sd] = np.mean([len(set(a) & set(g)) / k
+                               for a, g in zip(idx, gt)])
+        # distances are exact re-ranked values regardless of sweep dtype
+        assert np.all(np.isfinite(dists))
+    assert recalls["int8"] >= recalls["bfloat16"] - 0.02
+    assert recalls["int8"] >= 0.9
+
+
+def test_int8_sweep_padded_tail_excluded(rng):
+    """Mask digits on padded rows keep them out of results."""
+    n, d, k = 300, 16, 8
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(9, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        sweep_dtype="int8", pre_reorder_k=32))
+    idx, dists = s.search_batched_arrays(q, k)
+    assert idx.max() < n and idx.min() >= 0
+    assert np.all(np.isfinite(dists))
+
+
+def test_int8_sweep_epsilons(rng):
+    """pre/post eps semantics hold with the int8 mask threshold."""
+    n, d, k = 1024, 16, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(6, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    s = BlockSweepSearcher(ds, BlockSweepConfig(
+        sweep_dtype="int8", pre_reorder_k=64))
+    base_i, base_d = s.search_batched_arrays(q, k)
+    cut = float(np.median(base_d))
+    idx, dists = s.search_batched_arrays(
+        q, k, params=SearchParameters(post_reordering_epsilon=cut))
+    kept = dists[np.isfinite(dists)]
+    assert np.all(kept <= cut + 1e-5)
+    assert (idx >= 0).sum() < (base_i >= 0).sum()
+
+
+def test_int8_sweep_top2_and_shuffle(rng):
+    """int8 composes with top2 and the stride shuffle."""
+    n, d, k = 2048, 24, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(12, d)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, k)
+    s = BlockSweepSearcher(ds, BlockSweepConfig(
+        sweep_dtype="int8", top2=True, shuffle=True, pre_reorder_k=64))
+    idx, _ = s.search_batched_arrays(q, k)
+    rec = np.mean([len(set(a) & set(g)) / k for a, g in zip(idx, gt)])
+    assert rec >= 0.95
+
+
+def test_int8_sweep_io_roundtrip(rng, tmp_path):
+    from scann_tpu.io import load_index, save_index
+
+    n, d, k = 512, 16, 5
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        sweep_dtype="int8", pre_reorder_k=32))
+    i0, d0 = s.search_batched_arrays(q, k)
+    path = tmp_path / "sweep_i8.npz"
+    save_index(path, s)
+    s2 = load_index(path)
+    assert s2._config.sweep_dtype == "int8"
+    i1, d1 = s2.search_batched_arrays(q, k)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+
+def test_qmajor_kernel_parity(rng):
+    """Query-major sweep kernel (TPU serving path) vs exhaustive reference:
+    contiguous-block minima and within-block locs (block g = rows
+    g*r..g*r+r-1, same reconstruction as the row-major kernel). Interpret
+    mode at a shape the XLA:CPU interpreter handles (see
+    sweep_search_kernel's gate)."""
+    import jax.numpy as jnp
+
+    from scann_tpu.ops.sweep_pallas import (
+        block_min_sweep_qmajor_pallas,
+        qmajor_step_rows,
+        qmajor_supported,
+    )
+
+    n, d, b, r = 8192, 48, 8, 32
+    step = qmajor_step_rows(r)
+    assert qmajor_supported(n, b, r)
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    aug = jnp.asarray(build_augmented_db(db, n, DistanceMeasure.SQUARED_L2,
+                                         tile_n=step))
+    qa = _augment_queries(jnp.asarray(q), DistanceMeasure.SQUARED_L2,
+                          aug.shape[1])
+    vals, locs = block_min_sweep_qmajor_pallas(qa, aug, r=r, interpret=True)
+    assert vals.shape == (b, n // r) and locs.shape == (b, n // r)
+    scores = np.asarray(
+        jnp.dot(aug.astype(jnp.float32), qa.astype(jnp.float32).T)).T
+    # blocks are contiguous: block g covers rows g*r .. g*r+r-1
+    ref = scores.reshape(b, n // r, r).min(axis=2)
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-4, atol=1e-4)
+    pick = np.take_along_axis(scores.reshape(b, n // r, r),
+                              np.asarray(locs)[..., None], axis=2)[..., 0]
+    np.testing.assert_allclose(pick, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_qmajor_supported_gates():
+    from scann_tpu.ops.sweep_pallas import qmajor_supported
+
+    assert qmajor_supported(8192, 1024, 32)
+    assert not qmajor_supported(8192 + 2048, 1024, 32)  # step misaligned
+    assert not qmajor_supported(2 ** 20, 8192, 64)      # VMEM cap

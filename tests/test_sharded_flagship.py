@@ -392,3 +392,71 @@ def test_sharded_tree_ah_crowding(data):
         # parity with the single-device crowded search
         ids_1d = [n.index for n in r_1d.neighbors if n.index >= 0]
         assert len(set(ids) & set(ids_1d)) >= 8
+
+
+# -- sharded block sweep ------------------------------------------------------
+
+def _block_sweep_pair(ds, **cfg_kw):
+    from scann_tpu.models.block_sweep import (
+        BlockSweepConfig,
+        BlockSweepSearcher,
+    )
+    from scann_tpu.parallel.sharded_flagship import ShardedBlockSweepSearcher
+
+    cfg = BlockSweepConfig(tile_n=256, block_r=8, pre_reorder_k=48, **cfg_kw)
+    single = BlockSweepSearcher(ds, cfg)
+    sharded = ShardedBlockSweepSearcher(single,
+                                        make_mesh(8, axis_names=("db",)))
+    return single, sharded
+
+
+def test_sharded_block_sweep_matches_single_device(data):
+    db, q, ds, gt = data
+    single, sharded = _block_sweep_pair(ds)
+    i1, d1 = single.search_batched_arrays(q, 10)
+    i2, d2 = sharded.search_batched_arrays(q, 10)
+    # every shard keeps a full local pre_k, so sharded recall >= single
+    assert _recall(i2, gt) >= _recall(i1, gt) - 1e-9
+    assert _recall(i2, gt) >= 0.9
+    assert i2.max() < ds.size and np.all(np.isfinite(d2))
+
+
+@pytest.mark.parametrize("measure", [DistanceMeasure.COSINE,
+                                     DistanceMeasure.DOT_PRODUCT])
+def test_sharded_block_sweep_measures(data, measure):
+    db, q, ds, gt = data
+    gt_m, _ = BruteForceSearcher(
+        ds, distance_measure=measure).search_batched_arrays(q, 10)
+    single, sharded = _block_sweep_pair(ds, distance_measure=measure)
+    i2, d2 = sharded.search_batched_arrays(q, 10)
+    assert _recall(i2, gt_m) >= 0.9
+    # distances are exact values in the measure's units
+    i1, d1 = single.search_batched_arrays(q, 10)
+    assert abs(np.median(d1) - np.median(d2)) < 0.05 * (abs(np.median(d1)) + 1)
+
+
+def test_sharded_block_sweep_int8_and_rerank_dtype(data):
+    db, q, ds, gt = data
+    single, sharded = _block_sweep_pair(ds, sweep_dtype="int8",
+                                        rerank_dtype="bfloat16")
+    i2, d2 = sharded.search_batched_arrays(q, 10)
+    assert _recall(i2, gt) >= 0.9
+
+
+def test_sharded_block_sweep_epsilons(data):
+    db, q, ds, gt = data
+    single, sharded = _block_sweep_pair(ds)
+    base_i, base_d = sharded.search_batched_arrays(q, 10)
+    cut = float(np.median(base_d))
+    idx, dists = sharded.search_batched_arrays(
+        q, 10, params=SearchParameters(post_reordering_epsilon=cut))
+    kept = dists[np.isfinite(dists)]
+    assert np.all(kept <= cut + 1e-5)
+    assert (idx >= 0).sum() < (base_i >= 0).sum()
+
+
+def test_sharded_block_sweep_no_shuffle(data):
+    db, q, ds, gt = data
+    single, sharded = _block_sweep_pair(ds, shuffle=False)
+    i2, _ = sharded.search_batched_arrays(q, 10)
+    assert _recall(i2, gt) >= 0.9
