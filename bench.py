@@ -89,6 +89,7 @@ def main():
         f"(exact search: recall is batch-size-independent)")
 
     tree_ah = _run_tree_ah_default(log)
+    block_sweep = _run_block_sweep_default(log)
 
     if os.environ.get("SCANN_TPU_BENCH_FULL") == "1":
         _run_glove_scale(log)
@@ -103,6 +104,10 @@ def main():
         # exact re-rank) at 200k x 100d, recall measured on the SAME
         # queries that are timed
         "tree_ah_200k_100d": tree_ah,
+        # driver-verified GloVe-scale flagship: bf16 block-min sweep +
+        # exact re-rank at 1.18M x 100d (the measured-best single-chip
+        # architecture at this scale, BENCH_NOTES "GloVe-scale")
+        "block_sweep_1m18_100d": block_sweep,
     }))
 
 
@@ -210,6 +215,67 @@ def _run_tree_ah_default(log):
         "build_s": round(build_s, 1),
         "config": f"parts=1000 p={P} pre_k={PRE_K} codes=16 subspaces=50",
         "kernel": "grouped-pallas" if grouped else "xla",
+    }
+
+
+def _run_block_sweep_default(log):
+    """GloVe-scale flagship metric for the driver artifact: bf16 block-min
+    sweep + exact re-rank at 1.18M x 100d, B=1024, k=10. No training —
+    the 'build' is the augmented bf16 sweep copy — so this fits the
+    default time budget; recall vs exact GT on the SAME queries timed."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu import BruteForceSearcher, DenseDataset
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+    from scann_tpu.ops.distances import DistanceMeasure
+    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
+
+    N, D, K, B = 1_180_000, 100, 10, 1024
+    PRE_K = 100
+    db_dev, q_dev = _clustered(jax.random.PRNGKey(7), N, D, 5000, B)
+    ds = DenseDataset(np.asarray(db_dev))
+    q_np = np.asarray(q_dev)
+    del db_dev
+
+    t0 = time.perf_counter()
+    s = BlockSweepSearcher(ds, BlockSweepConfig(block_r=64, pre_reorder_k=PRE_K))
+    aug, dbd, norms, n_valid = s._device_state()
+    jax.block_until_ready(aug)
+    build_s = time.perf_counter() - t0
+    log(f"block-sweep 1.18M build (bf16 augmented copy): {build_s:.1f}s")
+
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q_np, K)
+    idx, _ = s.search_batched_arrays(q_np, K)
+    recall = _recall_at_k(idx, gt, K)
+
+    r = s._config.block_r
+
+    def make_scan(iters):
+        @jax.jit
+        def run(qq, augx, dbx, nx):
+            def body(acc, i):
+                vals, _ = sweep_search_kernel(
+                    augx, dbx, nx, jnp.int32(n_valid),
+                    qq + acc * 1e-20 + i * 1e-6,
+                    pre_k=PRE_K, k=K, r=r,
+                    measure=DistanceMeasure.SQUARED_L2,
+                    inv_perm=s._inv_perm)
+                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return acc
+        return lambda: run(q_dev, aug, dbd, norms)
+
+    dt = scan_time(make_scan, iters=8, rounds=3)
+    qps = B / dt
+    log(f"block-sweep 1.18Mx100d pre_k={PRE_K} B={B}: "
+        f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {qps:,.0f} QPS")
+    return {
+        "qps_b1024": round(qps, 1),
+        "recall_at_10": round(recall, 4),
+        "build_s": round(build_s, 1),
+        "config": f"bf16 sweep r={r} pre_k={PRE_K} rerank=f32",
     }
 
 
