@@ -282,6 +282,27 @@ def _block_min_qmajor_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
     locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.int32).T
 
 
+def _block_min_qmajor_compact_kernel(db_ref, q_ref, vals_ref, locs_ref,
+                                     *, r: int):
+    """Q-major block-min with COMPACT minima: bf16 values + u8 within-block
+    offsets (requires r <= 256). The minima arrays are pure HBM traffic —
+    written by this kernel, then read once by ``approx_min_k`` — and at
+    B=1024, N=1.18M they were 152 MB/batch as f32+i32, ~40% of the sweep's
+    total stream. bf16+u8 cuts that to 57 MB. Precision: the bf16 rounding
+    (rel. 2^-8) only perturbs the pre_k selection boundary; the exact f32
+    re-rank restores all final distances (measured recall-neutral at
+    pre_k=100, 1.18M — see BENCH_NOTES)."""
+    scores = jax.lax.dot_general(
+        db_ref[:].astype(jnp.bfloat16), q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [STEP, B] f32
+    tn, b = scores.shape
+    s3 = scores.reshape(tn // r, r, b)
+    vals_ref[:] = jnp.min(s3, axis=1).T.astype(jnp.bfloat16)
+    locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.uint8).T
+
+
 def qmajor_step_rows(r: int) -> int:
     """Rows per q-major grid step: the minima block's lane dim must be a
     128-multiple, so each step covers 128 blocks = 128*r rows."""
@@ -298,22 +319,31 @@ def qmajor_supported(n_rows: int, b: int, r: int) -> bool:
     return n_rows % step == 0 and b * step * 8 <= _QMAJOR_VMEM_BYTES
 
 
-@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+@functools.partial(jax.jit, static_argnames=("r", "interpret", "compact"))
 def block_min_sweep_qmajor_pallas(
     q_aug: jnp.ndarray, db_aug: jnp.ndarray, r: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, compact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Query-major-output sweep: returns (vals [B, N/r] f32, locs [B, N/r]
     int32 within-block offsets, contiguous blocks). Requires
-    N % (128*r) == 0 — see ``qmajor_supported``."""
+    N % (128*r) == 0 — see ``qmajor_supported``. With ``compact=True``
+    (needs r <= 256) the minima land as bf16 + u8 — one third of the
+    f32+i32 HBM traffic; rank-equivalent up to bf16 rounding, which the
+    exact re-rank absorbs."""
     b, d1 = q_aug.shape
     n = db_aug.shape[0]
     step = qmajor_step_rows(r)
     blk = pl.BlockSpec((b, 128), lambda i: (0, i), memory_space=pltpu.VMEM)
+    if compact and r > 256:
+        raise ValueError(f"compact q-major minima need r <= 256, got {r}")
+    kern = (_block_min_qmajor_compact_kernel if compact
+            else _block_min_qmajor_kernel)
+    out_dtypes = ((jnp.bfloat16, jnp.uint8) if compact
+                  else (jnp.float32, jnp.int32))
     return pl.pallas_call(
-        functools.partial(_block_min_qmajor_kernel, r=r),
-        out_shape=(jax.ShapeDtypeStruct((b, n // r), jnp.float32),
-                   jax.ShapeDtypeStruct((b, n // r), jnp.int32)),
+        functools.partial(kern, r=r),
+        out_shape=(jax.ShapeDtypeStruct((b, n // r), out_dtypes[0]),
+                   jax.ShapeDtypeStruct((b, n // r), out_dtypes[1])),
         grid=(cdiv(n, step),),
         in_specs=[
             pl.BlockSpec((step, d1), lambda i: (i, 0),
@@ -323,7 +353,8 @@ def block_min_sweep_qmajor_pallas(
         out_specs=(blk, blk),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d1 * n,
-            bytes_accessed=d1 * n * db_aug.dtype.itemsize + (n // r) * b * 8,
+            bytes_accessed=(d1 * n * db_aug.dtype.itemsize
+                            + (n // r) * b * (3 if compact else 8)),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -464,10 +495,12 @@ def sweep_block_candidates(q_aug, db_aug, *, pre_k: int, r: int, tile_n: int,
         # program at some batch shapes (compile-time CHECK crash / hang,
         # jax 0.8 era); CPU tests cover q-major via the kernel-level
         # parity test and take the row-major path here.
+        compact = r <= 256
         vals, locs = block_min_sweep_qmajor_pallas(
-            q_aug, db_aug, r=r, interpret=interpret)
+            q_aug, db_aug, r=r, interpret=interpret, compact=compact)
         pv, blk = approx_top_k_smallest(vals, pre_k)     # [B, pre_k]
-        local = jnp.take_along_axis(locs, blk, axis=1)
+        pv = pv.astype(jnp.float32)
+        local = jnp.take_along_axis(locs, blk, axis=1).astype(jnp.int32)
         cand = blk * r + local                           # global point ids
     else:
         vals, locs = block_min_sweep_pallas(q_aug, db_aug, tile_n=tile_n,

@@ -412,6 +412,40 @@ def test_qmajor_kernel_parity(rng):
     np.testing.assert_allclose(pick, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_qmajor_compact_kernel_parity(rng):
+    """Compact (bf16 vals + u8 locs) q-major kernel vs the f32/i32 one:
+    identical argmins, values equal up to bf16 rounding — the TPU serving
+    path's minima layout (one third the minima HBM traffic)."""
+    import jax.numpy as jnp
+
+    from scann_tpu.ops.sweep_pallas import (
+        block_min_sweep_qmajor_pallas,
+        qmajor_step_rows,
+        qmajor_supported,
+    )
+
+    n, d, b, r = 8192, 48, 8, 32
+    step = qmajor_step_rows(r)
+    assert qmajor_supported(n, b, r)
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    aug = jnp.asarray(build_augmented_db(db, n, DistanceMeasure.SQUARED_L2,
+                                         tile_n=step))
+    qa = _augment_queries(jnp.asarray(q), DistanceMeasure.SQUARED_L2,
+                          aug.shape[1])
+    vf, lf = block_min_sweep_qmajor_pallas(qa, aug, r=r, interpret=True)
+    vc, lc = block_min_sweep_qmajor_pallas(qa, aug, r=r, interpret=True,
+                                           compact=True)
+    assert vc.dtype == jnp.bfloat16 and lc.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(lc).astype(np.int32),
+                                  np.asarray(lf))
+    np.testing.assert_allclose(np.asarray(vc.astype(jnp.float32)),
+                               np.asarray(vf), rtol=1e-2, atol=1e-2)
+    with pytest.raises(ValueError):
+        block_min_sweep_qmajor_pallas(qa, aug, r=512, interpret=True,
+                                      compact=True)
+
+
 def test_qmajor_supported_gates():
     from scann_tpu.ops.sweep_pallas import qmajor_supported
 
