@@ -232,7 +232,11 @@ def _run_block_sweep_default(log):
     from scann_tpu.ops.sweep_pallas import sweep_search_kernel
 
     N, D, K, B = 1_180_000, 100, 10, 1024
-    PRE_K = 100
+    # measured pareto point (round-3 pre_k study, BENCH_NOTES): recall@10
+    # is identical to pre_k=100 on this workload (0.9982) while the rerank
+    # row gather — the pipeline's latency-bound stage at ~31 ns/row — does
+    # 36% fewer rows
+    PRE_K = 64
     db_dev, q_dev = _clustered(jax.random.PRNGKey(7), N, D, 5000, B)
     ds = DenseDataset(np.asarray(db_dev))
     q_np = np.asarray(q_dev)

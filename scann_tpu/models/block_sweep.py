@@ -99,6 +99,7 @@ class BlockSweepSearcher(Searcher):
         self._aug_scales = None
         self._aug_sn = 0.0
         self._inv_perm = None
+        self._inv_host = None
         self._rerank_cache = None
 
     # -- metadata -----------------------------------------------------------
@@ -175,9 +176,11 @@ class BlockSweepSearcher(Searcher):
                 pos = (np.arange(n, dtype=np.int64) * stride) % n
                 inv = np.empty(n, np.int32)
                 inv[pos] = np.arange(n, dtype=np.int32)
+                self._inv_host = inv
                 self._inv_perm = jnp.asarray(inv)
             else:
                 stride, self._inv_perm = 0, None
+                self._inv_host = None
             if self._config.sweep_dtype == "int8":
                 aug, scales, sn = build_int8_augmented_db(
                     self._dataset.numpy(), n, self._measure,
@@ -200,7 +203,8 @@ class BlockSweepSearcher(Searcher):
 
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              allow_mask=None):
         queries = self._validate_queries(queries)
         n = self.dataset_size()
         k = min(int(k), n)
@@ -212,6 +216,23 @@ class BlockSweepSearcher(Searcher):
             pre_k = max(int(params.pre_reordering_num_neighbors), k)
         pre_eps, post_eps = epsilons(params)
         aug, db, norms, n_valid = self._device_state()
+        allow_pen = None
+        if allow_mask is not None:
+            # restrict allowlist fused into the sweep as a pre-reduction
+            # penalty stream — exact filter semantics at any selectivity
+            # (a host post-filter cannot recover allowed rows shadowed by
+            # denied block minima); see ops/sweep_pallas.build_allow_penalty
+            from scann_tpu.ops.sweep_pallas import (
+                INT8_NORM_DIGIT_MAX,
+                build_allow_penalty,
+            )
+
+            pen_kw = {}
+            if cfg.sweep_dtype == "int8":
+                pen_kw["mask_value"] = 4.0 * INT8_NORM_DIGIT_MAX * self._aug_sn
+            allow_pen = jnp.asarray(build_allow_penalty(
+                allow_mask, aug.shape[0], cfg.block_r,
+                inv_perm=self._inv_host, **pen_kw))
         # one survivor per r-block (two with top2) caps usable pre_k — and
         # with it the usable k: the kernel's final top-k can only be as
         # wide as its candidate list (output pads back to the requested k)
@@ -233,7 +254,7 @@ class BlockSweepSearcher(Searcher):
                 pre_k=pre_k, k=k_kern, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 interpret=self._interpret(), top2=cfg.top2,
-                inv_perm=self._inv_perm,
+                inv_perm=self._inv_perm, allow_pen=allow_pen,
                 aug_scales=self._aug_scales, aug_sn=self._aug_sn,
             )
             out_i.append(np.asarray(idx)[:b])

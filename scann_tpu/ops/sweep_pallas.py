@@ -244,9 +244,13 @@ def _augment_queries(queries: jnp.ndarray, measure: DistanceMeasure,
     return out.astype(jnp.bfloat16)
 
 
-def _block_min_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
+def _block_min_kernel(db_ref, q_ref, *refs, r: int):
     # int8 rows convert to bf16 in VMEM (no-op for bf16 rows); the matmul
     # stays hidden behind the halved HBM stream
+    if len(refs) == 3:                             # (pen, vals, locs)
+        pen_ref, vals_ref, locs_ref = refs
+    else:
+        pen_ref, (vals_ref, locs_ref) = None, refs
     scores = jax.lax.dot_general(
         db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -254,11 +258,16 @@ def _block_min_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
     )                                              # [TN, B] f32
     tn, b = scores.shape
     s3 = scores.reshape(tn // r, r, b)
+    if pen_ref is not None:
+        # restrict allowlist as an additive per-row penalty (0 allowed /
+        # BLOCK_MASK_VALUE denied), applied BEFORE the r:1 reduction so a
+        # denied row can never occupy its block's candidate slot
+        s3 = s3 + pen_ref[:].astype(jnp.float32)[:, :, None]
     vals_ref[:] = jnp.min(s3, axis=1)
     locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.int32)
 
 
-def _block_min_qmajor_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
+def _block_min_qmajor_kernel(db_ref, q_ref, *refs, r: int):
     """Block-min with query-major OUTPUT: the same contiguous r:1 reduction
     as the row-major kernel (major-dim reshape is layout-free), then an
     in-kernel transpose of the small [128, B] minima tile, so the block
@@ -271,6 +280,10 @@ def _block_min_qmajor_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
     block; blocks stay contiguous, so candidate reconstruction is the
     standard ``blk * r + loc``.
     """
+    if len(refs) == 3:
+        pen_ref, vals_ref, locs_ref = refs
+    else:
+        pen_ref, (vals_ref, locs_ref) = None, refs
     scores = jax.lax.dot_general(
         db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -278,12 +291,13 @@ def _block_min_qmajor_kernel(db_ref, q_ref, vals_ref, locs_ref, *, r: int):
     )                                              # [STEP, B] f32
     tn, b = scores.shape
     s3 = scores.reshape(tn // r, r, b)
+    if pen_ref is not None:
+        s3 = s3 + pen_ref[:].astype(jnp.float32)[:, :, None]
     vals_ref[:] = jnp.min(s3, axis=1).T            # [B, 128]
     locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.int32).T
 
 
-def _block_min_qmajor_compact_kernel(db_ref, q_ref, vals_ref, locs_ref,
-                                     *, r: int):
+def _block_min_qmajor_compact_kernel(db_ref, q_ref, *refs, r: int):
     """Q-major block-min with COMPACT minima: bf16 values + u8 within-block
     offsets (requires r <= 256). The minima arrays are pure HBM traffic —
     written by this kernel, then read once by ``approx_min_k`` — and at
@@ -292,6 +306,10 @@ def _block_min_qmajor_compact_kernel(db_ref, q_ref, vals_ref, locs_ref,
     (rel. 2^-8) only perturbs the pre_k selection boundary; the exact f32
     re-rank restores all final distances (measured recall-neutral at
     pre_k=100, 1.18M — see BENCH_NOTES)."""
+    if len(refs) == 3:
+        pen_ref, vals_ref, locs_ref = refs
+    else:
+        pen_ref, (vals_ref, locs_ref) = None, refs
     scores = jax.lax.dot_general(
         db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -299,6 +317,8 @@ def _block_min_qmajor_compact_kernel(db_ref, q_ref, vals_ref, locs_ref,
     )                                              # [STEP, B] f32
     tn, b = scores.shape
     s3 = scores.reshape(tn // r, r, b)
+    if pen_ref is not None:
+        s3 = s3 + pen_ref[:].astype(jnp.float32)[:, :, None]
     vals_ref[:] = jnp.min(s3, axis=1).T.astype(jnp.bfloat16)
     locs_ref[:] = jnp.argmin(s3, axis=1).astype(jnp.uint8).T
 
@@ -323,13 +343,16 @@ def qmajor_supported(n_rows: int, b: int, r: int) -> bool:
 def block_min_sweep_qmajor_pallas(
     q_aug: jnp.ndarray, db_aug: jnp.ndarray, r: int = 32,
     interpret: bool = False, compact: bool = False,
+    penalty: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Query-major-output sweep: returns (vals [B, N/r] f32, locs [B, N/r]
     int32 within-block offsets, contiguous blocks). Requires
     N % (128*r) == 0 — see ``qmajor_supported``. With ``compact=True``
     (needs r <= 256) the minima land as bf16 + u8 — one third of the
     f32+i32 HBM traffic; rank-equivalent up to bf16 rounding, which the
-    exact re-rank absorbs."""
+    exact re-rank absorbs. ``penalty`` ([N/r, r] bf16, 0 allowed /
+    BLOCK_MASK_VALUE denied — see ``build_allow_penalty``) fuses a restrict
+    allowlist into the pre-reduction scores (~1% extra stream bytes)."""
     b, d1 = q_aug.shape
     n = db_aug.shape[0]
     step = qmajor_step_rows(r)
@@ -340,32 +363,43 @@ def block_min_sweep_qmajor_pallas(
             else _block_min_qmajor_kernel)
     out_dtypes = ((jnp.bfloat16, jnp.uint8) if compact
                   else (jnp.float32, jnp.int32))
+    in_specs = [
+        pl.BlockSpec((step, d1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (db_aug, q_aug)
+    pen_bytes = 0
+    if penalty is not None:
+        in_specs.append(pl.BlockSpec((128, r), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args = (db_aug, q_aug, penalty)
+        pen_bytes = n * penalty.dtype.itemsize
     return pl.pallas_call(
         functools.partial(kern, r=r),
         out_shape=(jax.ShapeDtypeStruct((b, n // r), out_dtypes[0]),
                    jax.ShapeDtypeStruct((b, n // r), out_dtypes[1])),
         grid=(cdiv(n, step),),
-        in_specs=[
-            pl.BlockSpec((step, d1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(blk, blk),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d1 * n,
-            bytes_accessed=(d1 * n * db_aug.dtype.itemsize
+            bytes_accessed=(d1 * n * db_aug.dtype.itemsize + pen_bytes
                             + (n // r) * b * (3 if compact else 8)),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(db_aug, q_aug)
+    )(*args)
 
 
-def _block_min2_kernel(db_ref, q_ref, v1_ref, l1_ref, v2_ref, l2_ref,
-                       *, r: int):
+def _block_min2_kernel(db_ref, q_ref, *refs, r: int):
     """Per-block (min, argmin) AND (2nd-min, 2nd-argmin) via a tournament
     tree — two same-block near-neighbors both survive to the re-rank,
     removing the one-candidate-per-block recall ceiling."""
+    if len(refs) == 5:
+        pen_ref, v1_ref, l1_ref, v2_ref, l2_ref = refs
+    else:
+        pen_ref, (v1_ref, l1_ref, v2_ref, l2_ref) = None, refs
     scores = jax.lax.dot_general(
         db_ref[:].astype(jnp.bfloat16), q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -373,6 +407,8 @@ def _block_min2_kernel(db_ref, q_ref, v1_ref, l1_ref, v2_ref, l2_ref,
     )                                              # [TN, B] f32
     tn, b = scores.shape
     s3 = scores.reshape(tn // r, r, b)
+    if pen_ref is not None:
+        s3 = s3 + pen_ref[:].astype(jnp.float32)[:, :, None]
     iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
 
     def _pairs(x):
@@ -416,25 +452,32 @@ def _block_min2_kernel(db_ref, q_ref, v1_ref, l1_ref, v2_ref, l2_ref,
 @functools.partial(jax.jit, static_argnames=("tile_n", "r", "interpret"))
 def block_min_sweep_pallas(
     q_aug: jnp.ndarray, db_aug: jnp.ndarray, tile_n: int = 2048, r: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, penalty: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stream [N_pad, D1] bf16 rows, emit per-r-block (min, argmin).
 
     Returns (vals [N/r, B] f32, locs [N/r, B] int32). Runs at the DMA floor:
     the matmul+reduce hide entirely behind the HBM stream (measured).
+    ``penalty``: optional [N/r, r] allowlist penalty (build_allow_penalty).
     """
     b, d1 = q_aug.shape
     n = db_aug.shape[0]
+    in_specs = [
+        pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (db_aug, q_aug)
+    if penalty is not None:
+        in_specs.append(pl.BlockSpec((tile_n // r, r), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args = (db_aug, q_aug, penalty)
     return pl.pallas_call(
         functools.partial(_block_min_kernel, r=r),
         out_shape=(jax.ShapeDtypeStruct((n // r, b), jnp.float32),
                    jax.ShapeDtypeStruct((n // r, b), jnp.int32)),
         grid=(cdiv(n, tile_n),),
-        in_specs=[
-            pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((tile_n // r, b), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tile_n // r, b), lambda i: (i, 0),
@@ -445,13 +488,13 @@ def block_min_sweep_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(db_aug, q_aug)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "r", "interpret"))
 def block_min2_sweep_pallas(
     q_aug: jnp.ndarray, db_aug: jnp.ndarray, tile_n: int = 2048, r: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, penalty: jnp.ndarray | None = None,
 ):
     """Like ``block_min_sweep_pallas`` but emits the TWO smallest per block:
     (v1, l1, v2, l2), each [N/r, B]. Doubles the (small) block-minima HBM
@@ -460,6 +503,16 @@ def block_min2_sweep_pallas(
     n = db_aug.shape[0]
     blk = pl.BlockSpec((tile_n // r, b), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (db_aug, q_aug)
+    if penalty is not None:
+        in_specs.append(pl.BlockSpec((tile_n // r, r), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args = (db_aug, q_aug, penalty)
     return pl.pallas_call(
         functools.partial(_block_min2_kernel, r=r),
         out_shape=(jax.ShapeDtypeStruct((n // r, b), jnp.float32),
@@ -467,11 +520,7 @@ def block_min2_sweep_pallas(
                    jax.ShapeDtypeStruct((n // r, b), jnp.float32),
                    jax.ShapeDtypeStruct((n // r, b), jnp.int32)),
         grid=(cdiv(n, tile_n),),
-        in_specs=[
-            pl.BlockSpec((tile_n, d1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, d1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(blk, blk, blk, blk),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d1 * n,
@@ -479,11 +528,33 @@ def block_min2_sweep_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(db_aug, q_aug)
+    )(*args)
+
+
+def build_allow_penalty(mask, n_pad: int, r: int, inv_perm=None,
+                        mask_value: float = 4 * BLOCK_MASK_VALUE
+                        ) -> np.ndarray:
+    """Restrict allowlist -> [N_pad/r, r] bf16 additive penalty for the
+    sweep kernels: 0 for allowed rows, ``mask_value`` for denied ones, in
+    the sweep's STORED row order. ``inv_perm`` maps stored position ->
+    original point id (the shuffle's inverse table; None = identity).
+    Padding rows get 0 — their augmented norm slot already carries the mask
+    sentinel. ~N*2 bytes of extra kernel stream (≈1% of the bf16 rows).
+
+    ``mask_value`` defaults to 4x the bf16 layout's sentinel so a denied
+    row's penalized score clears the validity cut even if its raw score is
+    strongly negative; int8-layout callers pass 4 * INT8_NORM_DIGIT_MAX *
+    sn, which scales with the data exactly as that layout's sentinel does."""
+    mask = np.asarray(mask, dtype=bool)
+    n = mask.shape[0]
+    pen = np.zeros(n_pad, np.float32)
+    stored = mask if inv_perm is None else mask[np.asarray(inv_perm)]
+    pen[:n] = np.where(stored, 0.0, mask_value)
+    return pen.reshape(n_pad // r, r).astype(jnp.bfloat16)
 
 
 def sweep_block_candidates(q_aug, db_aug, *, pre_k: int, r: int, tile_n: int,
-                           interpret: bool):
+                           interpret: bool, penalty=None):
     """Block-min sweep over (a shard block of) the augmented rows ->
     (pv [B, pre_k] raw sweep scores f32, cand [B, pre_k] int32 local row
     indices). Picks the transpose-free q-major kernel when supported (TPU
@@ -497,14 +568,16 @@ def sweep_block_candidates(q_aug, db_aug, *, pre_k: int, r: int, tile_n: int,
         # parity test and take the row-major path here.
         compact = r <= 256
         vals, locs = block_min_sweep_qmajor_pallas(
-            q_aug, db_aug, r=r, interpret=interpret, compact=compact)
+            q_aug, db_aug, r=r, interpret=interpret, compact=compact,
+            penalty=penalty)
         pv, blk = approx_top_k_smallest(vals, pre_k)     # [B, pre_k]
         pv = pv.astype(jnp.float32)
         local = jnp.take_along_axis(locs, blk, axis=1).astype(jnp.int32)
         cand = blk * r + local                           # global point ids
     else:
         vals, locs = block_min_sweep_pallas(q_aug, db_aug, tile_n=tile_n,
-                                            r=r, interpret=interpret)
+                                            r=r, interpret=interpret,
+                                            penalty=penalty)
         pv, blk = approx_top_k_smallest(vals.T, pre_k)   # [B, pre_k]
         local = jnp.take_along_axis(locs.T, blk, axis=1)
         cand = blk * r + local                           # global point ids
@@ -528,6 +601,7 @@ def sweep_approx_in_measure_units(pv, queries, measure: DistanceMeasure):
 def sweep_search_kernel(
     db_aug, db, db_sq_norms, n_valid, queries,
     pre_eps=jnp.inf, post_eps=jnp.inf, inv_perm=None, aug_scales=None,
+    allow_pen=None,
     *, pre_k: int, k: int,
     measure: DistanceMeasure, r: int = 32, tile_n: int = 2048,
     interpret: bool = False, top2: bool = False, aug_sn: float = 0.0,
@@ -547,6 +621,12 @@ def sweep_search_kernel(
     top2=True re-ranks the two smallest per selected block, removing the
     one-candidate-per-block collision ceiling (~0.998 recall@10 at 1.18M)
     at the cost of doubled block-minima writes and re-rank width.
+
+    ``allow_pen`` ([N_pad/r, r] from ``build_allow_penalty``) fuses a
+    restrict allowlist into the pre-reduction scores, so denied rows can
+    never shadow allowed ones inside a block — exact filter semantics at
+    any selectivity (reference: tree_x_hybrid/mod.rs:297-339 applies the
+    filter before scoring each point).
     """
     d1 = db_aug.shape[1]
     if db_aug.dtype == jnp.int8:
@@ -558,7 +638,8 @@ def sweep_search_kernel(
         mask_cut = BLOCK_MASK_VALUE / 2
     if top2:
         v1, l1, v2, l2 = block_min2_sweep_pallas(
-            q_aug, db_aug, tile_n=tile_n, r=r, interpret=interpret)
+            q_aug, db_aug, tile_n=tile_n, r=r, interpret=interpret,
+            penalty=allow_pen)
         pv1, blk = approx_top_k_smallest(v1.T, pre_k)    # [B, pre_k]
         loc1 = jnp.take_along_axis(l1.T, blk, axis=1)
         pv2 = jnp.take_along_axis(v2.T, blk, axis=1)
@@ -568,7 +649,8 @@ def sweep_search_kernel(
             [blk * r + loc1, blk * r + loc2], axis=1)
     else:
         pv, cand = sweep_block_candidates(q_aug, db_aug, pre_k=pre_k, r=r,
-                                          tile_n=tile_n, interpret=interpret)
+                                          tile_n=tile_n, interpret=interpret,
+                                          penalty=allow_pen)
 
     if inv_perm is not None:
         # stored positions are (id * stride) % n_valid; resolve true ids via

@@ -657,10 +657,12 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
                                measure: DistanceMeasure, r: int,
                                tile_n: int, int8_sweep: bool,
                                aug_sn: float = 0.0,
-                               db_axis: str = "db", dequant=None):
+                               db_axis: str = "db", dequant=None,
+                               with_mask: bool = False):
     """fn(aug [N_pad, D1] row-sharded, rdb [N_pad, Dp] row-sharded (SAME
     permuted row order as aug, so re-rank gathers stay local), norms [N_pad]
-    sharded, queries replicated[, aug_scales replicated], pre_eps, post_eps)
+    sharded, queries replicated[, aug_scales replicated][, allow_pen
+    [N_pad/r, r] row-sharded], pre_eps, post_eps)
     -> (dists, idx) with idx in the PERMUTED global coordinates (the wrapper
     translates winners through the inverse permutation — a [B, k] host
     gather, the only non-local step).
@@ -669,6 +671,9 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
     q-major / row-major kernel choice as the single-device pipeline via
     sweep_block_candidates) -> local approx top-pre_k -> local exact re-rank
     -> local top-k; [k]-sized exact partials all_gather + merge over ICI.
+    ``with_mask`` adds a restrict-allowlist penalty stream, fused into the
+    per-shard sweep exactly as single-device (build_allow_penalty layout,
+    rows already in the permuted order so the shard slice is local).
     """
     from scann_tpu.ops.sweep_pallas import (
         BLOCK_MASK_VALUE,
@@ -683,6 +688,8 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
                 P(None, None)]
     if int8_sweep:
         in_specs.append(P())
+    if with_mask:
+        in_specs.append(P(db_axis, None))
     in_specs += [P(), P()]
 
     @functools.partial(
@@ -692,15 +699,17 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
         check_vma=False,
     )
     def _kern(aug_blk, db_blk, norms_blk, queries, *rest):
+        rest = list(rest)
         if int8_sweep:
-            scales, pre_eps, post_eps = rest
+            scales = rest.pop(0)
             q_aug = _augment_queries_int8(queries, measure, scales, aug_sn,
                                           aug_blk.shape[1])
             mask_cut = int8_mask_cut(aug_sn)
         else:
-            pre_eps, post_eps = rest
             q_aug = _augment_queries(queries, measure, aug_blk.shape[1])
             mask_cut = BLOCK_MASK_VALUE / 2
+        pen_blk = rest.pop(0) if with_mask else None
+        pre_eps, post_eps = rest
         shard = jax.lax.axis_index(db_axis)
         blk = aug_blk.shape[0]
         row0 = shard * blk
@@ -708,7 +717,8 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
         pk = min(pre_k, blk // r)
         pv, cand = sweep_block_candidates(q_aug, aug_blk, pre_k=pk, r=r,
                                           tile_n=tile_n,
-                                          interpret=not _on_tpu())
+                                          interpret=not _on_tpu(),
+                                          penalty=pen_blk)
         approx = sweep_approx_in_measure_units(pv, queries, measure)
         pre_valid = (pv < mask_cut) & (approx <= pre_eps)
 
@@ -821,7 +831,8 @@ class ShardedBlockSweepSearcher(Searcher):
         return self._inner._docids()
 
     def search_batched_arrays(self, queries: np.ndarray, k: int,
-                              params: Optional[SearchParameters] = None):
+                              params: Optional[SearchParameters] = None,
+                              allow_mask=None):
         from scann_tpu.models.searcher import epsilons
         from scann_tpu.types import SUBLANE_BF16
 
@@ -843,17 +854,35 @@ class ShardedBlockSweepSearcher(Searcher):
             queries = np.concatenate(
                 [queries, np.zeros((b_pad - b, queries.shape[1]),
                                    np.float32)])
-        key = (pre_k, k)
+        key = (pre_k, k, allow_mask is not None)
         if key not in self._kernels:
             self._kernels[key] = sharded_block_sweep_kernel(
                 self.mesh, pre_k=pre_k, k=k, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 int8_sweep=cfg.sweep_dtype == "int8", aug_sn=self._aug_sn,
-                dequant=self._dequant)
+                dequant=self._dequant, with_mask=allow_mask is not None)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._aug, self._rdb, self._norms, q]
         if cfg.sweep_dtype == "int8":
             args.append(self._aug_scales)
+        if allow_mask is not None:
+            # penalty rows are in the permuted order the shards store, so
+            # each shard's slice is local (no cross-shard translation)
+            from scann_tpu.ops.sweep_pallas import (
+                INT8_NORM_DIGIT_MAX,
+                build_allow_penalty,
+            )
+
+            pen_kw = {}
+            if cfg.sweep_dtype == "int8":
+                pen_kw["mask_value"] = (4.0 * INT8_NORM_DIGIT_MAX
+                                        * self._aug_sn)
+            pen = build_allow_penalty(
+                allow_mask, self._aug.shape[0], cfg.block_r,
+                inv_perm=self._inv, **pen_kw)
+            args.append(jax.device_put(
+                jnp.asarray(pen),
+                NamedSharding(self.mesh, P("db", None))))
         args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
         dists, idx = self._kernels[key](*args)
         idx = np.asarray(idx)[:b]

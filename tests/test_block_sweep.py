@@ -452,3 +452,134 @@ def test_qmajor_supported_gates():
     assert qmajor_supported(8192, 1024, 32)
     assert not qmajor_supported(8192 + 2048, 1024, 32)  # step misaligned
     assert not qmajor_supported(2 ** 20, 8192, 64)      # VMEM cap
+
+
+# -- fused restrict allowlist (penalty stream) --------------------------------
+
+def _masked_gt(db, q, mask, k):
+    allowed = np.where(mask)[0]
+    d2 = ((q[:, None, :] - db[None, allowed, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    return allowed[order], np.take_along_axis(d2, order, axis=1)
+
+
+def test_block_sweep_fused_allow_mask(rng):
+    """Selective restrict fused into the sweep (penalty stream): only
+    allowed rows surface, distances are exact, recall vs the masked brute
+    force stays high even at 2% selectivity — where the base-class host
+    over-fetch fallback cannot recover rows shadowed by denied minima."""
+    n, d, b, k = 4096, 24, 16, 10
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    mask = rng.random(n) < 0.02
+    mask[:2 * k] = True
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=256, block_r=8, tile_n=256))
+    idx, dist = s.search_batched_arrays(q, k, allow_mask=mask)
+    gt, gtd = _masked_gt(db, q, mask, k)
+    valid = idx >= 0
+    assert valid.any()
+    assert np.all(mask[idx[valid]])  # every returned id is allowed
+    hit = (idx == gt) & valid
+    np.testing.assert_allclose(dist[hit],
+                               gtd[(idx == gt) & valid], rtol=1e-4, atol=1e-4)
+    recall = np.mean([len(set(a[a >= 0].tolist()) & set(g.tolist())) / k
+                      for a, g in zip(idx, gt)])
+    assert recall >= 0.9, recall
+
+
+def test_block_sweep_allow_mask_exact_one_per_block(rng):
+    """With at most one allowed row per block (shuffle off) the fused mask
+    is EXACT: results equal the masked brute force bit-for-bit in ids."""
+    n, d, b, k = 4096, 16, 8, 10
+    r = 8
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    mask = np.zeros(n, dtype=bool)
+    mask[::64] = True  # one allowed row per 8-row block
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=n // r, block_r=r, tile_n=256, shuffle=False))
+    idx, dist = s.search_batched_arrays(q, k, allow_mask=mask)
+    gt, gtd = _masked_gt(db, q, mask, k)
+    np.testing.assert_array_equal(idx, gt)
+    np.testing.assert_allclose(dist, gtd, rtol=1e-4, atol=1e-4)
+
+
+def test_block_sweep_filter_dispatch_uses_fused_mask(rng):
+    """search_batched_with_filter lowers to the fused allow_mask path
+    (supports_allow_mask) and returns only allowed ids."""
+    from scann_tpu.restricts.filters import PredicateFilter
+
+    n, d, k = 2048, 16, 5
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    s = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        pre_reorder_k=128, block_r=8, tile_n=256))
+    assert s.supports_allow_mask()
+    flt = PredicateFilter(lambda i: i % 3 == 0)
+    res = s.search_batched_with_filter(q, k, flt)
+    for row in res:
+        ids = row.indices()
+        assert ids and all(i % 3 == 0 for i in ids)
+
+
+def test_block_sweep_allow_mask_int8_and_top2(rng):
+    """The penalty stream composes with the int8 sweep layout (scaled mask
+    value) and with the top2 tournament kernel."""
+    n, d, b, k = 2048, 16, 8, 5
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    mask = rng.random(n) < 0.05
+    mask[: 2 * k] = True
+    gt, _ = _masked_gt(db, q, mask, k)
+    for cfg in (BlockSweepConfig(pre_reorder_k=128, block_r=8, tile_n=256,
+                                 sweep_dtype="int8"),
+                BlockSweepConfig(pre_reorder_k=128, block_r=8, tile_n=256,
+                                 top2=True)):
+        s = BlockSweepSearcher(DenseDataset(db), cfg)
+        idx, dist = s.search_batched_arrays(q, k, allow_mask=mask)
+        valid = idx >= 0
+        assert valid.any()
+        assert np.all(mask[idx[valid]])
+        recall = np.mean([len(set(a[a >= 0].tolist()) & set(g.tolist())) / k
+                          for a, g in zip(idx, gt)])
+        assert recall >= 0.9, (cfg.sweep_dtype, cfg.top2, recall)
+
+
+def test_qmajor_kernel_penalty_parity(rng):
+    """Penalty stream in the q-major kernels (TPU serving path) matches the
+    row-major kernel and the jnp reference with the same penalty."""
+    import jax.numpy as jnp
+
+    from scann_tpu.ops.sweep_pallas import (
+        block_min_sweep_pallas,
+        block_min_sweep_qmajor_pallas,
+        build_allow_penalty,
+        qmajor_supported,
+    )
+
+    n, d, b, r = 2048, 24, 8, 8
+    assert qmajor_supported(n, b, r)
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    mask = rng.random(n) < 0.1
+    aug = jnp.asarray(build_augmented_db(db, n, DistanceMeasure.SQUARED_L2,
+                                         tile_n=1024))
+    qa = _augment_queries(jnp.asarray(q), DistanceMeasure.SQUARED_L2,
+                          aug.shape[1])
+    pen = jnp.asarray(build_allow_penalty(mask, n, r))
+    vq, lq = block_min_sweep_qmajor_pallas(qa, aug, r=r, interpret=True,
+                                           penalty=pen)
+    vc, lc = block_min_sweep_qmajor_pallas(qa, aug, r=r, interpret=True,
+                                           compact=True, penalty=pen)
+    vr, lr = block_min_sweep_pallas(qa, aug, tile_n=1024, r=r,
+                                    interpret=True, penalty=pen)
+    scores = np.asarray(
+        jnp.dot(aug.astype(jnp.float32), qa.astype(jnp.float32).T)).T
+    scores = scores + np.asarray(pen, np.float32).reshape(-1)[None, :]
+    ref = scores.reshape(b, n // r, r).min(axis=2)
+    np.testing.assert_allclose(np.asarray(vq), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vr).T, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(lq), np.asarray(lr).T)
+    np.testing.assert_array_equal(np.asarray(lc).astype(np.int32),
+                                  np.asarray(lq))

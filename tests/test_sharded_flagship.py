@@ -460,3 +460,27 @@ def test_sharded_block_sweep_no_shuffle(data):
     single, sharded = _block_sweep_pair(ds, shuffle=False)
     i2, _ = sharded.search_batched_arrays(q, 10)
     assert _recall(i2, gt) >= 0.9
+
+
+def test_sharded_block_sweep_allow_mask(data):
+    """Restrict allowlist fused into every shard's sweep: only allowed ids
+    surface and results match the single-device fused-mask searcher."""
+    db, q, ds, gt = data
+    rng = np.random.default_rng(3)
+    mask = rng.random(ds.size) < 0.05
+    mask[:50] = True
+    single, sharded = _block_sweep_pair(ds)
+    i1, d1 = single.search_batched_arrays(q, 10, allow_mask=mask)
+    i2, d2 = sharded.search_batched_arrays(q, 10, allow_mask=mask)
+    v2 = i2 >= 0
+    assert v2.any()
+    assert np.all(mask[i2[v2]])
+    # masked ground truth parity
+    allowed = np.where(mask)[0]
+    de = ((q[:, None, :] - db[None, allowed, :]) ** 2).sum(-1)
+    gt_m = allowed[np.argsort(de, axis=1)[:, :10]]
+    r1 = _recall(np.where(i1 >= 0, i1, -1), gt_m)
+    r2 = _recall(np.where(i2 >= 0, i2, -1), gt_m)
+    # every shard keeps a full local pre_k: sharded recall >= single device
+    assert r2 >= r1 - 1e-9
+    assert r2 >= 0.9
