@@ -151,7 +151,12 @@ def _run_tree_ah_default(log):
     from scann_tpu.ops.distances import DistanceMeasure
 
     N, D, K, B = 200_000, 100, 10, 1024
-    P, PRE_K = 20, 200
+    # measured pareto point (round-3 (p, pre_k) study, BENCH_NOTES):
+    # p=10/pre_k=100 holds recall@10 = 0.9998 at this scale while the
+    # latency-bound rerank row gather does half the rows and leaf scoring
+    # half the partitions (p=20/pre_k=200 measured 1.0000 @ 65.9k QPS,
+    # p=10/pre_k=100 0.9998 @ 114.9k)
+    P, PRE_K = 10, 100
     db_dev, q_dev = _clustered(jax.random.PRNGKey(42), N, D, 2000, B)
     ds = DenseDataset(np.asarray(db_dev))
     q_np = np.asarray(q_dev)
