@@ -61,6 +61,7 @@ from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearche
 from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode, auto_config
 from scann_tpu.models.sparse_brute_force import SparseBruteForceSearcher
 from scann_tpu.io import load_index, save_index
+from scann_tpu.utils.autotune import AutotuneResult, autotune
 
 __version__ = "0.1.0"
 
@@ -95,4 +96,6 @@ __all__ = [
     "SparseBruteForceSearcher",
     "save_index",
     "load_index",
+    "autotune",
+    "AutotuneResult",
 ]

@@ -61,6 +61,14 @@ class BenchmarkReport:
     timing_mode: str = "wall_clock_per_batch_dispatch"
     host_roundtrip_seconds: Optional[float] = None
     dispatch_bound_fraction: Optional[float] = None
+    # --autotune-target provenance: which SearchParameters served the run
+    # and how the tuning sample scored (None when tuning was not requested)
+    autotune_target: Optional[float] = None
+    autotune_target_met: Optional[bool] = None
+    autotune_sample_recall: Optional[float] = None
+    autotune_seconds: Optional[float] = None
+    autotuned_num_leaves_to_search: Optional[int] = None
+    autotuned_pre_reordering_num_neighbors: Optional[int] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -326,6 +334,37 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     # warm-up compile (excluded from timing, like criterion's warm-up)
     index.search_batched_arrays(data.test[:batch], args.k)
 
+    # Recall-targeted tuning (the reference leaves partitions_to_search /
+    # reordering depth to hand sweeps; BASELINE's recall@10=0.9 north star
+    # requires tuned values). Each grid point is one batched device program
+    # over the sample; the chosen SearchParameters then serve every batch.
+    tuned_params = None
+    tune_info: dict = {}
+    target = getattr(args, "autotune_target", None)
+    if target:
+        from scann_tpu.utils.autotune import autotune
+
+        n_sample = min(256, len(data.test))
+        p_grid = _parse_int_list(getattr(args, "autotune_leaves", None))
+        pre_k_grid = _parse_int_list(getattr(args, "autotune_prek", None))
+        t_at = time.perf_counter()
+        res = autotune(index, data.test[:n_sample], k=args.k,
+                       target_recall=float(target),
+                       p_grid=p_grid, pre_k_grid=pre_k_grid,
+                       gt=data.gt[:n_sample, : args.k])
+        tuned_params = res.params
+        tune_info = dict(
+            autotune_target=float(target),
+            autotune_target_met=res.target_met,
+            autotune_sample_recall=res.recall,
+            autotune_seconds=time.perf_counter() - t_at,
+            autotuned_num_leaves_to_search=res.params.num_leaves_to_search,
+            autotuned_pre_reordering_num_neighbors=(
+                res.params.pre_reordering_num_neighbors),
+        )
+        # re-warm: the tuned shapes differ from the default warm-up's
+        index.search_batched_arrays(data.test[:batch], args.k, tuned_params)
+
     profile_ctx = None
     if getattr(args, "profile_dir", None):
         import jax
@@ -347,7 +386,7 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
 
         with ThreadPoolExecutor(max_workers=pipeline) as ex:
             futs = [ex.submit(index.search_batched_arrays,
-                              data.test[i : i + batch], args.k)
+                              data.test[i : i + batch], args.k, tuned_params)
                     for i in starts]
             for i, f in zip(starts, futs):
                 idx, _ = f.result()
@@ -355,7 +394,7 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     else:
         for i in starts:
             idx, _ = index.search_batched_arrays(data.test[i : i + batch],
-                                                 args.k)
+                                                 args.k, tuned_params)
             results[i : i + idx.shape[0], : idx.shape[1]] = idx
     search_s = time.perf_counter() - t0
 
@@ -391,7 +430,15 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
                      else "wall_clock_per_batch_dispatch"),
         host_roundtrip_seconds=rtt,
         dispatch_bound_fraction=dispatch_frac,
+        **tune_info,
     )
+
+
+def _parse_int_list(spec) -> Optional[list]:
+    """'2,5,10' -> [2, 5, 10]; None/'' -> None (use autotune's defaults)."""
+    if not spec:
+        return None
+    return [int(s) for s in str(spec).split(",") if s.strip()]
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -427,6 +474,15 @@ def make_parser() -> argparse.ArgumentParser:
                    help="number of query batches in flight (worker threads); "
                         ">1 overlaps the per-batch host<->device round-trip "
                         "the way a concurrent serving frontend does")
+    p.add_argument("--autotune-target", type=float, default=None,
+                   help="tune (num_leaves_to_search, pre_reordering depth) on a "
+                        "<=256-query sample to the cheapest config meeting this "
+                        "recall@k, then serve with it (utils/autotune.py)")
+    p.add_argument("--autotune-leaves", default=None,
+                   help="comma list of num_leaves_to_search grid values "
+                        "(default: autotune's built-in grid)")
+    p.add_argument("--autotune-prek", default=None,
+                   help="comma list of pre_reordering_num_neighbors grid values")
     p.add_argument("--clustered", action="store_true")
     p.add_argument("--adversarial", action="store_true",
                    help="GloVe-shaped skewed synthetic data: Zipf cluster "

@@ -1,0 +1,180 @@
+"""Recall-targeted search-parameter auto-tuning.
+
+The reference leaves ``partitions_to_search`` / reordering depth to hand
+tuning — its own published tables run defaults that reach recall 0.23-0.41
+(reference: README.md:713-716, config knobs at src/config.rs:134-199,
+286-303) and the BASELINE north-star explicitly requires tuned values.
+ann-benchmarks-style harnesses tune externally by sweeping configs.
+
+``autotune`` does that sweep in one call, the TPU way: every candidate
+configuration is ONE batched device program over the whole query sample
+(not a per-query loop), exact ground truth comes from the brute-force
+matmul kernel, and the returned ``SearchParameters`` is the cheapest
+configuration meeting the recall target.
+
+Cost model: searching p partitions costs p * l_cap leaf candidates and the
+exact re-rank gathers pre_k rows per query — both linear, and the row
+gather is latency-bound (~31 ns/row measured, BENCH_NOTES), so the proxy
+``cost = p * leaf_weight + pre_k`` ranks configurations by real batch time
+without per-config device timing (which this environment's tunnel would
+distort anyway). Recall is NOT monotone in p at fixed pre_k (measured:
+p=20/pre_k=50 scores 0.9434 vs p=10/pre_k=50's 0.9907 — a wider candidate
+pool loses more to PQ misordering), so the full grid is evaluated instead
+of greedily early-stopping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from scann_tpu.errors import ScannError
+from scann_tpu.models.searcher import SearchParameters
+
+
+@dataclasses.dataclass
+class AutotuneEntry:
+    """One evaluated configuration."""
+
+    params: SearchParameters
+    recall: float
+    cost: float
+
+
+@dataclasses.dataclass
+class AutotuneResult:
+    """Cheapest configuration meeting the target, plus the full table."""
+
+    params: SearchParameters
+    recall: float
+    target_met: bool
+    table: List[AutotuneEntry]
+
+
+def _dataset_of(searcher):
+    ds = getattr(searcher, "dataset", None)
+    if ds is None:
+        ds = getattr(searcher, "_dataset", None)
+    if ds is None:
+        raise ScannError.invalid_argument(
+            "autotune needs the searcher's dataset for exact ground truth; "
+            "pass gt= explicitly")
+    return ds
+
+
+def _measure_of(searcher):
+    m = getattr(searcher, "_measure", None)
+    if m is None:
+        for cfg_attr in ("_config", "config"):
+            cfg = getattr(searcher, cfg_attr, None)
+            m = getattr(cfg, "distance_measure", None)
+            if m is not None:
+                break
+    return m
+
+
+def _exact_gt(searcher, queries: np.ndarray, k: int) -> np.ndarray:
+    from scann_tpu.models.brute_force import BruteForceSearcher
+
+    measure = _measure_of(searcher)
+    ds = _dataset_of(searcher)
+    if measure is not None:
+        bf = BruteForceSearcher(ds, measure)
+    else:
+        bf = BruteForceSearcher(ds)
+    gt, _ = bf.search_batched_arrays(queries, k)
+    return gt
+
+
+def _recall(idx: np.ndarray, gt: np.ndarray) -> float:
+    k = gt.shape[1]
+    return float(np.mean([
+        len(set(a[a >= 0].tolist()) & set(g.tolist())) / k
+        for a, g in zip(idx, gt)]))
+
+
+def autotune(
+    searcher,
+    queries: np.ndarray,
+    k: int = 10,
+    target_recall: float = 0.95,
+    p_grid: Optional[Sequence[int]] = None,
+    pre_k_grid: Optional[Sequence[int]] = None,
+    gt: Optional[np.ndarray] = None,
+    leaf_weight: Optional[float] = None,
+) -> AutotuneResult:
+    """Pick the cheapest (num_leaves_to_search, pre_reordering_num_neighbors)
+    meeting ``target_recall`` on a query sample.
+
+    Args:
+        searcher: any searcher honoring ``SearchParameters`` —
+            ``TreeXHybridSearcher`` / ``Scann`` tune (p, pre_k);
+            ``BlockSweepSearcher`` / ``AsymmetricHasher`` tune pre_k only
+            (pass ``p_grid=None`` or let the default detect it).
+        queries: [B, D] sample (a few hundred queries is plenty; they are
+            searched as ONE batch per configuration).
+        gt: optional [B, k] exact ids; computed from the searcher's dataset
+            with its own distance measure when omitted.
+        leaf_weight: relative cost of one searched partition vs one
+            re-ranked row; defaults to the searcher's leaf cap (so
+            ``p * l_cap`` candidates weigh against ``pre_k`` gathered rows).
+
+    Returns:
+        AutotuneResult; ``target_met=False`` means no grid point reached the
+        target and ``params`` is the highest-recall (then cheapest) point —
+        widen the grids or raise index-build knobs (partitions, SOAR).
+    """
+    queries = np.asarray(queries, dtype=np.float32)
+    if gt is None:
+        gt = _exact_gt(searcher, queries, k)
+
+    # the Scann facade delegates to an inner searcher; inspect that one for
+    # partition structure but keep searching through the facade
+    inner = getattr(searcher, "_impl", searcher)
+    partitioner = getattr(inner, "partitioner", None)
+    has_partitions = partitioner is not None
+    if p_grid is None:
+        p_grid = (1, 2, 5, 10, 20, 40) if has_partitions else (None,)
+    if pre_k_grid is None:
+        pre_k_grid = (max(k, 10), 2 * k, 5 * k, 10 * k, 20 * k, 50 * k)
+    pre_k_grid = sorted({max(int(pk), k) for pk in pre_k_grid})
+    if leaf_weight is None:
+        l_cap = None
+        if has_partitions:
+            try:
+                l_cap = inner._csr_state()[5]
+            except Exception:
+                l_cap = None
+        leaf_weight = float(l_cap) if l_cap else 0.0
+
+    n_parts = None
+    if has_partitions:
+        sizes = getattr(partitioner, "partition_sizes", None)
+        if callable(sizes):
+            sizes = sizes()
+        n_parts = len(sizes) if sizes is not None else None
+
+    table: List[AutotuneEntry] = []
+    for p in p_grid:
+        if p is not None and n_parts is not None and p > n_parts:
+            continue
+        for pre_k in pre_k_grid:
+            params = SearchParameters(
+                pre_reordering_num_neighbors=int(pre_k))
+            if p is not None:
+                params.num_leaves_to_search = int(p)
+            idx, _ = searcher.search_batched_arrays(queries, k, params)
+            rec = _recall(idx, gt)
+            cost = (0.0 if p is None else p * leaf_weight) + pre_k
+            table.append(AutotuneEntry(params, rec, cost))
+
+    if not table:
+        raise ScannError.invalid_argument("autotune grid is empty")
+    meeting = [e for e in table if e.recall >= target_recall]
+    if meeting:
+        best = min(meeting, key=lambda e: (e.cost, -e.recall))
+        return AutotuneResult(best.params, best.recall, True, table)
+    best = max(table, key=lambda e: (e.recall, -e.cost))
+    return AutotuneResult(best.params, best.recall, False, table)

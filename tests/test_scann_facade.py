@@ -121,6 +121,35 @@ def test_harness_block_sweep_end_to_end():
     assert report.qps > 0
 
 
+def test_harness_autotune_target():
+    """--autotune-target picks SearchParameters meeting the recall target on
+    a sample, serves with them, and stamps the provenance in the report."""
+    args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "16",
+         "--partitions-to-search", "2", "--num-blocks", "4",
+         "--reorder", "20", "--batch-size", "32",
+         "--autotune-target", "0.95", "--autotune-leaves", "4,8,16",
+         "--autotune-prek", "30,60"])
+    data = generate_synthetic_dataset(2000, 32, 16, 10, 7, clustered=True)
+    report = run_benchmark("tree-ah", data, args)
+    assert report.autotune_target == pytest.approx(0.95)
+    assert report.autotune_target_met
+    assert report.autotune_sample_recall >= 0.95
+    assert report.autotuned_num_leaves_to_search in (4, 8, 16)
+    assert report.autotuned_pre_reordering_num_neighbors in (30, 60)
+    # the whole run is served with the tuned params: full-set recall holds
+    assert report.recall_at_k >= 0.9
+
+    # untuned baseline at the deliberately-starved defaults scores lower
+    base_args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "16",
+         "--partitions-to-search", "2", "--num-blocks", "4",
+         "--reorder", "20", "--batch-size", "32"])
+    base = run_benchmark("tree-ah", data, base_args)
+    assert base.autotune_target is None
+    assert base.recall_at_k < report.recall_at_k
+
+
 def test_block_sweep_facade_mode(small_db):
     cfg = ScannConfig(num_neighbors=5).with_brute_force()
     cfg.brute_force.with_block_sweep(pre_k=64)
