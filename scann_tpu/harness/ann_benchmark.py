@@ -69,6 +69,11 @@ class BenchmarkReport:
     autotune_seconds: Optional[float] = None
     autotuned_num_leaves_to_search: Optional[int] = None
     autotuned_pre_reordering_num_neighbors: Optional[int] = None
+    # --save-index / --load-index provenance (build-once / serve-many):
+    # when loaded, build_seconds is the load time, not a training run
+    index_loaded_from: Optional[str] = None
+    index_saved_to: Optional[str] = None
+    index_save_seconds: Optional[float] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -326,9 +331,28 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
 def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     rss0 = current_rss_bytes()
     t0 = time.perf_counter()
-    index = build_index(algorithm, data, args)
+    loaded_from = getattr(args, "load_index", None)
+    if loaded_from:
+        # build-once / serve-many: reload the trained index instead of
+        # rebuilding (capability the reference binary lacks — it retrains
+        # every run, ann_benchmark.rs:329-355). build_seconds then reports
+        # the load time.
+        from scann_tpu.io import load_index
+
+        index = load_index(loaded_from)
+    else:
+        index = build_index(algorithm, data, args)
     build_s = time.perf_counter() - t0
     rss1 = current_rss_bytes()
+
+    save_s = None
+    saved_to = getattr(args, "save_index", None)
+    if saved_to:
+        from scann_tpu.io import save_index
+
+        t_sv = time.perf_counter()
+        save_index(saved_to, index)
+        save_s = time.perf_counter() - t_sv
 
     batch = args.batch_size
     # warm-up compile (excluded from timing, like criterion's warm-up)
@@ -403,8 +427,9 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
 
     recall = average_recall_at_k(results, data.gt)
     dev_bytes = None
-    if hasattr(index.impl, "memory_usage"):
-        dev_bytes = int(index.impl.memory_usage())
+    impl = getattr(index, "impl", index)  # loaded indexes are the searcher
+    if hasattr(impl, "memory_usage"):
+        dev_bytes = int(impl.memory_usage())
 
     rtt = measure_host_roundtrip_seconds()
     n_batches = -(-len(data.test) // batch)
@@ -430,6 +455,9 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
                      else "wall_clock_per_batch_dispatch"),
         host_roundtrip_seconds=rtt,
         dispatch_bound_fraction=dispatch_frac,
+        index_loaded_from=loaded_from,
+        index_saved_to=saved_to,
+        index_save_seconds=save_s,
         **tune_info,
     )
 
@@ -488,6 +516,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="GloVe-shaped skewed synthetic data: Zipf cluster "
                         "sizes, anisotropic covariance, correlated dims, "
                         "heavy-tailed norms")
+    p.add_argument("--save-index", default=None,
+                   help="after building, save the trained index to this "
+                        ".npz path (scann_tpu.io.save_index)")
+    p.add_argument("--load-index", default=None,
+                   help="serve from an index saved with --save-index "
+                        "instead of building; --algorithm and training "
+                        "knobs are ignored, build_seconds reports the load")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the search phase here")
     return p

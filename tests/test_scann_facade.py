@@ -121,6 +121,32 @@ def test_harness_block_sweep_end_to_end():
     assert report.qps > 0
 
 
+def test_harness_save_load_index_round_trip(tmp_path):
+    """--save-index persists the trained index; --load-index serves from it
+    without retraining, at identical recall, stamping provenance in both
+    reports (build-once / serve-many — the reference binary retrains every
+    run, ann_benchmark.rs:329-355)."""
+    path = str(tmp_path / "idx.npz")
+    data = generate_synthetic_dataset(800, 24, 16, 10, 3, clustered=True)
+    build_args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "8",
+         "--partitions-to-search", "8", "--num-blocks", "4",
+         "--reorder", "40", "--batch-size", "24", "--save-index", path])
+    built = run_benchmark("tree-ah", data, build_args)
+    assert built.index_saved_to == path
+    assert built.index_save_seconds is not None
+    assert built.index_loaded_from is None
+
+    serve_args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--batch-size", "24",
+         "--load-index", path])
+    served = run_benchmark("tree-ah", data, serve_args)
+    assert served.index_loaded_from == path
+    assert served.recall_at_k == pytest.approx(built.recall_at_k)
+    # load is a deserialization, not a training run
+    assert served.build_seconds < built.build_seconds
+
+
 def test_harness_autotune_target():
     """--autotune-target picks SearchParameters meeting the recall target on
     a sample, serves with them, and stamps the provenance in the report."""
