@@ -133,7 +133,8 @@ def main():
                   approx_select_min=cfg.approx_selection_min_partitions)
         if grouped:
             kern, codes_arg = tree_ah_grouped_kernel, codes_csr
-            kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
+            kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                      packed=s._pack_codes())
         else:
             kern, codes_arg = tree_ah_kernel, codes_rows
         for b in (128, B):

@@ -106,6 +106,12 @@ class TreeXHybridConfig:
     # approximate top-p centroid selection (lax.approx_min_k) once the
     # centroid count makes the sort-based exact top-k the bottleneck
     approx_selection_min_partitions: int = 1024
+    # pack the serving CSR slab to int4 (two codes per byte, reference
+    # layout lut16.rs:43-61): ~2.5x less slab HBM and code-stream DMA at
+    # s_pad=align_up(S,32) slop vs nibble-pair alignment. None = auto
+    # (pack whenever the grouped kernel serves and num_codes <= 16);
+    # False forces the unpacked u8 slab (kernel A/B benchmarking)
+    pack_codes: Optional[bool] = None
     # dtype of the device copy the exact re-rank gathers from. "bfloat16"
     # halves the dominant serving allocation (f32 database: 8 GB at
     # 20M x 100d) at ~3 decimal digits of distance precision — measured
@@ -267,7 +273,8 @@ def leaf_scores_xla(luts_flat, parts, codes_rows, csr_offsets, part_sizes,
 
 def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
                         *, p: int, l_cap: int, q_cap: int, l_tile: int,
-                        interpret: bool = False, int8_luts: bool = False):
+                        interpret: bool = False, int8_luts: bool = False,
+                        packed: bool = False):
     """Grouped-MXU leaf scoring (ops/tree_ah_grouped.py): pairs grouped by
     partition, one-hot built once per group, MXU contraction. Returns
     ([B, p*l_cap] leaf-major scores — bf16 (or affine-restored f32 on the
@@ -277,9 +284,13 @@ def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
     sharded tree-AH calls this inside its shard_map body with the shard's
     own transposed CSR slab, so multi-chip serving uses the same Pallas
     kernel that won the single-chip numbers.
+
+    ``packed=True``: codes_csr is the [S_pad/2, N_csr] packed-nibble slab
+    (low-nibble-first, reference lut16.rs:43-61); the LUT rows are permuted
+    here to the even-first subspace order the in-kernel unpack produces.
     """
     b = parts.shape[0]
-    s_pad = codes_csr.shape[0]
+    s_pad = (2 * codes_csr.shape[0]) if packed else codes_csr.shape[0]
     num_partitions = part_sizes.shape[0]
     num_rows = codes_csr.shape[1]
     grp_part, slot, ng = group_pairs_by_partition(parts, num_partitions, q_cap)
@@ -303,11 +314,19 @@ def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
         # bf16 before the grouped gather: the kernel contracts in bf16
         # anyway, casting first halves the gather's HBM traffic
         luts_cast = luts_flat.astype(jnp.bfloat16)
+    if packed:
+        # even-first subspace order to match the in-kernel nibble unpack
+        # (low nibbles = even subspaces come out first)
+        c_ = luts_cast.shape[1] // s_pad
+        l3 = luts_cast.reshape(-1, s_pad, c_)
+        luts_cast = jnp.concatenate([l3[:, 0::2], l3[:, 1::2]],
+                                    axis=1).reshape(-1, s_pad * c_)
     luts_grouped = jnp.take(luts_cast, pair_of_slot, axis=0)
 
     scores_g = tree_ah_grouped_scores_pallas(
         luts_grouped, codes_csr, grp_off, grp_size,
-        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret)
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=interpret,
+        packed=packed)
     # Interleave partitions across the flat candidate axis (leaf-major, not
     # partition-major): lax.approx_min_k's recall guarantee assumes the top
     # elements are spread roughly uniformly, but partition-major order
@@ -433,12 +452,15 @@ def tree_ah_search_grouped(
     *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
     approx_select_min: int = 1024, q_cap: int = 32, l_tile: int = 256,
-    interpret: bool = False, int8_luts: bool = False,
+    interpret: bool = False, int8_luts: bool = False, packed: bool = False,
 ):
     """TPU fast path: grouped MXU leaf scoring (ops/tree_ah_grouped.py).
 
     codes_csr: [S_pad, N_csr] uint8 — the transposed CSR slab (candidates on
-    the lane dimension for the in-kernel DMA).
+    the lane dimension for the in-kernel DMA); with ``packed=True`` it is
+    the [S_pad/2, N_csr] packed-nibble slab (two 4-bit codes per byte,
+    reference layout lut16.rs:43-61) — ~2x less code-stream HBM traffic
+    and slab memory at num_codes <= 16.
 
     int8_luts: quantize the per-pair LUTs to u8-biased int8 with one global
     (lo, scale) per batch (reference analog: lut16_simd.rs:39-141's
@@ -453,7 +475,7 @@ def tree_ah_search_grouped(
     parts = _select_partitions(centers, queries, p=p,
                                approx_min=approx_select_min,
                                measure=measure)                  # [B, p]
-    s_pad = codes_csr.shape[0]
+    s_pad = (2 * codes_csr.shape[0]) if packed else codes_csr.shape[0]
     luts_flat = _residual_luts(queries, centers, parts, codebook,
                                s_pad=s_pad, use_residuals=use_residuals,
                                measure=measure)
@@ -461,7 +483,7 @@ def tree_ah_search_grouped(
     flat_scores, rows_il = leaf_scores_grouped(
         luts_flat, parts, codes_csr, csr_offsets, part_sizes,
         p=p, l_cap=l_cap, q_cap=q_cap, l_tile=l_tile,
-        interpret=interpret, int8_luts=int8_luts)
+        interpret=interpret, int8_luts=int8_luts, packed=packed)
     if allow_mask is not None:
         # restricts are pre-selection hard filters (reference semantics):
         # the bit gather is per-candidate and costs what the unmasked
@@ -478,7 +500,7 @@ tree_ah_grouped_kernel = jax.jit(
     tree_ah_search_grouped,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
                      "reorder", "multiplicity", "approx_select_min", "q_cap",
-                     "l_tile", "interpret", "int8_luts"),
+                     "l_tile", "interpret", "int8_luts", "packed"),
 )
 
 
@@ -633,18 +655,20 @@ class TreeXHybridSearcher(Searcher):
 
     def memory_usage(self) -> int:
         """Device bytes of the serving CSR code slab + centroids +
-        codebook. The slab stores one UNPACKED byte per (assignment,
-        subspace) padded to s_pad=align_up(S,32) columns plus 128-aligned
-        partition gaps — the actual HBM the kernels read, not the
-        theoretical packed-int4 size (which understated S=8 indexes 8x+;
-        the harness publishes this as index_device_bytes)."""
+        codebook — the actual HBM the kernels read (the harness publishes
+        this as index_device_bytes). With the packed-int4 slab
+        (``_pack_codes()``) each row costs ceil(S/2) bytes at nibble-pair
+        alignment (reference layout lut16.rs:43-61); the unpacked u8 slab
+        costs align_up(S,32) bytes/row plus 128-aligned partition gaps."""
         tk = self.partitioner.tokenization
         sizes = tk.partition_sizes.astype(np.int64)
         aligned_rows = int((((sizes + 127) // 128) * 128).sum())
         l_tile = max(int(self.config.score_l_tile), 128)
         aligned_rows += int(align_up(max(tk.max_partition_size, 8), l_tile))
-        s_pad = int(align_up(self.codes.shape[1], 32))
-        return int(aligned_rows * s_pad  # u8 code slab (+ int32 perm below)
+        s = self.codes.shape[1]
+        row_bytes = (int(align_up((s + 1) // 2, 8)) if self._pack_codes()
+                     else int(align_up(s, 32)))
+        return int(aligned_rows * row_bytes  # code slab (+ int32 perm below)
                    + aligned_rows * 4
                    + self.partitioner.centers.nbytes
                    + self.codebook.centroids.nbytes)
@@ -670,10 +694,22 @@ class TreeXHybridSearcher(Searcher):
             self._norms_cache = (n, jax.jit(squared_norms)(db))
         return db, self._norms_cache[1], n
 
+    def _pack_codes(self) -> bool:
+        """Serve the packed-int4 slab? (auto: grouped kernel + 4-bit codes;
+        config.pack_codes overrides)."""
+        if not self._use_grouped_pallas():
+            return False
+        if self.config.hash_config.num_codes > 16:
+            return False
+        pc = self.config.pack_codes
+        return True if pc is None else bool(pc)
+
     def _csr_state(self):
         """Aligned CSR device layout shared by both leaf-scoring paths:
         row-major [N_csr, S_pad] codes, transposed [S_pad, N_csr] slab for
-        the Pallas DMA, aligned offsets, sizes, row->id perm, l_cap."""
+        the Pallas DMA (packed to two 4-bit codes per byte when
+        ``_pack_codes()``, halving the slab and its DMA stream), aligned
+        offsets, sizes, row->id perm, l_cap."""
         if self._csr_cache is None:
             tk = self.partitioner.tokenization
             l_tile = max(int(self.config.score_l_tile), 128)
@@ -686,7 +722,13 @@ class TreeXHybridSearcher(Searcher):
                 ((sizes.astype(np.int64) + 127) // 128) * 128)
             total = int(aligned[-1]) + l_cap
             s = self.codes.shape[1]
-            s_pad = int(align_up(s, 32))
+            packed = self._pack_codes()
+            # packed: byte rows align to 8 sublanes (Mosaic requires DMA
+            # slice sublanes % 8 == 0), so s_pad = 2*align_up(ceil(S/2),8)
+            # — half the unpacked slab's align-32 slop at S=50 (64 -> 32
+            # bytes/row), a quarter at S=8 (32 -> 8)
+            s_pad = (2 * int(align_up((s + 1) // 2, 8)) if packed
+                     else int(align_up(s, 32)))
             codes_aligned = np.zeros((total, s_pad), dtype=np.uint8)
             perm_aligned = np.zeros(total, dtype=np.int32)
             csr_off = tk.offsets
@@ -700,7 +742,13 @@ class TreeXHybridSearcher(Searcher):
                 # row-major device copy entirely (1.3 GB saved at 20M,
                 # S_pad=64; transpose on host, upload once)
                 codes_rows = None
-                codes_csr = jnp.asarray(np.ascontiguousarray(codes_aligned.T))
+                if packed:
+                    # low-nibble-first pairs (reference lut16.rs:43-61)
+                    host_slab = (codes_aligned[:, 0::2]
+                                 | (codes_aligned[:, 1::2] << 4))
+                else:
+                    host_slab = codes_aligned
+                codes_csr = jnp.asarray(np.ascontiguousarray(host_slab.T))
             else:
                 codes_rows = jnp.asarray(codes_aligned)
                 codes_csr = jax.jit(lambda cr: cr.T)(codes_rows)
@@ -776,12 +824,15 @@ class TreeXHybridSearcher(Searcher):
                       measure=cfg.distance_measure, multiplicity=mult,
                       approx_select_min=cfg.approx_selection_min_partitions)
         if self._use_grouped_pallas():
+            from scann_tpu.types import is_tpu
+
             dists, idx = tree_ah_grouped_kernel(
                 db, norms, self.partitioner.centers_device(), codes_csr,
                 csr_offsets, part_sizes, perm,
                 self.codebook.centroids_device(), jnp.asarray(queries),
                 jnp.int32(n_valid), mask_dev, pre_eps, post_eps,
-                q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile, **common)
+                q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                interpret=not is_tpu(), packed=self._pack_codes(), **common)
         else:
             dists, idx = tree_ah_kernel(
                 db, norms, self.partitioner.centers_device(), codes_rows,

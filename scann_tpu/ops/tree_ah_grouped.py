@@ -84,7 +84,8 @@ def group_pairs_by_partition(
 
 
 def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
-            *, num_codes: int, l_tile: int, n_ltiles: int, ng: int):
+            *, num_codes: int, l_tile: int, n_ltiles: int, ng: int,
+            packed: bool = False):
     g = pl.program_id(0)
     lt = pl.program_id(1)
     flat = g * n_ltiles + lt
@@ -121,8 +122,16 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
     @pl.when(active)
     def _():
         dma_for(g, lt, slot).wait()
-        s_pad = scratch.shape[1]
         codes = scratch[slot].astype(jnp.int32)                 # [S_pad, Lt]
+        if packed:
+            # packed low-nibble-first along S (reference layout,
+            # lut16.rs:43-61): byte j holds subspaces 2j (low) and 2j+1
+            # (high); concat gives the even-first subspace order the
+            # caller's LUT columns are permuted to match (same unpack as
+            # ops/pallas_kernels._lut16_fused_kernel) — the code stream
+            # and slab HBM halve
+            codes = jnp.concatenate([codes & 0xF, codes >> 4], axis=0)
+        s_pad = codes.shape[0]
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (s_pad, num_codes, l_tile), 1)
         if int8_path:
@@ -151,14 +160,15 @@ def _kernel(off_ref, size_ref, luts_ref, codes_ref, out_ref, scratch, sems,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("l_cap", "l_tile", "q_cap", "interpret"))
+                   static_argnames=("l_cap", "l_tile", "q_cap", "interpret",
+                                    "packed"))
 def tree_ah_grouped_scores_pallas(
     luts_grouped: jnp.ndarray,   # [NG*q_cap, S_pad*C] bf16/f32 grouped LUTs
     codes_csr: jnp.ndarray,      # [S_pad, N_csr] uint8 CSR layout
     grp_offsets: jnp.ndarray,    # [NG] int32 CSR column start per group
     grp_sizes: jnp.ndarray,      # [NG] int32 partition size per group
     *, l_cap: int, l_tile: int = 256, q_cap: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, packed: bool = False,
 ) -> jnp.ndarray:
     """[NG*q_cap, l_cap] scores (masked beyond each size).
 
@@ -167,11 +177,20 @@ def tree_ah_grouped_scores_pallas(
     MASKED_DISTANCE. Rows of unused group slots contain garbage — callers
     gather rows back through the pair->slot map, which only references
     real pairs.
+
+    ``packed=True``: ``codes_csr`` is [S_pad/2, N_csr] uint8, two 4-bit
+    codes per byte low-nibble-first along S (reference layout,
+    lut16.rs:43-61, served packed as in lut16_simd.rs:172-299); the LUT
+    columns must be permuted to even-first subspace order. Halves the
+    per-tile code DMA stream and the slab HBM.
     """
     ngq, sc = luts_grouped.shape
-    s_pad = codes_csr.shape[0]
+    s_half = codes_csr.shape[0]
+    s_pad = 2 * s_half if packed else s_half
     c = sc // s_pad
     assert s_pad * c == sc, (s_pad, sc)
+    if packed:
+        assert c <= 16, f"packed int4 codes require num_codes <= 16, got {c}"
     ng = ngq // q_cap
     assert ng * q_cap == ngq
     assert l_cap % l_tile == 0, (l_cap, l_tile)
@@ -200,18 +219,18 @@ def tree_ah_grouped_scores_pallas(
                                lambda g, lt, off, sz: (g, 0, lt),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, s_pad, l_tile), jnp.uint8),
+            pltpu.VMEM((2, s_half, l_tile), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, num_codes=c, l_tile=l_tile,
-                          n_ltiles=n_ltiles, ng=ng),
+                          n_ltiles=n_ltiles, ng=ng, packed=packed),
         out_shape=jax.ShapeDtypeStruct((ng, q_cap, l_cap), out_dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ng * q_cap * sc * l_cap,
-            bytes_accessed=ng * (s_pad * l_cap + q_cap * sc * lut_bytes
+            bytes_accessed=ng * (s_half * l_cap + q_cap * sc * lut_bytes
                                  + q_cap * l_cap * 2),
             transcendentals=0,
         ),

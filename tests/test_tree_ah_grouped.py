@@ -86,6 +86,60 @@ def test_kernel_matches_naive(rng, q_cap, l_tile):
     np.testing.assert_allclose(got[mask], want[mask], rtol=2e-2, atol=0.1)
 
 
+@pytest.mark.parametrize("s_logical", [7, 8, 25])
+def test_kernel_packed_matches_unpacked(rng, s_logical):
+    """Packed-nibble slab ([S/2] bytes, low-nibble-first) + even-first LUT
+    permutation must score identically to the unpacked u8 slab (same
+    layout the reference packs, lut16.rs:43-61)."""
+    b, p, t = 6, 3, 5
+    c, q_cap, l_tile = 16, 4, 128
+    l_cap = 2 * l_tile
+    # production alignment (models/tree_x_hybrid._csr_state): packed byte
+    # rows align to 8 sublanes for the Mosaic DMA
+    s_pad = 2 * ((((s_logical + 1) // 2) + 7) // 8) * 8
+    sizes_np = rng.integers(1, l_cap + 1, size=t).astype(np.int32)
+    aligned = np.zeros(t + 1, np.int64)
+    aligned[1:] = np.cumsum(((sizes_np + 127) // 128) * 128)
+    n_csr = int(aligned[-1]) + l_cap
+    codes_np = rng.integers(0, c, size=(s_pad, n_csr)).astype(np.uint8)
+    if s_pad != s_logical:
+        codes_np[s_logical:] = 0  # pad subspace, zero LUT row below
+    parts = rng.integers(0, t, size=(b, p)).astype(np.int32)
+    luts_np = rng.normal(size=(b * p, s_pad, c)).astype(np.float32)
+    if s_pad != s_logical:
+        luts_np[:, s_logical:] = 0.0
+
+    grp_part, slot, ng = group_pairs_by_partition(jnp.asarray(parts), t, q_cap)
+    grp_safe = jnp.maximum(grp_part, 0)
+    grp_off = jnp.take(jnp.asarray(aligned[:-1].astype(np.int32)), grp_safe)
+    grp_size = jnp.where(grp_part >= 0,
+                         jnp.take(jnp.asarray(sizes_np), grp_safe), 0)
+    pair_of_slot = jnp.zeros((ng * q_cap,), jnp.int32).at[slot].set(
+        jnp.arange(b * p, dtype=jnp.int32))
+
+    lg = jnp.take(jnp.asarray(luts_np.reshape(b * p, -1)), pair_of_slot,
+                  axis=0)
+    want = np.asarray(jnp.take(tree_ah_grouped_scores_pallas(
+        lg, jnp.asarray(codes_np), grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=True),
+        jnp.asarray(slot), axis=0)).astype(np.float32)
+
+    # pack low-nibble-first along S; LUTs to even-first subspace order
+    packed_np = (codes_np[0::2] | (codes_np[1::2] << 4)).astype(np.uint8)
+    luts_ef = np.concatenate([luts_np[:, 0::2], luts_np[:, 1::2]],
+                             axis=1).reshape(b * p, -1)
+    lg_p = jnp.take(jnp.asarray(luts_ef), pair_of_slot, axis=0)
+    got = np.asarray(jnp.take(tree_ah_grouped_scores_pallas(
+        lg_p, jnp.asarray(packed_np), grp_off, grp_size,
+        l_cap=l_cap, l_tile=l_tile, q_cap=q_cap, interpret=True,
+        packed=True),
+        jnp.asarray(slot), axis=0)).astype(np.float32)
+
+    mask = want < MASKED_DISTANCE / 2
+    assert np.array_equal(mask, got < MASKED_DISTANCE / 2)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-3, atol=1e-3)
+
+
 def test_kernel_int8_luts_matches_float(rng):
     """int8-LUT path: i16 scores map back to real units by the documented
     affine; must match the float-LUT kernel within one quantization step

@@ -440,3 +440,76 @@ def test_host_gather_build_matches_device_gather(hybrid_setup, monkeypatch):
     i2, d2 = s_host.search_batched_arrays(
         q, 10, SearchParameters(pre_reordering_num_neighbors=120))
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_packed_slab_serving_matches_xla_path(hybrid_setup, monkeypatch):
+    """The packed-int4 grouped serving path (the TPU default at num_codes
+    <= 16, forced here via _use_grouped_pallas + interpret) returns the
+    same answers as the XLA path, with the slab at ~half the bytes
+    (VERDICT r3 next #1; reference layout lut16.rs:43-61)."""
+    db, q, ds, gt, s_xla = hybrid_setup
+    cfg = TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))
+    s_packed = TreeXHybridSearcher(cfg).build(DenseDataset(db))
+    monkeypatch.setattr(type(s_packed), "_use_grouped_pallas", lambda self: True)
+    assert s_packed._pack_codes()
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    i1, d1 = s_xla.search_batched_arrays(q, 10, params)
+    i2, d2 = s_packed.search_batched_arrays(q, 10, params)
+    # same candidates surface; exact re-rank makes distances identical
+    assert _recall(i2, i1) >= 0.95
+    m = i2 == i1
+    np.testing.assert_allclose(d2[m], d1[m], rtol=1e-4, atol=1e-4)
+    # packed slab: align_up(ceil(S/2),8) bytes/row (Mosaic DMA sublane
+    # alignment), memory_usage reflects the 4x reduction at S=8
+    _, codes_csr, *_ = s_packed._csr_state()
+    assert codes_csr.shape[0] == 8  # align_up(ceil(8/2), 8)
+    n_slab = codes_csr.shape[1]
+    fixed = (n_slab * 4 + s_packed.partitioner.centers.nbytes
+             + s_packed.codebook.centroids.nbytes)
+    assert s_packed.memory_usage() == n_slab * 8 + fixed
+
+
+def test_pack_codes_false_forces_unpacked(hybrid_setup, monkeypatch):
+    db, q, ds, gt, _ = hybrid_setup
+    cfg = TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, pack_codes=False,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))
+    s = TreeXHybridSearcher(cfg).build(DenseDataset(db))
+    monkeypatch.setattr(type(s), "_use_grouped_pallas", lambda self: True)
+    assert not s._pack_codes()
+    _, codes_csr, *_ = s._csr_state()
+    assert codes_csr.shape[0] == 32  # align_up(8, 32) unpacked columns
+    idx, _ = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.9
+
+
+def test_packed_slab_roundtrip_to_row_major(hybrid_setup, monkeypatch):
+    """The packed transposed slab reconstructs the exact row-major codes
+    (the __graft_entry__ recovery path when the driver compile-checks on a
+    TPU where only the packed slab exists)."""
+    import jax.numpy as jnp
+
+    db, q, ds, gt, _ = hybrid_setup
+    cfg = TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))
+    s = TreeXHybridSearcher(cfg).build(DenseDataset(db))
+    # reference: the unpacked row-major slab the CPU path builds
+    rows_want = np.asarray(s._csr_state()[0])
+
+    s2 = TreeXHybridSearcher(cfg).build(DenseDataset(db))
+    monkeypatch.setattr(type(s2), "_use_grouped_pallas", lambda self: True)
+    _, ct, *_ = s2._csr_state()
+    assert s2._pack_codes()
+    ct = jnp.concatenate([ct & 0xF, ct >> 4], axis=0)
+    half = ct.shape[0] // 2
+    order = jnp.arange(2 * half).reshape(2, half).T.reshape(-1)
+    rows_got = np.asarray(jnp.take(ct, order, axis=0).T)
+    # unpacked slab pads columns to align_up(S,32); compare the real S
+    np.testing.assert_array_equal(rows_got[:, :8], rows_want[:, :8])
