@@ -171,6 +171,16 @@ def _load_tokenization(arrays):
 
 def load_index(path: str):
     """Load a searcher saved with :func:`save_index` (no retraining)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ScannError.failed_precondition(
+                f"unsupported index format {meta.get('format_version')}")
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return _deserialize_index(meta, arrays)
+
+
+def _deserialize_index(meta: dict, arrays: dict):
     from scann_tpu.hashes.codebook import Codebook, CodebookConfig
     from scann_tpu.hashes.hasher import AsymmetricHasher, AsymmetricHasherConfig
     from scann_tpu.models.brute_force import BruteForceSearcher
@@ -191,13 +201,6 @@ def load_index(path: str):
         ScalarQuantizer,
         ScalarQuantizerConfig,
     )
-
-    with np.load(path, allow_pickle=False) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode())
-        if meta.get("format_version") != _FORMAT_VERSION:
-            raise ScannError.failed_precondition(
-                f"unsupported index format {meta.get('format_version')}")
-        arrays = {k: z[k] for k in z.files if k != "__meta__"}
 
     kind = meta["kind"]
     if kind == "brute_force":
@@ -291,3 +294,127 @@ def load_index(path: str):
             s.codes = s.codes[tp.tokenization.point_indices]
         return s
     raise ScannError.unimplemented(f"unknown index kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# sharded serving-layout warm start (VERDICT r3 next #7)
+# ---------------------------------------------------------------------------
+
+
+def _dtype_safe_store(arr: np.ndarray):
+    """(storable array, dtype tag) — npz cannot hold extension dtypes
+    (bfloat16/fp8), so they travel as same-width unsigned views."""
+    name = str(arr.dtype)
+    if arr.dtype in (np.float32, np.float64, np.int8, np.uint8, np.int16,
+                     np.int32, np.int64, np.uint16, np.uint32, np.uint64,
+                     np.float16, np.bool_):
+        return arr, name
+    view = np.uint16 if arr.dtype.itemsize == 2 else np.uint8
+    return arr.view(view), name
+
+
+def _dtype_safe_load(arr: np.ndarray, name: str) -> np.ndarray:
+    if str(arr.dtype) == name:
+        return arr
+    import ml_dtypes  # noqa: F401 - registers bfloat16/fp8 numpy dtypes
+
+    return arr.view(np.dtype(name))
+
+
+def save_sharded_layout(path: str, sharded) -> None:
+    """Persist a sharded wrapper's per-shard serving layout + the inner
+    searcher's trained artifacts to ONE .npz, so a serving restart skips
+    the host re-layout (tree: per-partition re-shard + rerank re-encode;
+    sweep: augment + shuffle + rerank encode). The device upload itself is
+    unavoidable either way. Supports ShardedTreeXHybridSearcher and
+    ShardedBlockSweepSearcher (VERDICT r3 next #7)."""
+    from scann_tpu.parallel.sharded_flagship import (
+        ShardedBlockSweepSearcher,
+        ShardedTreeXHybridSearcher,
+        _compute_sweep_shard_layout,
+        _compute_tree_shard_layout,
+    )
+
+    extra_meta = {}
+    if isinstance(sharded, ShardedTreeXHybridSearcher):
+        kind = "tree_ah"
+        layout = _compute_tree_shard_layout(sharded._inner,
+                                            sharded.mesh.shape["db"])
+        keys = ("codes", "perm", "db", "sizes", "offs")
+        extra_meta["layout_l_cap"] = int(layout["l_cap"])
+    elif isinstance(sharded, ShardedBlockSweepSearcher):
+        kind = "block_sweep"
+        layout = _compute_sweep_shard_layout(sharded._inner,
+                                             sharded.mesh.shape["db"])
+        keys = tuple(k for k in ("aug", "rdb", "inv", "aug_scales")
+                     if layout.get(k) is not None)
+        extra_meta["layout_blk"] = int(layout["blk"])
+        extra_meta["layout_aug_sn"] = float(layout["aug_sn"])
+        extra_meta["layout_dequant"] = layout["dequant"]
+        extra_meta["layout_has_inv"] = layout["inv"] is not None
+    else:
+        raise ScannError.unimplemented(
+            "save_sharded_layout supports ShardedTreeXHybridSearcher and "
+            "ShardedBlockSweepSearcher")
+    inner_arrays, inner_meta = _serialize(sharded._inner)
+    dtypes = {}
+    arrays = {f"inner__{k}": v for k, v in inner_arrays.items()}
+    for k in keys:
+        arrays[f"layout__{k}"], dtypes[k] = _dtype_safe_store(layout[k])
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "sharded_kind": kind,
+        "inner": inner_meta,
+        "layout_n_sh": int(layout["n_sh"]),
+        "layout_dtypes": dtypes,
+        **extra_meta,
+    }
+    np.savez_compressed(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_sharded_layout(path: str, cls=None, mesh=None, force_kernel=None):
+    """Restore a wrapper saved with :func:`save_sharded_layout` — the
+    per-shard slabs go straight from disk to the sharded device layout."""
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded_flagship import (
+        ShardedBlockSweepSearcher,
+        ShardedTreeXHybridSearcher,
+    )
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ScannError.failed_precondition(
+                f"unsupported layout format {meta.get('format_version')}")
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+    kind = meta.get("sharded_kind")
+    if cls is None:
+        cls = {"tree_ah": ShardedTreeXHybridSearcher,
+               "block_sweep": ShardedBlockSweepSearcher}.get(kind)
+        if cls is None:
+            raise ScannError.unimplemented(
+                f"unknown sharded layout kind {kind!r}")
+
+    inner = _deserialize_index(
+        meta["inner"],
+        {k[len("inner__"):]: v for k, v in arrays.items()
+         if k.startswith("inner__")})
+    dtypes = meta.get("layout_dtypes", {})
+    layout = {}
+    for k, v in arrays.items():
+        if k.startswith("layout__"):
+            name = k[len("layout__"):]
+            layout[name] = _dtype_safe_load(v, dtypes.get(name, str(v.dtype)))
+    layout["n_sh"] = meta["layout_n_sh"]
+    mesh = mesh or make_mesh(axis_names=("db",))
+    if kind == "tree_ah":
+        layout["l_cap"] = meta["layout_l_cap"]
+        return cls(inner, mesh, force_kernel=force_kernel, layout=layout)
+    layout["blk"] = meta["layout_blk"]
+    layout["aug_sn"] = meta["layout_aug_sn"]
+    layout["dequant"] = meta["layout_dequant"]
+    if not meta.get("layout_has_inv", False):
+        layout["inv"] = None
+    return cls(inner, mesh, layout=layout)

@@ -554,12 +554,29 @@ def build_allow_penalty(mask, n_pad: int, r: int, inv_perm=None,
 
 
 def sweep_block_candidates(q_aug, db_aug, *, pre_k: int, r: int, tile_n: int,
-                           interpret: bool, penalty=None):
+                           interpret: bool, penalty=None,
+                           top2: bool = False):
     """Block-min sweep over (a shard block of) the augmented rows ->
     (pv [B, pre_k] raw sweep scores f32, cand [B, pre_k] int32 local row
     indices). Picks the transpose-free q-major kernel when supported (TPU
     serving path), else the row-major + transpose formulation. Shared by
-    the single-device pipeline and the sharded wrapper's shard body."""
+    the single-device pipeline and the sharded wrapper's shard body.
+
+    ``top2=True`` keeps the TWO smallest per selected block (tournament
+    kernel), returning [B, 2*pre_k] pv/cand — removes the
+    one-candidate-per-block collision ceiling at the cost of doubled
+    block-minima writes and re-rank width."""
+    if top2:
+        v1, l1, v2, l2 = block_min2_sweep_pallas(
+            q_aug, db_aug, tile_n=tile_n, r=r, interpret=interpret,
+            penalty=penalty)
+        pv1, blk = approx_top_k_smallest(v1.T, pre_k)    # [B, pre_k]
+        loc1 = jnp.take_along_axis(l1.T, blk, axis=1)
+        pv2 = jnp.take_along_axis(v2.T, blk, axis=1)
+        loc2 = jnp.take_along_axis(l2.T, blk, axis=1)
+        pv = jnp.concatenate([pv1, pv2], axis=1)         # [B, 2*pre_k]
+        cand = jnp.concatenate([blk * r + loc1, blk * r + loc2], axis=1)
+        return pv, cand
     if not interpret and qmajor_supported(db_aug.shape[0],
                                           q_aug.shape[0], r):
         # TPU path only: XLA:CPU (interpret mode) miscompiles the fold
@@ -636,21 +653,9 @@ def sweep_search_kernel(
     else:
         q_aug = _augment_queries(queries, measure, d1)
         mask_cut = BLOCK_MASK_VALUE / 2
-    if top2:
-        v1, l1, v2, l2 = block_min2_sweep_pallas(
-            q_aug, db_aug, tile_n=tile_n, r=r, interpret=interpret,
-            penalty=allow_pen)
-        pv1, blk = approx_top_k_smallest(v1.T, pre_k)    # [B, pre_k]
-        loc1 = jnp.take_along_axis(l1.T, blk, axis=1)
-        pv2 = jnp.take_along_axis(v2.T, blk, axis=1)
-        loc2 = jnp.take_along_axis(l2.T, blk, axis=1)
-        pv = jnp.concatenate([pv1, pv2], axis=1)         # [B, 2*pre_k]
-        cand = jnp.concatenate(
-            [blk * r + loc1, blk * r + loc2], axis=1)
-    else:
-        pv, cand = sweep_block_candidates(q_aug, db_aug, pre_k=pre_k, r=r,
-                                          tile_n=tile_n, interpret=interpret,
-                                          penalty=allow_pen)
+    pv, cand = sweep_block_candidates(q_aug, db_aug, pre_k=pre_k, r=r,
+                                      tile_n=tile_n, interpret=interpret,
+                                      penalty=allow_pen, top2=top2)
 
     if inv_perm is not None:
         # stored positions are (id * stride) % n_valid; resolve true ids via

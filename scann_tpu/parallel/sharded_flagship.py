@@ -61,7 +61,7 @@ from scann_tpu.ops.topk import (
     top_k_smallest,
     top_k_unique,
 )
-from scann_tpu.parallel.mesh import make_mesh, replicate
+from scann_tpu.parallel.mesh import make_mesh, replicate, shard_rows
 from scann_tpu.types import MASKED_DISTANCE, align_up
 
 
@@ -366,7 +366,8 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                            q_cap: int = 8, l_tile: int = 512,
                            with_mask: bool = False,
                            db_axis: str = "db",
-                           dequant=None):
+                           dequant=None,
+                           packed: bool = False):
     """fn(centers, codebook, codes, offsets [Sh,K], sizes [Sh,K],
     perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries[, allow_mask
     replicated [N]], pre_eps, post_eps) -> (dists, idx).
@@ -418,7 +419,10 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         parts = _select_partitions(centers, queries, p=p,
                                    approx_min=approx_select_min,
                                    measure=measure)
-        s_pad = codes.shape[0] if use_grouped else codes.shape[1]
+        if use_grouped:
+            s_pad = (2 * codes.shape[0]) if packed else codes.shape[0]
+        else:
+            s_pad = codes.shape[1]
         luts_flat = _residual_luts(queries, centers, parts, codebook,
                                    s_pad=s_pad, use_residuals=use_residuals,
                                    measure=measure)
@@ -427,7 +431,7 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
             flat_scores, rows_il = leaf_scores_grouped(
                 luts_flat, parts, codes, offsets, sizes,
                 p=p, l_cap=l_cap, q_cap=q_cap, l_tile=l_tile,
-                interpret=not _on_tpu())
+                interpret=not _on_tpu(), packed=packed)
         else:
             flat_scores, rows_il = leaf_scores_xla(
                 luts_flat, parts, codes, offsets, sizes,
@@ -478,6 +482,195 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
     return jax.jit(_kern)
 
 
+def sharded_assign_kernel(mesh: Mesh, db_axis: str = "db"):
+    """fn(data [N,D] row-sharded, centers [K,D] replicated) -> tokens [N]
+    row-sharded int32 — each shard assigns its own rows (distance matmul +
+    argmin, trees/kmeans.assign_clusters), no row ever moves."""
+    from scann_tpu.trees.kmeans import assign_clusters
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(db_axis, None), P(None, None)),
+        out_specs=P(db_axis),
+        check_vma=False,
+    )
+    def _assign(data_blk, centers):
+        a, _ = assign_clusters(data_blk, centers)
+        return a.astype(jnp.int32)
+
+    return jax.jit(_assign)
+
+
+def sharded_residual_encode_kernel(mesh: Mesh, db_axis: str = "db"):
+    """fn(data [N,D] row-sharded, centers [K,D] replicated, tokens [N]
+    row-sharded, codebook [S,C,dsub] replicated) -> codes [N,S] row-sharded
+    uint8. Each shard computes its rows' residuals against their assigned
+    centroid and PQ-encodes them locally (hashes/codebook.encode_kernel) —
+    the full residual tensor never exists anywhere."""
+    from scann_tpu.hashes.codebook import encode_kernel
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(db_axis, None), P(None, None), P(db_axis),
+                  P(None, None, None)),
+        out_specs=P(db_axis, None),
+        check_vma=False,
+    )
+    def _encode(data_blk, centers, tokens_blk, codebook):
+        resid = data_blk - jnp.take(centers, tokens_blk, axis=0)
+        return encode_kernel(resid, codebook).astype(jnp.uint8)
+
+    return jax.jit(_encode)
+
+
+def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
+                          force_kernel: Optional[str] = None,
+                          verbose: bool = False):
+    """Build tree-×-AH end-to-end with the database only ever ROW-SHARDED
+    (VERDICT r3 next #2): no single device ever holds the full dataset, so
+    the N-chip capacity the sharded wrapper serves is also buildable.
+
+    Stages (SURVEY §7 step 8; single-device analog:
+    models/tree_x_hybrid.TreeXHybridSearcher.build):
+
+      1. k-means init on a host sample (k-means++, trees/kmeans.KMeans)
+         — the sample is small by construction;
+      2. Lloyd refinement over the FULL row-sharded data via
+         parallel/sharded.sharded_kmeans_step (per-shard one-hot
+         segment-sums, psum over ICI), empty clusters reseeded from
+         random rows (reference: kmeans.rs:405-410);
+      3. per-shard token assignment (sharded_assign_kernel);
+      4. PQ codebook trained on a host residual sample;
+      5. per-shard residual encode into uint8 codes
+         (sharded_residual_encode_kernel) — only the [N, S] code bytes
+         come back to host for the CSR layout, never the residuals;
+      6. the per-shard CSR serving layout (ShardedTreeXHybridSearcher).
+
+    Spilling/SOAR multi-assignment and the LBG balance rounds are
+    single-device build features (partitioning/tree_partitioner.py) not yet
+    reproduced sharded; configs requesting them are rejected loudly.
+
+    Returns a serving ShardedTreeXHybridSearcher whose ``_inner`` holds the
+    trained artifacts (partitioner, codebook, per-assignment codes), so
+    io.py and every single-device tool keep working.
+    """
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.hashes.codebook import Codebook, CodebookConfig
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridSearcher
+    from scann_tpu.partitioning.partitioner import DatabaseTokenization
+    from scann_tpu.partitioning.tree_partitioner import (
+        TreePartitioner,
+        TreePartitionerConfig,
+    )
+    from scann_tpu.parallel.sharded import sharded_kmeans_step
+    from scann_tpu.trees.kmeans import KMeans, KMeansConfig, KMeansInit
+
+    cfg = config
+    if cfg.spilling:
+        raise ScannError.unimplemented(
+            "sharded build does not support spilling/SOAR yet; build "
+            "single-device and wrap, or disable spilling")
+    if cfg.partition_num_levels > 1:
+        raise ScannError.unimplemented(
+            "sharded build supports flat partitioning only (num_levels=1)")
+    mesh = mesh or make_mesh(axis_names=("db",))
+    if dataset.is_empty:
+        raise ScannError.invalid_argument("Cannot build from empty dataset")
+    if cfg.distance_measure == DistanceMeasure.COSINE:
+        raw = dataset.numpy()
+        norms = np.sqrt(np.einsum("nd,nd->n", raw, raw))
+        dataset = DenseDataset(
+            (raw / np.maximum(norms, 1e-30)[:, None]).astype(np.float32),
+            docids=dataset.docids)
+    data = dataset.numpy()
+    n, d = data.shape
+    kparts = min(cfg.num_partitions, n)
+    seed = cfg.hash_config.seed if cfg.hash_config.seed is not None else 42
+    rng = np.random.default_rng(seed)
+
+    # 1. init centers from a host sample (sample-Lloyd = the init, like the
+    # single-device training_sample_size path)
+    sample_n = cfg.partition_training_sample_size or min(
+        n, max(100 * kparts, 10_000))
+    sample_idx = (rng.choice(n, sample_n, replace=False) if sample_n < n
+                  else np.arange(n))
+    km = KMeans(KMeansConfig(
+        num_clusters=kparts, max_iterations=cfg.partition_max_iterations,
+        convergence_threshold=cfg.partition_convergence_threshold,
+        init_method=KMeansInit.KMEANS_PLUS_PLUS, seed=seed))
+    centers = km.fit(data[sample_idx]).centers.astype(np.float32)
+
+    # 2. Lloyd refinement over the full sharded data
+    data_sh, n_real = shard_rows(mesh, data)
+    step = sharded_kmeans_step(mesh, k=kparts)
+    cent_dev = jnp.asarray(centers)
+    prev_inertia = np.inf
+    for it in range(max(int(cfg.partition_max_iterations), 1)):
+        cent_dev, counts, inertia = step(data_sh, cent_dev,
+                                         jnp.int32(n_real))
+        counts_np = np.asarray(counts)
+        empties = np.nonzero(counts_np == 0)[0]
+        if len(empties):
+            # reseed empty clusters from random rows (kmeans.rs:405-410)
+            cent_np = np.asarray(cent_dev)
+            cent_np[empties] = data[rng.integers(0, n, len(empties))]
+            cent_dev = jnp.asarray(cent_np)
+        inertia = float(inertia)
+        if verbose:
+            print(f"sharded-build lloyd it={it} inertia={inertia:.4g}")
+        if np.isfinite(prev_inertia) and (prev_inertia - inertia) <= \
+                abs(prev_inertia) * cfg.partition_convergence_threshold:
+            break
+        prev_inertia = inertia
+    centers = np.asarray(cent_dev)
+
+    # 3. per-shard assignment
+    tokens = np.asarray(
+        sharded_assign_kernel(mesh)(data_sh, cent_dev))[:n]
+
+    tp = TreePartitioner(TreePartitionerConfig(
+        num_partitions=kparts, seed=seed,
+        distance_measure=cfg.distance_measure))
+    tp.centers = centers
+    tp.tokenization = DatabaseTokenization(tokens, kparts)
+
+    # 4. PQ codebook on a host residual sample
+    hc = cfg.hash_config
+    hs = min(hc.training_sample_size, n)
+    h_idx = (rng.choice(n, hs, replace=False) if hs < n else np.arange(n))
+    resid_sample = (data[h_idx] - centers[tokens[h_idx]]
+                    if cfg.use_residuals else data[h_idx])
+    codebook = Codebook(CodebookConfig(
+        num_codes=hc.num_codes, num_subspaces=hc.num_subspaces,
+        max_iterations=hc.max_iterations, seed=hc.seed,
+        anisotropic_threshold=hc.anisotropic_threshold,
+    )).train(resid_sample,
+             directions=data[h_idx] if hc.anisotropic_threshold is not None
+             and cfg.use_residuals else None)
+
+    # 5. per-shard residual encode (codes come back as [N, S] bytes)
+    tok_dev = jax.device_put(
+        np.pad(tokens, (0, data_sh.shape[0] - n)),
+        NamedSharding(mesh, P("db")))
+    enc_tokens = tok_dev if cfg.use_residuals else jnp.zeros_like(tok_dev)
+    enc_centers = (cent_dev if cfg.use_residuals
+                   else jnp.zeros_like(cent_dev))
+    codes = np.asarray(sharded_residual_encode_kernel(mesh)(
+        data_sh, enc_centers, enc_tokens,
+        codebook.centroids_device()))[:n].astype(np.uint8)
+
+    # 6. assemble the inner searcher (artifacts only — no single-device
+    # serving slab is ever built; the sharded wrapper lays out per shard)
+    inner = TreeXHybridSearcher(cfg)
+    inner._dataset = dataset
+    inner.partitioner = tp
+    inner.codebook = codebook
+    # per-assignment CSR row order (no spilling -> one row per point)
+    inner.codes = codes[tp.tokenization.point_indices]
+    return ShardedTreeXHybridSearcher(inner, mesh,
+                                      force_kernel=force_kernel)
+
+
 def _bin_pack_partitions(sizes: np.ndarray, n_shards: int) -> np.ndarray:
     """Greedy largest-first bin packing; returns shard id per partition."""
     order = np.argsort(-sizes.astype(np.int64), kind="stable")
@@ -490,14 +683,81 @@ def _bin_pack_partitions(sizes: np.ndarray, n_shards: int) -> np.ndarray:
     return owner
 
 
+def _compute_tree_shard_layout(searcher, n_sh: int) -> dict:
+    """Per-shard host CSR layout for ShardedTreeXHybridSearcher: partitions
+    bin-packed by size, each shard's codes + rerank rows in local CSR
+    order. The canonical code slab is UNPACKED row-major [Sh, L_sh, S] —
+    platform-specific packing/transposition happens at device upload, so a
+    saved layout serves both kernels. This per-partition Python loop (plus
+    the rerank encode) is the serving-restart cost warm start skips."""
+    from scann_tpu.utils.reordering import rerank_codec
+
+    tk = searcher.partitioner.tokenization
+    data = searcher._dataset.numpy()
+    kparts = tk.num_partitions
+    sizes = tk.partition_sizes
+    owner = _bin_pack_partitions(sizes, n_sh)
+
+    l_tile = max(int(searcher.config.score_l_tile), 128)
+    l_cap = int(align_up(max(tk.max_partition_size, 8), l_tile))
+    s = searcher.codes.shape[1]
+    d = data.shape[1]
+
+    per_shard = []
+    for sh in range(n_sh):
+        mine = np.nonzero(owner == sh)[0]
+        off_local = np.zeros(kparts, np.int32)
+        aligned = 0
+        blocks = []
+        for t in mine:
+            off_local[t] = aligned
+            aligned += int(align_up(max(int(sizes[t]), 1), 128))
+            blocks.append(t)
+        per_shard.append((blocks, off_local, aligned))
+    l_sh = int(align_up(max(a for _, _, a in per_shard) + l_cap, 8))
+
+    # rerank copy in the wrapped searcher's configured dtype: the
+    # [Sh, L_sh, D] raw-row slab is the dominant per-shard allocation
+    # (same lever as single-device rerank_dtype; codec shared via
+    # rerank_codec; docs/DESIGN.md "HBM budget at scale")
+    rdt = getattr(searcher.config, "rerank_dtype", "float32")
+    db_dt, encode, _ = rerank_codec(data, len(data), rdt)
+
+    codes_sh = np.zeros((n_sh, l_sh, s), np.uint8)
+    perm_sh = np.zeros((n_sh, l_sh), np.int32)
+    db_sh = np.zeros((n_sh, l_sh, d), db_dt)
+    sizes_sh = np.zeros((n_sh, kparts), np.int32)
+    offs_sh = np.zeros((n_sh, kparts), np.int32)
+    csr_off = tk.offsets
+    for sh, (blocks, off_local, _) in enumerate(per_shard):
+        offs_sh[sh] = off_local
+        for t in blocks:
+            lo, sz = int(off_local[t]), int(sizes[t])
+            sizes_sh[sh, t] = sz
+            codes_sh[sh, lo : lo + sz] = \
+                searcher.codes[csr_off[t] : csr_off[t] + sz]
+            ids = tk.partition_indices(t)
+            perm_sh[sh, lo : lo + sz] = ids
+            db_sh[sh, lo : lo + sz] = encode(data[ids])
+    return {"codes": codes_sh, "perm": perm_sh, "db": db_sh,
+            "sizes": sizes_sh, "offs": offs_sh,
+            "l_cap": l_cap, "n_sh": n_sh}
+
+
 class ShardedTreeXHybridSearcher(Searcher):
     """Tree-×-AH served with partitions bin-packed across the mesh."""
 
     def __init__(self, searcher, mesh: Optional[Mesh] = None,
-                 force_kernel: Optional[str] = None):
+                 force_kernel: Optional[str] = None,
+                 layout: Optional[dict] = None):
         """Wrap a built single-device TreeXHybridSearcher. ``force_kernel``
         ("xla" | "grouped") overrides the platform-based choice (tests run
-        the grouped-MXU path in interpret mode on the CPU mesh)."""
+        the grouped-MXU path in interpret mode on the CPU mesh).
+
+        ``layout``: precomputed per-shard host layout (save_layout /
+        load_layout warm start) — skips the per-partition re-shard +
+        rerank re-encode loop, the dominant serving-restart cost at scale
+        (VERDICT r3 weak #5)."""
         if searcher.codebook is None:
             raise ScannError.failed_precondition("searcher not built")
         self._inner = searcher
@@ -508,76 +768,106 @@ class ShardedTreeXHybridSearcher(Searcher):
         else:
             self._use_grouped = _on_tpu()
 
-        tk = searcher.partitioner.tokenization
-        data = searcher._dataset.numpy()
-        kparts = tk.num_partitions
-        sizes = tk.partition_sizes
-        owner = _bin_pack_partitions(sizes, n_sh)
-
-        l_tile = max(int(searcher.config.score_l_tile), 128)
-        self._l_cap = int(align_up(max(tk.max_partition_size, 8), l_tile))
+        # packed int4 slab (same condition + layout as the single-device
+        # _csr_state: grouped kernel + 4-bit codes, config override)
         s = searcher.codes.shape[1]
-        s_pad = int(align_up(s, 32))
-        d = data.shape[1]
+        pc = getattr(searcher.config, "pack_codes", None)
+        self._packed = (self._use_grouped
+                        and searcher.config.hash_config.num_codes <= 16
+                        and (pc is None or bool(pc)))
 
-        # per-shard aligned CSR layouts, padded to a common length
-        per_shard = []
-        for sh in range(n_sh):
-            mine = np.nonzero(owner == sh)[0]
-            off_local = np.zeros(kparts, np.int32)
-            aligned = 0
-            blocks = []
-            for t in mine:
-                off_local[t] = aligned
-                aligned += int(align_up(max(int(sizes[t]), 1), 128))
-                blocks.append(t)
-            per_shard.append((blocks, off_local, aligned))
-        l_sh = int(align_up(max(a for _, _, a in per_shard) + self._l_cap, 8))
-
-        # rerank copy in the wrapped searcher's configured dtype: the
-        # [Sh, L_sh, D] raw-row slab is the dominant per-shard allocation
-        # (same lever as single-device rerank_dtype; codec shared via
-        # rerank_codec; docs/DESIGN.md "HBM budget at scale")
         from scann_tpu.utils.reordering import rerank_codec, rerank_norms_fn
 
+        data = searcher._dataset.numpy()
         rdt = getattr(searcher.config, "rerank_dtype", "float32")
-        db_dt, encode, self._dequant = rerank_codec(data, len(data), rdt)
+        _, _, self._dequant = rerank_codec(data, len(data), rdt)
 
-        codes_sh = np.zeros((n_sh, l_sh, s_pad), np.uint8)
-        perm_sh = np.zeros((n_sh, l_sh), np.int32)
-        db_sh = np.zeros((n_sh, l_sh, d), db_dt)
-        sizes_sh = np.zeros((n_sh, kparts), np.int32)
-        offs_sh = np.zeros((n_sh, kparts), np.int32)
-        csr_off = tk.offsets
-        for sh, (blocks, off_local, _) in enumerate(per_shard):
-            offs_sh[sh] = off_local
-            for t in blocks:
-                lo, sz = int(off_local[t]), int(sizes[t])
-                sizes_sh[sh, t] = sz
-                codes_sh[sh, lo : lo + sz, :s] = \
-                    searcher.codes[csr_off[t] : csr_off[t] + sz]
-                ids = tk.partition_indices(t)
-                perm_sh[sh, lo : lo + sz] = ids
-                db_sh[sh, lo : lo + sz] = encode(data[ids])
+        if layout is None:
+            layout = _compute_tree_shard_layout(searcher, n_sh)
+        elif int(layout["n_sh"]) != n_sh:
+            raise ScannError.invalid_argument(
+                f"saved layout was computed for {layout['n_sh']} shards, "
+                f"mesh has {n_sh}")
+        self._l_cap = int(layout["l_cap"])
+        codes_sh = layout["codes"]
 
         put = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
         if self._use_grouped:
+            if self._packed:
+                # low-nibble-first pairs (reference lut16.rs:43-61): the
+                # per-shard slab halves, so N-shard capacity doubles too.
+                # The canonical layout stores unpacked S columns; pad to
+                # 2*align_up(ceil(S/2),8) (Mosaic DMA sublane alignment)
+                # then pack — one vectorized op, not the per-partition
+                # loop the warm start skips
+                s_cols = 2 * int(align_up((s + 1) // 2, 8))
+                if codes_sh.shape[2] != s_cols:
+                    codes_sh = np.concatenate(
+                        [codes_sh,
+                         np.zeros(codes_sh.shape[:2]
+                                  + (s_cols - codes_sh.shape[2],), np.uint8)],
+                        axis=2)
+                codes_sh = (codes_sh[:, :, 0::2] | (codes_sh[:, :, 1::2] << 4))
+            else:
+                s_pad = int(align_up(s, 32))
+                if codes_sh.shape[2] != s_pad:
+                    codes_sh = np.concatenate(
+                        [codes_sh,
+                         np.zeros(codes_sh.shape[:2]
+                                  + (s_pad - codes_sh.shape[2],), np.uint8)],
+                        axis=2)
             # transposed [Sh, S_pad, L_sh] slab for the grouped Pallas DMA
             self._codes = put(np.ascontiguousarray(
                 codes_sh.transpose(0, 2, 1)), P("db", None, None))
         else:
+            s_pad = int(align_up(s, 32))
+            if codes_sh.shape[2] != s_pad:
+                codes_sh = np.concatenate(
+                    [codes_sh,
+                     np.zeros(codes_sh.shape[:2] + (s_pad - codes_sh.shape[2],),
+                              np.uint8)], axis=2)
             self._codes = put(codes_sh, P("db", None, None))
-        self._perm = put(perm_sh, P("db", None))
-        self._db = put(db_sh, P("db", None, None))
+        self._perm = put(layout["perm"], P("db", None))
+        self._db = put(layout["db"], P("db", None, None))
         self._norms = rerank_norms_fn(
             self._dequant,
             out_shardings=NamedSharding(self.mesh, P("db", None)))(self._db)
-        self._sizes = put(sizes_sh, P("db", None))
-        self._offs = put(offs_sh, P("db", None))
+        self._sizes = put(layout["sizes"], P("db", None))
+        self._offs = put(layout["offs"], P("db", None))
         self._cent = replicate(self.mesh, searcher.partitioner.centers_device())
         self._cb = replicate(self.mesh, searcher.codebook.centroids_device())
         self._kernels = {}
+
+    def save_layout(self, path: str) -> None:
+        """Persist the per-shard serving layout + the inner searcher's
+        trained artifacts to one .npz — a serving restart then skips the
+        re-shard + rerank re-encode (load_layout). The layout is
+        recomputed here (build-session one-time cost) rather than retained
+        in host RAM between searches."""
+        from scann_tpu.io import save_sharded_layout
+
+        save_sharded_layout(path, self)
+
+    @classmethod
+    def load_layout(cls, path: str, mesh: Optional[Mesh] = None,
+                    force_kernel: Optional[str] = None):
+        """Restore a wrapper saved with save_layout: artifacts + per-shard
+        slabs load straight from disk into the sharded device layout."""
+        from scann_tpu.io import load_sharded_layout
+
+        return load_sharded_layout(path, cls, mesh=mesh,
+                                   force_kernel=force_kernel)
+
+    @classmethod
+    def build(cls, dataset, config, mesh: Optional[Mesh] = None,
+              force_kernel: Optional[str] = None, verbose: bool = False):
+        """Build end-to-end with the database only ever row-sharded over
+        ``mesh`` (no single-device index materialization) — see
+        sharded_tree_ah_build."""
+        return sharded_tree_ah_build(dataset, config, mesh,
+                                     force_kernel=force_kernel,
+                                     verbose=verbose)
 
     def dataset_size(self) -> int:
         return self._inner.dataset_size()
@@ -633,7 +923,7 @@ class ShardedTreeXHybridSearcher(Searcher):
                 approx_select_min=cfg.approx_selection_min_partitions,
                 use_grouped=self._use_grouped, q_cap=cfg.group_q_cap,
                 l_tile=cfg.score_l_tile, with_mask=with_mask,
-                dequant=self._dequant)
+                dequant=self._dequant, packed=self._packed)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._cent, self._cb, self._codes, self._offs, self._sizes,
                 self._perm, self._db, self._norms, q]
@@ -658,7 +948,8 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
                                tile_n: int, int8_sweep: bool,
                                aug_sn: float = 0.0,
                                db_axis: str = "db", dequant=None,
-                               with_mask: bool = False):
+                               with_mask: bool = False,
+                               top2: bool = False):
     """fn(aug [N_pad, D1] row-sharded, rdb [N_pad, Dp] row-sharded (SAME
     permuted row order as aug, so re-rank gathers stay local), norms [N_pad]
     sharded, queries replicated[, aug_scales replicated][, allow_pen
@@ -718,7 +1009,7 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
         pv, cand = sweep_block_candidates(q_aug, aug_blk, pre_k=pk, r=r,
                                           tile_n=tile_n,
                                           interpret=not _on_tpu(),
-                                          penalty=pen_blk)
+                                          penalty=pen_blk, top2=top2)
         approx = sweep_approx_in_measure_units(pv, queries, measure)
         pre_valid = (pv < mask_cut) & (approx <= pre_eps)
 
@@ -731,12 +1022,70 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
         nrm = jnp.take(norms_blk, safe, axis=0)
         exact = gathered_distances(measure, queries, rows, nrm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
-        vals, pos = top_k_smallest(exact, min(k, pk))
+        vals, pos = top_k_smallest(exact, min(k, pk * (2 if top2 else 1)))
         idx = jnp.take_along_axis(cand, pos, axis=1) + row0
         idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
         return _merge_partials(vals, idx, k, 1, post_eps, db_axis)
 
     return jax.jit(_kern)
+
+
+def _compute_sweep_shard_layout(sweep, n_sh: int) -> dict:
+    """Per-shard host layout for ShardedBlockSweepSearcher: the augmented
+    sweep copy (bf16 or int8) and the permuted rerank rows, block-padded to
+    the mesh size. This host build (augment + shuffle + rerank encode) is
+    the serving-restart cost warm start skips."""
+    from scann_tpu.ops.sweep_pallas import (
+        build_augmented_db,
+        build_int8_augmented_db,
+        qmajor_step_rows,
+        shuffle_stride_for,
+    )
+    from scann_tpu.utils.reordering import encode_rerank_rows, rerank_codec
+
+    cfg = sweep._config
+    data = sweep.dataset.numpy()
+    n = sweep.dataset_size()
+
+    # per-shard blocks: a tile_n multiple that also covers the q-major
+    # step, so every shard runs the same kernel the single device does
+    unit = cfg.tile_n * (-(-qmajor_step_rows(cfg.block_r) // cfg.tile_n))
+    per_shard = -(-n // n_sh)
+    blk = int(align_up(per_shard, unit))
+    n_pad = n_sh * blk
+
+    if cfg.shuffle and n > 1:
+        stride = shuffle_stride_for(n)
+        pos = (np.arange(n, dtype=np.int64) * stride) % n
+        inv = np.empty(n, np.int32)
+        inv[pos] = np.arange(n, dtype=np.int32)
+    else:
+        stride, inv = 0, None
+
+    out = {"blk": blk, "n_sh": n_sh, "inv": inv, "aug_sn": 0.0,
+           "dequant": None}
+    if cfg.sweep_dtype == "int8":
+        aug, scales, sn = build_int8_augmented_db(
+            data, n, cfg.distance_measure, tile_n=blk, shuffle_stride=stride,
+            pad_rows_to=n_pad)
+        out["aug_scales"] = np.asarray(scales)
+        out["aug_sn"] = float(sn)
+    else:
+        aug = build_augmented_db(
+            data, n, cfg.distance_measure, tile_n=blk, shuffle_stride=stride,
+            pad_rows_to=n_pad)
+    out["aug"] = np.asarray(aug)
+
+    # rerank rows in the SAME permuted order as the augmented copy, so
+    # each shard re-ranks its own candidates locally
+    data_perm = data if inv is None else data[inv]
+    db_dt, encode, dequant = rerank_codec(data_perm, n, cfg.rerank_dtype)
+    if dequant is not None:
+        out["dequant"] = (float(dequant[0]), float(dequant[1]))
+    rdb = np.zeros((n_pad, data.shape[1]), db_dt)
+    encode_rerank_rows(rdb, data_perm, n, encode)
+    out["rdb"] = rdb
+    return out
 
 
 class ShardedBlockSweepSearcher(Searcher):
@@ -746,80 +1095,63 @@ class ShardedBlockSweepSearcher(Searcher):
     and hold N x the rows; BENCH_NOTES 'only multi-chip sharding moves
     it'). Wraps a single-device BlockSweepSearcher's config + dataset."""
 
-    def __init__(self, sweep, mesh: Optional[Mesh] = None):
+    def __init__(self, sweep, mesh: Optional[Mesh] = None,
+                 layout: Optional[dict] = None):
         from scann_tpu.models.block_sweep import BlockSweepSearcher
-        from scann_tpu.ops.sweep_pallas import (
-            build_augmented_db,
-            build_int8_augmented_db,
-            qmajor_step_rows,
-            shuffle_stride_for,
-        )
-        from scann_tpu.utils.reordering import (
-            encode_rerank_rows,
-            rerank_codec,
-            rerank_norms_fn,
-        )
+        from scann_tpu.utils.reordering import rerank_norms_fn
 
         if not isinstance(sweep, BlockSweepSearcher):
             raise ScannError.invalid_argument(
                 "ShardedBlockSweepSearcher wraps a BlockSweepSearcher")
         cfg = sweep._config
-        if cfg.top2:
-            raise ScannError.unimplemented(
-                "sharded block sweep does not support top2 yet")
         self._cfg = cfg
         self._measure = cfg.distance_measure
         self._inner = sweep
         self.mesh = mesh or make_mesh(axis_names=("db",))
         n_sh = self.mesh.shape["db"]
-        data = sweep.dataset.numpy()
-        n = sweep.dataset_size()
-        self._n = n
+        self._n = sweep.dataset_size()
 
-        # per-shard blocks: a tile_n multiple that also covers the q-major
-        # step, so every shard runs the same kernel the single device does
-        unit = cfg.tile_n * (-(-qmajor_step_rows(cfg.block_r) // cfg.tile_n))
-        per_shard = -(-n // n_sh)
-        blk = int(align_up(per_shard, unit))
-        n_pad = n_sh * blk
-        self._blk = blk
-
-        if cfg.shuffle and n > 1:
-            stride = shuffle_stride_for(n)
-            pos = (np.arange(n, dtype=np.int64) * stride) % n
-            inv = np.empty(n, np.int32)
-            inv[pos] = np.arange(n, dtype=np.int32)
-            self._inv = inv
-        else:
-            stride, self._inv = 0, None
+        if layout is None:
+            layout = _compute_sweep_shard_layout(sweep, n_sh)
+        elif int(layout["n_sh"]) != n_sh:
+            raise ScannError.invalid_argument(
+                f"saved layout was computed for {layout['n_sh']} shards, "
+                f"mesh has {n_sh}")
+        self._blk = int(layout["blk"])
+        self._inv = layout.get("inv")
+        self._aug_sn = float(layout.get("aug_sn", 0.0))
+        # int8 rerank codec params travel in the layout (derived from the
+        # full permuted data at layout-compute time); None for f32/bf16
+        self._dequant = layout.get("dequant")
+        if self._dequant is not None:
+            self._dequant = (np.float32(self._dequant[0]),
+                             np.float32(self._dequant[1]))
 
         sh = lambda a, spec: jax.device_put(a, NamedSharding(self.mesh, spec))
         self._aug_scales = None
-        self._aug_sn = 0.0
         if cfg.sweep_dtype == "int8":
-            aug, scales, sn = build_int8_augmented_db(
-                data, n, self._measure, tile_n=blk, shuffle_stride=stride,
-                pad_rows_to=n_pad)
-            self._aug_scales = replicate(self.mesh, jnp.asarray(scales))
-            self._aug_sn = sn
-        else:
-            aug = build_augmented_db(
-                data, n, self._measure, tile_n=blk, shuffle_stride=stride,
-                pad_rows_to=n_pad)
-        self._aug = sh(jnp.asarray(aug), P("db", None))
-
-        # rerank rows in the SAME permuted order as the augmented copy, so
-        # each shard re-ranks its own candidates locally
-        data_perm = data if self._inv is None else data[self._inv]
-        db_dt, encode, self._dequant = rerank_codec(data_perm, n,
-                                                    cfg.rerank_dtype)
-        rdb = np.zeros((n_pad, data.shape[1]), db_dt)
-        encode_rerank_rows(rdb, data_perm, n, encode)
-        self._rdb = sh(jnp.asarray(rdb), P("db", None))
+            self._aug_scales = replicate(self.mesh,
+                                         jnp.asarray(layout["aug_scales"]))
+        self._aug = sh(jnp.asarray(layout["aug"]), P("db", None))
+        self._rdb = sh(jnp.asarray(layout["rdb"]), P("db", None))
         self._norms = rerank_norms_fn(
             self._dequant,
             out_shardings=NamedSharding(self.mesh, P("db")))(self._rdb)
         self._kernels = {}
+
+    def save_layout(self, path: str) -> None:
+        """Persist the per-shard layout (augmented sweep copy + permuted
+        rerank rows) + the inner searcher so a restart skips the rebuild
+        (VERDICT r3 weak #5)."""
+        from scann_tpu.io import save_sharded_layout
+
+        save_sharded_layout(path, self)
+
+    @classmethod
+    def load_layout(cls, path: str, mesh: Optional[Mesh] = None):
+        from scann_tpu.io import load_sharded_layout
+
+        return load_sharded_layout(path, cls, mesh=mesh)
 
     def dataset_size(self) -> int:
         return self._n
@@ -860,7 +1192,8 @@ class ShardedBlockSweepSearcher(Searcher):
                 self.mesh, pre_k=pre_k, k=k, measure=self._measure,
                 r=cfg.block_r, tile_n=cfg.tile_n,
                 int8_sweep=cfg.sweep_dtype == "int8", aug_sn=self._aug_sn,
-                dequant=self._dequant, with_mask=allow_mask is not None)
+                dequant=self._dequant, with_mask=allow_mask is not None,
+                top2=cfg.top2)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._aug, self._rdb, self._norms, q]
         if cfg.sweep_dtype == "int8":

@@ -129,3 +129,89 @@ def test_block_sweep_round_trip(tmp_path, rng):
     i2, d2 = s2.search_batched_arrays(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+# -- sharded serving-layout warm start (VERDICT r3 next #7) ------------------
+
+
+def test_sharded_tree_layout_round_trip(tmp_path):
+    """save_layout/load_layout: the restored sharded tree-AH serves the
+    same answers without recomputing the per-shard re-shard + re-encode."""
+    import time
+
+    from scann_tpu import SearchParameters
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel import sharded_flagship as sf
+    from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+    rng = np.random.default_rng(9)
+    db = rng.normal(size=(2000, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    inner = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=8, rerank_dtype="bfloat16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=4,
+                                           seed=0, max_iterations=4),
+    )).build(DenseDataset(db))
+    mesh = make_mesh(8, axis_names=("db",))
+    sh = ShardedTreeXHybridSearcher(inner, mesh)
+    path = str(tmp_path / "layout.npz")
+    sh.save_layout(path)
+
+    params = SearchParameters(pre_reordering_num_neighbors=64)
+    i1, d1 = sh.search_batched_arrays(q, 5, params)
+
+    # loading must NOT recompute the layout (the warm start's whole point)
+    calls = {"n": 0}
+    orig = sf._compute_tree_shard_layout
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    sf._compute_tree_shard_layout = counting
+    try:
+        sh2 = ShardedTreeXHybridSearcher.load_layout(path, mesh)
+    finally:
+        sf._compute_tree_shard_layout = orig
+    assert calls["n"] == 0
+    i2, d2 = sh2.search_batched_arrays(q, 5, params)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_sweep_layout_round_trip(tmp_path):
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel import sharded_flagship as sf
+    from scann_tpu.parallel.sharded_flagship import ShardedBlockSweepSearcher
+
+    rng = np.random.default_rng(9)
+    db = rng.normal(size=(3000, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    inner = BlockSweepSearcher(DenseDataset(db), BlockSweepConfig(
+        tile_n=256, block_r=8, pre_reorder_k=48, sweep_dtype="int8",
+        rerank_dtype="int8"))
+    mesh = make_mesh(8, axis_names=("db",))
+    sh = ShardedBlockSweepSearcher(inner, mesh)
+    path = str(tmp_path / "sweep_layout.npz")
+    sh.save_layout(path)
+    i1, d1 = sh.search_batched_arrays(q, 5)
+
+    calls = {"n": 0}
+    orig = sf._compute_sweep_shard_layout
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    sf._compute_sweep_shard_layout = counting
+    try:
+        sh2 = ShardedBlockSweepSearcher.load_layout(path, mesh)
+    finally:
+        sf._compute_sweep_shard_layout = orig
+    assert calls["n"] == 0
+    i2, d2 = sh2.search_batched_arrays(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)

@@ -455,6 +455,34 @@ def test_sharded_block_sweep_epsilons(data):
     assert (idx >= 0).sum() < (base_i >= 0).sum()
 
 
+def test_sharded_block_sweep_top2(data):
+    """top2 through the sharded sweep: the tournament kernel runs inside
+    each shard body (it is shard-local), so sharded top2 must match the
+    single-device top2 path and beat the top1 collision ceiling."""
+    db, q, ds, gt = data
+    single, sharded = _block_sweep_pair(ds, top2=True)
+    i1, d1 = single.search_batched_arrays(q, 10)
+    i2, d2 = sharded.search_batched_arrays(q, 10)
+    assert _recall(i2, gt) >= _recall(i1, gt) - 1e-9
+    assert _recall(i2, gt) >= 0.9
+    # exact reranked distances match GT distances for returned ids
+    de = ((q[:, None, :] - db[i2.clip(0)]) ** 2).sum(-1)
+    m = i2 >= 0
+    np.testing.assert_allclose(d2[m], de[m], rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_block_sweep_top2_narrow_prek(data):
+    """With pre_k too small for top1 to cover k block-collisions, top2's
+    second survivor per block recovers recall the top1 sweep cannot."""
+    db, q, ds, gt = data
+    s1, sh1 = _block_sweep_pair(ds)
+    s2, sh2 = _block_sweep_pair(ds, top2=True)
+    p = SearchParameters(pre_reordering_num_neighbors=12)
+    i1, _ = sh1.search_batched_arrays(q, 10, p)
+    i2, _ = sh2.search_batched_arrays(q, 10, p)
+    assert _recall(i2, gt) >= _recall(i1, gt) - 1e-9
+
+
 def test_sharded_block_sweep_no_shuffle(data):
     db, q, ds, gt = data
     single, sharded = _block_sweep_pair(ds, shuffle=False)
@@ -484,3 +512,68 @@ def test_sharded_block_sweep_allow_mask(data):
     # every shard keeps a full local pre_k: sharded recall >= single device
     assert r2 >= r1 - 1e-9
     assert r2 >= 0.9
+
+
+# -- sharded build ------------------------------------------------------------
+
+def test_sharded_build_end_to_end(data):
+    """ShardedTreeXHybridSearcher.build: k-means + assignment + PQ encode
+    all run with the database row-sharded (VERDICT r3 next #2). The built
+    index must (a) reach the recall a single-device build reaches at equal
+    knobs, and (b) serve answers identical to a single-device searcher
+    holding the SAME trained artifacts (serving equivalence isolated from
+    training-float-order drift)."""
+    db, q, ds, gt = data
+    cfg = TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12, spilling=False,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42, max_iterations=8))
+    mesh = make_mesh(8, axis_names=("db",))
+    sharded = ShardedTreeXHybridSearcher.build(ds, cfg, mesh)
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    i_sh, d_sh = sharded.search_batched_arrays(q, 10, params)
+    assert _recall(i_sh, gt) >= 0.9
+
+    # serving equivalence: single-device searcher over the same artifacts
+    single = sharded._inner
+    i_1, d_1 = single.search_batched_arrays(q, 10, params)
+    assert _recall(i_sh, i_1) >= 0.9
+    m = i_sh == i_1
+    np.testing.assert_allclose(d_sh[m], d_1[m], rtol=1e-4, atol=1e-4)
+
+    # codes really are per-shard encodes of the residuals: spot-check one
+    # point's code against the codebook argmin on host
+    tk = single.partitioner.tokenization
+    pt = int(tk.point_indices[0])
+    resid = db[pt] - single.partitioner.centers[tk.tokens[pt]]
+    cb = single.codebook
+    sub = resid.reshape(cb.num_subspaces, cb.dims_per_subspace)
+    want = np.argmin(((sub[:, None, :] - cb.centroids) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(single.codes[0], want.astype(np.uint8))
+
+
+def test_sharded_build_rejects_spilling(data):
+    db, q, ds, gt = data
+    from scann_tpu.errors import ScannError
+
+    cfg = TreeXHybridConfig(num_partitions=8, spilling=True)
+    with pytest.raises(ScannError):
+        ShardedTreeXHybridSearcher.build(ds, cfg,
+                                         make_mesh(8, axis_names=("db",)))
+
+
+def test_sharded_build_cosine(data):
+    db, q, ds, gt = data
+    gt_c, _ = BruteForceSearcher(
+        ds, distance_measure=DistanceMeasure.COSINE
+    ).search_batched_arrays(q, 10)
+    cfg = TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12,
+        distance_measure=DistanceMeasure.COSINE,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42, max_iterations=8))
+    sharded = ShardedTreeXHybridSearcher.build(
+        ds, cfg, make_mesh(8, axis_names=("db",)))
+    i_sh, d_sh = sharded.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(i_sh, gt_c) >= 0.9
