@@ -328,6 +328,23 @@ def build_index(algorithm: str, data: BenchmarkData, args) -> "object":
     return Scann(DenseDataset(data.train), cfg)
 
 
+_KIND_TO_ALGORITHM = {
+    "BruteForceSearcher": "brute-force",
+    "BlockSweepSearcher": "block-sweep",
+    "ScalarQuantizedBruteForceSearcher": "scalar-quantized",
+    "PartitionedSearcher": "partitioned",
+    "AsymmetricHasher": "hashed",
+    "TreeXHybridSearcher": "tree-ah",
+}
+
+
+def _algorithm_of(index) -> str:
+    """Reported algorithm derived from the searcher's actual type (a loaded
+    index must not inherit the CLI default, which could mislabel the JSON)."""
+    return _KIND_TO_ALGORITHM.get(type(index).__name__,
+                                  type(index).__name__)
+
+
 def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     rss0 = current_rss_bytes()
     t0 = time.perf_counter()
@@ -340,6 +357,21 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
         from scann_tpu.io import load_index
 
         index = load_index(loaded_from)
+        algorithm = _algorithm_of(index)
+        # Serving a loaded index against the wrong dataset (different --seed,
+        # --synthetic-train, or file) would score recall against ground truth
+        # for data the index never saw — a silently wrong report. Refuse.
+        if index.dataset_size() != len(data.train):
+            raise ValueError(
+                f"--load-index {loaded_from!r} holds {index.dataset_size()} "
+                f"points but the dataset has {len(data.train)}; the loaded "
+                "index does not match this dataset (check --seed / "
+                "--synthetic-train / --dataset)")
+        if index.dimensionality() != data.dimension:
+            raise ValueError(
+                f"--load-index {loaded_from!r} is {index.dimensionality()}-d "
+                f"but the dataset is {data.dimension}-d; the loaded index "
+                "does not match this dataset")
     else:
         index = build_index(algorithm, data, args)
     build_s = time.perf_counter() - t0

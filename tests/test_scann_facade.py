@@ -142,9 +142,32 @@ def test_harness_save_load_index_round_trip(tmp_path):
          "--load-index", path])
     served = run_benchmark("tree-ah", data, serve_args)
     assert served.index_loaded_from == path
+    assert served.algorithm == "tree-ah"
     assert served.recall_at_k == pytest.approx(built.recall_at_k)
-    # load is a deserialization, not a training run
-    assert served.build_seconds < built.build_seconds
+    # load is a deserialization, not a training run (generous bound: a tiny
+    # build can race a cold-filesystem load, so don't compare raw wall-clocks)
+    assert served.build_seconds < max(1.0, built.build_seconds)
+
+
+def test_harness_load_index_rejects_mismatched_dataset(tmp_path):
+    """--load-index against a dataset the index never indexed must fail loudly
+    instead of silently scoring recall against foreign ground truth."""
+    path = str(tmp_path / "idx.npz")
+    data = generate_synthetic_dataset(500, 24, 8, 10, 3, clustered=True)
+    build_args = make_parser().parse_args(
+        ["--algorithm", "brute-force", "--batch-size", "8",
+         "--save-index", path])
+    run_benchmark("brute-force", data, build_args)
+
+    serve_args = make_parser().parse_args(
+        ["--algorithm", "brute-force", "--batch-size", "8",
+         "--load-index", path])
+    other_n = generate_synthetic_dataset(600, 24, 8, 10, 3, clustered=True)
+    with pytest.raises(ValueError, match="does not match"):
+        run_benchmark("brute-force", other_n, serve_args)
+    other_d = generate_synthetic_dataset(500, 24, 16, 10, 3, clustered=True)
+    with pytest.raises(ValueError, match="does not match"):
+        run_benchmark("brute-force", other_d, serve_args)
 
 
 def test_harness_autotune_target():
