@@ -60,8 +60,20 @@ from scann_tpu.models.partitioned import PartitionedSearcher
 from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
 from scann_tpu.models.scann import Scann, ScannBuilder, SearchMode, auto_config
 from scann_tpu.models.sparse_brute_force import SparseBruteForceSearcher
-from scann_tpu.io import load_index, save_index
-from scann_tpu.utils.autotune import AutotuneResult, autotune
+from scann_tpu.io import (
+    load_index,
+    load_sharded_layout,
+    save_index,
+    save_sharded_layout,
+)
+from scann_tpu.utils.advisor import advise_build, advise_config, dataset_stats
+from scann_tpu.utils.autotune import (
+    AutotuneResult,
+    SweepAutotuneResult,
+    autotune,
+    autotune_block_sweep,
+)
+from scann_tpu.utils.chip_profile import ChipProfile, calibrate, load_profile
 
 __version__ = "0.1.0"
 
@@ -96,6 +108,16 @@ __all__ = [
     "SparseBruteForceSearcher",
     "save_index",
     "load_index",
+    "save_sharded_layout",
+    "load_sharded_layout",
     "autotune",
     "AutotuneResult",
+    "autotune_block_sweep",
+    "SweepAutotuneResult",
+    "advise_build",
+    "advise_config",
+    "dataset_stats",
+    "ChipProfile",
+    "calibrate",
+    "load_profile",
 ]

@@ -88,6 +88,10 @@ class BruteForceConfig(_JsonMixin):
     # dtype of the streamed sweep copy: "bfloat16" or "int8" (half the HBM
     # stream -> ~1.6x QPS at low batch; see BlockSweepConfig.sweep_dtype)
     block_sweep_dtype: str = "bfloat16"
+    # keep the TWO smallest per block (tournament kernel): removes the
+    # one-candidate-per-block collision ceiling — needed for recall
+    # targets >= 0.99 on near-duplicate-heavy data
+    block_sweep_top2: bool = False
 
     def with_scalar_quantization(self, bits: int = 8) -> "BruteForceConfig":
         self.scalar_quantization = True
@@ -95,10 +99,12 @@ class BruteForceConfig(_JsonMixin):
         return self
 
     def with_block_sweep(self, pre_k: int = 100,
-                         sweep_dtype: str = "bfloat16") -> "BruteForceConfig":
+                         sweep_dtype: str = "bfloat16",
+                         top2: bool = False) -> "BruteForceConfig":
         self.block_sweep = True
         self.block_sweep_pre_k = pre_k
         self.block_sweep_dtype = sweep_dtype
+        self.block_sweep_top2 = top2
         return self
 
 

@@ -178,3 +178,97 @@ def autotune(
         return AutotuneResult(best.params, best.recall, True, table)
     best = max(table, key=lambda e: (e.recall, -e.cost))
     return AutotuneResult(best.params, best.recall, False, table)
+
+
+@dataclasses.dataclass
+class SweepAutotuneResult:
+    """Cheapest block-sweep BUILD configuration meeting the target."""
+
+    config: "object"          # BlockSweepConfig to build with
+    params: SearchParameters  # serving params (pre_k)
+    recall: float
+    target_met: bool
+    table: List[Tuple[dict, float, float]]  # (knobs, recall, cost)
+
+
+def autotune_block_sweep(
+    dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    target_recall: float = 0.99,
+    r_grid: Sequence[int] = (32, 64),
+    dtype_grid: Sequence[str] = ("bfloat16", "int8"),
+    top2_options: Sequence[bool] = (False, True),
+    pre_k_grid: Optional[Sequence[int]] = None,
+    gt: Optional[np.ndarray] = None,
+    measure=None,
+) -> SweepAutotuneResult:
+    """Tune the block sweep's BUILD knobs (r, sweep_dtype, top2) plus the
+    serving pre_k (VERDICT r3 weak #4: these dominated the adversarial
+    pareto but were hand-set; ``autotune`` covers serving knobs only).
+
+    Each (r, dtype) pair costs one augmented-copy build — seconds, no
+    training — then every (top2, pre_k) point is one batched search.
+
+    Cost proxy, per batch of B queries (the measured structure,
+    BENCH_NOTES "sweep-dtype study" / "q-major kernel"):
+        stream        = N * (D+pad) * dtype_bytes   (HBM-bound, B-invariant)
+        minima        = (N/r) * B * minima_bytes    (x2 with top2)
+        rerank gather = pre_k * (2 if top2) * B * D * 4  (latency-bound)
+    Normalized per query at the sample's own B. Smaller r raises recall
+    (fewer block collisions) but pays more minima traffic; int8 halves the
+    stream at a small recall cost; top2 removes the collision ceiling at
+    doubled rerank width.
+    """
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.ops.distances import DistanceMeasure as DM
+
+    measure = measure if measure is not None else DM.SQUARED_L2
+    queries = np.asarray(queries, dtype=np.float32)
+    b = len(queries)
+    if gt is None:
+        gt, _ = BruteForceSearcher(dataset, measure).search_batched_arrays(
+            queries, k)
+    if pre_k_grid is None:
+        pre_k_grid = (max(k, 10), 32, 64, 100)
+    pre_k_grid = sorted({max(int(pk), k) for pk in pre_k_grid})
+    n = dataset.size
+    d = dataset.dimensionality
+
+    table: List[Tuple[dict, float, float]] = []
+    best_entry = None
+    for dtype in dtype_grid:
+        dtype_bytes = 1 if dtype == "int8" else 2
+        for r in r_grid:
+            cfg = BlockSweepConfig(
+                distance_measure=measure, block_r=int(r),
+                sweep_dtype=dtype, pre_reorder_k=max(pre_k_grid))
+            s = BlockSweepSearcher(dataset, cfg)
+            for top2 in top2_options:
+                s._config = dataclasses.replace(cfg, top2=bool(top2))
+                for pre_k in pre_k_grid:
+                    params = SearchParameters(
+                        pre_reordering_num_neighbors=int(pre_k))
+                    idx, _ = s.search_batched_arrays(queries, k, params)
+                    rec = _recall(idx, gt)
+                    mult = 2 if top2 else 1
+                    cost = (n * (d + 8) * dtype_bytes / max(b, 1)
+                            + (n / r) * 6 * mult
+                            + pre_k * mult * d * 4)
+                    knobs = dict(block_r=int(r), sweep_dtype=dtype,
+                                 top2=bool(top2), pre_k=int(pre_k))
+                    table.append((knobs, rec, cost))
+
+    meeting = [t for t in table if t[1] >= target_recall]
+    chosen = (min(meeting, key=lambda t: (t[2], -t[1])) if meeting
+              else max(table, key=lambda t: (t[1], -t[2])))
+    knobs, rec, _ = chosen
+    cfg = BlockSweepConfig(
+        distance_measure=measure, block_r=knobs["block_r"],
+        sweep_dtype=knobs["sweep_dtype"], top2=knobs["top2"],
+        pre_reorder_k=knobs["pre_k"])
+    return SweepAutotuneResult(
+        config=cfg,
+        params=SearchParameters(pre_reordering_num_neighbors=knobs["pre_k"]),
+        recall=rec, target_met=bool(meeting), table=table)
