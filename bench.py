@@ -90,6 +90,13 @@ def main():
 
     tree_ah = _run_tree_ah_default(log)
     block_sweep = _run_block_sweep_default(log)
+    adversarial = None
+    if os.environ.get("SCANN_TPU_BENCH_SKIP_ADV") != "1":
+        try:
+            adversarial = _run_adversarial_default(log)
+        except Exception as e:  # pragma: no cover - keep the artifact whole
+            log(f"adversarial row failed: {e!r}")
+            adversarial = {"error": repr(e)}
 
     if os.environ.get("SCANN_TPU_BENCH_FULL") == "1":
         _run_glove_scale(log)
@@ -108,6 +115,12 @@ def main():
         # exact re-rank at 1.18M x 100d (the measured-best single-chip
         # architecture at this scale, BENCH_NOTES "GloVe-scale")
         "block_sweep_1m18_100d": block_sweep,
+        # driver-verified HARD case (VERDICT r3 next #3): the adversarial
+        # generator (Zipf cluster mass, anisotropic covariance, correlated
+        # dims, heavy-tailed norms) at 1.18M x 100d — the regime where
+        # tree-AH recall collapses without SOAR (BENCH_NOTES adversarial
+        # section); certifies the sweep's skew-immunity and SOAR's recall
+        "adversarial_1m18": adversarial,
     }))
 
 
@@ -188,7 +201,8 @@ def _run_tree_ah_default(log):
     if grouped:
         kern = tree_ah_grouped_kernel
         codes_arg = codes_csr
-        kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
+        kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                  packed=s._pack_codes())
     else:
         kern = tree_ah_kernel
         codes_arg = codes_rows
@@ -211,15 +225,18 @@ def _run_tree_ah_default(log):
 
     dt = scan_time(make_scan, iters=8, rounds=3)
     qps = B / dt
+    kernel_name = ("grouped-pallas-int4" if grouped and s._pack_codes()
+                   else "grouped-pallas" if grouped else "xla")
     log(f"tree-AH 200kx100d p={P} pre_k={PRE_K} B={B}: "
         f"recall@10={recall:.4f} {dt*1e3:.2f} ms/batch -> {qps:,.0f} QPS "
-        f"(kernel={'grouped-pallas' if grouped else 'xla'})")
+        f"(kernel={kernel_name})")
     return {
         "qps_b1024": round(qps, 1),
         "recall_at_10": round(recall, 4),
         "build_s": round(build_s, 1),
         "config": f"parts=1000 p={P} pre_k={PRE_K} codes=16 subspaces=50",
-        "kernel": "grouped-pallas" if grouped else "xla",
+        "kernel": kernel_name,
+        "code_slab_bytes": int(codes_csr.size),
     }
 
 
@@ -286,6 +303,141 @@ def _run_block_sweep_default(log):
         "build_s": round(build_s, 1),
         "config": f"bf16 sweep r={r} pre_k={PRE_K} rerank=f32",
     }
+
+
+def _run_adversarial_default(log):
+    """Adversarial 1.18M x 100d rows for the driver artifact: the bf16
+    block-min sweep (skew-immune) and the SOAR tree-×-AH build at the
+    measured recall>=0.99 pareto point (p=30, pre_k=300; BENCH_NOTES
+    'SOAR spilling on the adversarial pareto'). Exact GT on the timed
+    queries; chained on-device timing like every other row."""
+    import jax
+    import jax.numpy as jnp
+
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
+    from scann_tpu.models.searcher import SearchParameters
+    from scann_tpu.models.tree_x_hybrid import (
+        TreeXHybridConfig,
+        TreeXHybridSearcher,
+        tree_ah_grouped_kernel,
+        tree_ah_kernel,
+    )
+    from scann_tpu.ops.distances import DistanceMeasure
+    from scann_tpu.ops.sweep_pallas import sweep_search_kernel
+
+    N, D, K, B = 1_180_000, 100, 10, 1024
+    t0 = time.perf_counter()
+    data = generate_adversarial_dataset(N, B, D, K, seed=42)
+    log(f"adversarial dataset + exact GT: {time.perf_counter()-t0:.1f}s")
+    db_np, q_np, gt = data.train, data.test, data.gt
+    ds = DenseDataset(db_np)
+    q_dev = jnp.asarray(q_np)
+    out = {}
+
+    # --- bf16 block-min sweep (skew-immune stream) ---
+    t0 = time.perf_counter()
+    sweep = BlockSweepSearcher(ds, BlockSweepConfig(block_r=64,
+                                                    pre_reorder_k=100))
+    aug, dbd, norms, n_valid = sweep._device_state()
+    jax.block_until_ready(aug)
+    sweep_build = time.perf_counter() - t0
+    idx, _ = sweep.search_batched_arrays(q_np, K)
+    rec_sweep = _recall_at_k(idx, gt, K)
+    r = sweep._config.block_r
+
+    def make_scan(iters):
+        @jax.jit
+        def run(qq, augx, dbx, nx):
+            def body(acc, i):
+                vals, _ = sweep_search_kernel(
+                    augx, dbx, nx, jnp.int32(n_valid),
+                    qq + acc * 1e-20 + i * 1e-6, pre_k=100, k=K, r=r,
+                    measure=DistanceMeasure.SQUARED_L2,
+                    inv_perm=sweep._inv_perm)
+                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return acc
+        return lambda: run(q_dev, aug, dbd, norms)
+
+    dt = scan_time(make_scan, iters=8, rounds=3)
+    log(f"ADV sweep 1.18Mx100d pre_k=100 B={B}: recall@10={rec_sweep:.4f} "
+        f"{dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
+    out["sweep"] = {"qps_b1024": round(B / dt, 1),
+                    "recall_at_10": round(rec_sweep, 4),
+                    "build_s": round(sweep_build, 1),
+                    "config": f"bf16 sweep r={r} pre_k=100"}
+    del aug, dbd, norms, sweep
+    jax.clear_caches()
+
+    # --- SOAR tree-×-AH at the recall>=0.99 pareto point ---
+    P, PRE_K = 30, 300
+    t0 = time.perf_counter()
+    cfg = TreeXHybridConfig(
+        num_partitions=2000, partitions_to_search=P,
+        spilling=True, spilling_mode="soar",
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
+            training_sample_size=100_000))
+    s = TreeXHybridSearcher(cfg).build(ds)
+    tree_build = time.perf_counter() - t0
+    log(f"ADV SOAR tree-AH build: {tree_build:.1f}s")
+
+    idx, _ = s.search_batched_arrays(
+        q_np, K, params=SearchParameters(
+            num_leaves_to_search=P, pre_reordering_num_neighbors=PRE_K))
+    rec_tree = _recall_at_k(idx, gt, K)
+
+    db_d, norms, n_valid = s._device_state()
+    codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = \
+        s._csr_state()
+    cent = s.partitioner.centers_device()
+    cb = s.codebook.centroids_device()
+    grouped = s._use_grouped_pallas()
+    mult = s.partitioner.tokenization.max_multiplicity
+    kw = dict(p=P, pre_k=PRE_K, k=K, l_cap=l_cap, use_residuals=True,
+              measure=DistanceMeasure.SQUARED_L2, multiplicity=mult,
+              approx_select_min=cfg.approx_selection_min_partitions)
+    if grouped:
+        kern, codes_arg = tree_ah_grouped_kernel, codes_csr
+        kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                  packed=s._pack_codes())
+    else:
+        kern, codes_arg = tree_ah_kernel, codes_rows
+
+    def make_scan_t(iters):
+        @jax.jit
+        def run(qq, dbx, nx, c, codes, off, sz, pm, cbx):
+            def body(acc, i):
+                vals, _ = kern(dbx, nx, c, codes, off, sz, pm, cbx,
+                               qq + acc * 1e-20 + i * 1e-6,
+                               jnp.int32(n_valid), None,
+                               jnp.float32(np.inf), jnp.float32(np.inf), **kw)
+                return acc + jnp.where(jnp.isfinite(vals), vals, 0.0).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(iters, dtype=jnp.float32))
+            return acc
+        return lambda: run(q_dev, db_d, norms, cent, codes_arg,
+                           csr_offsets, part_sizes, perm, cb)
+
+    dt = scan_time(make_scan_t, iters=6, rounds=3)
+    log(f"ADV SOAR tree-AH p={P} pre_k={PRE_K} B={B}: "
+        f"recall@10={rec_tree:.4f} {dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
+    out["tree_ah_soar"] = {
+        "qps_b1024": round(B / dt, 1),
+        "recall_at_10": round(rec_tree, 4),
+        "build_s": round(tree_build, 1),
+        "config": f"parts=2000 SOAR p={P} pre_k={PRE_K} codes=16 "
+                  "subspaces=50",
+        "kernel": ("grouped-pallas-int4" if grouped and s._pack_codes()
+                   else "grouped-pallas" if grouped else "xla"),
+    }
+    del db_d, norms, codes_csr, s
+    jax.clear_caches()
+    return out
 
 
 def _run_glove_scale(log):
@@ -425,7 +577,8 @@ def _run_tree_ah(log, ds, q_all, q_np, gt):
         kw = dict(p=p, pre_k=pre_k, k=10, l_cap=l_cap, use_residuals=True,
                   measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
                   approx_select_min=cfg.approx_selection_min_partitions,
-                  q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile)
+                  q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                  packed=s._pack_codes())
         for b in (128, 1024):
             q_dev = q_all[:b]
             idx, _ = s.search_batched_arrays(
