@@ -229,3 +229,59 @@ def test_search_grouped_int8_end_to_end(rng):
     recall = np.mean([len(set(a) & set(g)) / 10
                       for a, g in zip(np.asarray(idx), np.asarray(gt))])
     assert recall >= 0.9, recall
+
+
+def test_search_grouped_packed_int8_luts(rng):
+    """packed-nibble slab + int8-quantized LUTs compose: the int8 MXU
+    contraction consumes the unpacked codes and the affine restores real
+    units (both HBM levers active at once)."""
+    from scann_tpu.data.dataset import DenseDataset
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.tree_x_hybrid import (
+        TreeXHybridConfig, TreeXHybridSearcher, tree_ah_search_grouped)
+    from scann_tpu.ops.distances import DistanceMeasure
+
+    centers = rng.normal(size=(12, 16)).astype(np.float32) * 3
+    db = np.concatenate(
+        [c + rng.normal(size=(120, 16)).astype(np.float32) for c in centers])
+    rng.shuffle(db)
+    q = db[rng.integers(0, len(db), size=16)] + 0.05 * rng.normal(
+        size=(16, 16)).astype(np.float32)
+    ds = DenseDataset(db)
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=16, partitions_to_search=8,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=4, seed=0, max_iterations=6),
+    )).build(ds)
+    db_d, norms, n_valid = s._device_state()
+
+    # build the packed transposed slab the TPU path would serve
+    import scann_tpu.models.tree_x_hybrid as tx
+
+    orig = tx.TreeXHybridSearcher._use_grouped_pallas
+    tx.TreeXHybridSearcher._use_grouped_pallas = lambda self: True
+    try:
+        s._csr_cache = None
+        _, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
+        assert s._pack_codes()
+    finally:
+        tx.TreeXHybridSearcher._use_grouped_pallas = orig
+
+    dists, idx = tree_ah_search_grouped(
+        db_d, norms, s.partitioner.centers_device(), codes_csr, csr_offsets,
+        part_sizes, perm, s.codebook.centroids_device(), jnp.asarray(q),
+        jnp.int32(n_valid), None, jnp.float32(np.inf), jnp.float32(np.inf),
+        p=8, pre_k=100, k=10, l_cap=l_cap, use_residuals=True,
+        measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
+        interpret=True, int8_luts=True, packed=True)
+    idx = np.asarray(idx)
+    rec = np.mean([len(set(a.tolist()) & set(g.tolist())) / 10
+                   for a, g in zip(idx, np.asarray(gt))])
+    assert rec >= 0.9
+    de = ((q[:, None, :] - db[idx.clip(0)]) ** 2).sum(-1)
+    m = idx >= 0
+    np.testing.assert_allclose(np.asarray(dists)[m], de[m],
+                               rtol=1e-3, atol=1e-3)
