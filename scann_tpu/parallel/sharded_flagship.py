@@ -482,6 +482,28 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
     return jax.jit(_kern)
 
 
+def sharded_topr_kernel(mesh: Mesh, *, r: int, measure: DistanceMeasure,
+                        db_axis: str = "db"):
+    """fn(data [N,D] row-sharded, centers [K,D] replicated) ->
+    (dists [N,r] ascending, choices [N,r]) row-sharded — each shard's
+    top-r nearest centers per row (the balance cap's candidate table)."""
+    from scann_tpu.partitioning.tree_partitioner import (
+        select_partitions_kernel,
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(db_axis, None), P(None, None)),
+        out_specs=(P(db_axis, None), P(db_axis, None)),
+        check_vma=False,
+    )
+    def _topr(data_blk, centers):
+        return select_partitions_kernel(centers, data_blk,
+                                        measure=measure, p=r)
+
+    return jax.jit(_topr)
+
+
 def sharded_assign_kernel(mesh: Mesh, db_axis: str = "db"):
     """fn(data [N,D] row-sharded, centers [K,D] replicated) -> tokens [N]
     row-sharded int32 — each shard assigns its own rows (distance matmul +
@@ -627,6 +649,25 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
     # 3. per-shard assignment
     tokens = np.asarray(
         sharded_assign_kernel(mesh)(data_sh, cent_dev))[:n]
+
+    # 3b. balance cap (the measured lever on skewed data): per-shard top-r
+    # candidate tables + the same host demote loop the single-device build
+    # runs. Straggler splitting (the hard-cap guarantee) remains
+    # single-device-only; the cap here is best-effort like the reference
+    # has nothing at all.
+    if cfg.max_partition_size is not None:
+        from scann_tpu.partitioning.tree_partitioner import demote_to_cap
+
+        cap = cfg.max_partition_size
+        if cap == "auto":
+            cap = max(int(1.5 * n / max(min(kparts, n), 1)), 8)
+        sizes_now = np.bincount(tokens, minlength=kparts)
+        if sizes_now.max() > int(cap):
+            r = min(12, kparts)
+            d_r, c_r = sharded_topr_kernel(
+                mesh, r=r, measure=cfg.distance_measure)(data_sh, cent_dev)
+            tokens = demote_to_cap(np.asarray(d_r)[:n], np.asarray(c_r)[:n],
+                                   int(cap), rounds=12)
 
     tp = TreePartitioner(TreePartitionerConfig(
         num_partitions=kparts, seed=seed,

@@ -83,6 +83,39 @@ def select_partitions_kernel(centers, queries, *, measure: DistanceMeasure, p: i
     return top_k_smallest(dists, p)
 
 
+def demote_to_cap(dists: np.ndarray, choices: np.ndarray, cap: int,
+                  rounds: int) -> np.ndarray:
+    """Host demote loop of the balance cap: given each point's top-r
+    nearest centers (``dists`` [N, r] ascending, ``choices`` [N, r]),
+    move the lowest-regret members of oversized partitions to their next
+    choice until every partition is <= cap or fallbacks are exhausted.
+    Shared by the single-device ``_enforce_cap`` and the sharded build
+    (which computes the top-r per shard). See _enforce_cap for why this
+    runs on host."""
+    r = choices.shape[1]
+    nn = len(choices)
+    rows = np.arange(nn)
+    choice_idx = np.zeros(nn, np.int32)
+    for _ in range(max(rounds, 0)):
+        cur_t = choices[rows, choice_idx]
+        cur_d = dists[rows, choice_idx]
+        nxt_d = dists[rows, np.minimum(choice_idx + 1, r - 1)]
+        regret = np.where(choice_idx < r - 1, nxt_d - cur_d, np.inf)
+        order = np.lexsort((-regret, cur_t))
+        sorted_t = cur_t[order]
+        newrun = np.empty(nn, bool)
+        newrun[0] = True
+        np.not_equal(sorted_t[1:], sorted_t[:-1], out=newrun[1:])
+        run_start = np.maximum.accumulate(np.where(newrun, rows, 0))
+        rank = np.empty(nn, np.int64)
+        rank[order] = rows - run_start
+        demote = (rank >= cap) & (choice_idx < r - 1)
+        if not demote.any():
+            break
+        choice_idx = np.where(demote, choice_idx + 1, choice_idx)
+    return choices[rows, choice_idx].astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("r",))
 def soar_select_kernel(centers, x, primary, lam, *, r: int):
     """SOAR secondary-assignment selection, one device program.
@@ -320,28 +353,7 @@ class TreePartitioner:
             ch_t.append(np.asarray(t))
         dists = np.concatenate(ch_d, axis=0)        # [N, r] ascending
         choices = np.concatenate(ch_t, axis=0)      # [N, r]
-
-        nn = len(choices)
-        rows = np.arange(nn)
-        choice_idx = np.zeros(nn, np.int32)
-        for _ in range(rounds):
-            cur_t = choices[rows, choice_idx]
-            cur_d = dists[rows, choice_idx]
-            nxt_d = dists[rows, np.minimum(choice_idx + 1, r - 1)]
-            regret = np.where(choice_idx < r - 1, nxt_d - cur_d, np.inf)
-            order = np.lexsort((-regret, cur_t))
-            sorted_t = cur_t[order]
-            newrun = np.empty(nn, bool)
-            newrun[0] = True
-            np.not_equal(sorted_t[1:], sorted_t[:-1], out=newrun[1:])
-            run_start = np.maximum.accumulate(np.where(newrun, rows, 0))
-            rank = np.empty(nn, np.int64)
-            rank[order] = rows - run_start
-            demote = (rank >= cap) & (choice_idx < r - 1)
-            if not demote.any():
-                break
-            choice_idx = np.where(demote, choice_idx + 1, choice_idx)
-        return choices[rows, choice_idx].astype(np.int32)
+        return demote_to_cap(dists, choices, cap, rounds)
 
     def _spill_pairs(self, data: np.ndarray, tokens: np.ndarray,
                      threshold: float, chunk: int = 65536) -> np.ndarray:

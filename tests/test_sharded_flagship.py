@@ -577,3 +577,39 @@ def test_sharded_build_cosine(data):
     i_sh, d_sh = sharded.search_batched_arrays(
         q, 10, SearchParameters(pre_reordering_num_neighbors=120))
     assert _recall(i_sh, gt_c) >= 0.9
+
+
+def test_sharded_build_balance_cap():
+    """Skewed data: the sharded build's per-shard top-r + host demote loop
+    caps partition sizes (same lever as the single-device LBG cap)."""
+    rng = np.random.default_rng(13)
+    # one giant cluster + a tail: uncapped, the giant partition dominates
+    big = rng.normal(size=(2400, 16)).astype(np.float32) * 0.3
+    tail = rng.normal(size=(800, 16)).astype(np.float32) * 4.0 + 8.0
+    db = np.concatenate([big, tail])
+    ds = DenseDataset(db)
+    mesh = make_mesh(8, axis_names=("db",))
+    hc = AsymmetricHasherConfig(num_codes=16, num_subspaces=8, seed=1,
+                                max_iterations=5)
+    uncapped = ShardedTreeXHybridSearcher.build(
+        ds, TreeXHybridConfig(num_partitions=16, partitions_to_search=16,
+                              max_partition_size=None, hash_config=hc), mesh)
+    capped = ShardedTreeXHybridSearcher.build(
+        ds, TreeXHybridConfig(num_partitions=16, partitions_to_search=16,
+                              max_partition_size="auto", hash_config=hc),
+        mesh)
+    mx_un = uncapped._inner.partitioner.tokenization.partition_sizes.max()
+    mx_cap = capped._inner.partitioner.tokenization.partition_sizes.max()
+    cap = max(int(1.5 * 3200 / 16), 8)  # 300
+    assert mx_cap <= mx_un
+    assert mx_cap <= cap + 64  # best-effort: bounded slack, no livelock
+    # recall survives the cap (compare against the uncapped build at the
+    # same knobs: the dense near-duplicate cluster bounds what PQ-ranked
+    # pre_k can resolve for either build)
+    q = db[rng.integers(0, len(db), size=16)]
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+    params = SearchParameters(pre_reordering_num_neighbors=400)
+    i_c, _ = capped.search_batched_arrays(q, 10, params)
+    i_u, _ = uncapped.search_batched_arrays(q, 10, params)
+    assert _recall(i_c, gt) >= _recall(i_u, gt) - 0.05
+    assert _recall(i_c, gt) >= 0.85
