@@ -69,6 +69,9 @@ class BenchmarkReport:
     autotune_seconds: Optional[float] = None
     autotuned_num_leaves_to_search: Optional[int] = None
     autotuned_pre_reordering_num_neighbors: Optional[int] = None
+    # --shards N: served through the database-sharded wrappers on an
+    # N-device mesh (None/1 = single device)
+    shards: Optional[int] = None
     # --save-index / --load-index provenance (build-once / serve-many):
     # when loaded, build_seconds is the load time, not a training run
     index_loaded_from: Optional[str] = None
@@ -345,6 +348,34 @@ def _algorithm_of(index) -> str:
                                   type(index).__name__)
 
 
+def _shard_index(index, n_shards: int):
+    """Re-serve a built index through the database-sharded wrappers on an
+    n-device mesh (SURVEY §2.6 scale-out; the reference has no distributed
+    backend at all)."""
+    from scann_tpu.models.block_sweep import BlockSweepSearcher
+    from scann_tpu.models.brute_force import BruteForceSearcher
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridSearcher
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded import ShardedBruteForceSearcher
+    from scann_tpu.parallel.sharded_flagship import (
+        ShardedBlockSweepSearcher,
+        ShardedTreeXHybridSearcher,
+    )
+
+    impl = getattr(index, "impl", index)
+    mesh = make_mesh(n_shards, axis_names=("db",))
+    if isinstance(impl, TreeXHybridSearcher):
+        return ShardedTreeXHybridSearcher(impl, mesh)
+    if isinstance(impl, BlockSweepSearcher):
+        return ShardedBlockSweepSearcher(impl, mesh)
+    if isinstance(impl, BruteForceSearcher):
+        return ShardedBruteForceSearcher(impl.dataset,
+                                         impl.distance_measure, mesh)
+    raise ValueError(
+        f"--shards supports brute-force / block-sweep / tree-ah indexes, "
+        f"not {type(impl).__name__}")
+
+
 def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
     rss0 = current_rss_bytes()
     t0 = time.perf_counter()
@@ -374,6 +405,9 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
                 "does not match this dataset")
     else:
         index = build_index(algorithm, data, args)
+    n_shards = max(1, int(getattr(args, "shards", 1) or 1))
+    if n_shards > 1:
+        index = _shard_index(index, n_shards)
     build_s = time.perf_counter() - t0
     rss1 = current_rss_bytes()
 
@@ -485,6 +519,7 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
         batch_size=batch,
         timing_mode=(f"wall_clock_pipelined_x{pipeline}" if pipeline > 1
                      else "wall_clock_per_batch_dispatch"),
+        shards=n_shards if n_shards > 1 else None,
         host_roundtrip_seconds=rtt,
         dispatch_bound_fraction=dispatch_frac,
         index_loaded_from=loaded_from,
@@ -557,6 +592,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "knobs are ignored, build_seconds reports the load")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the search phase here")
+    p.add_argument("--shards", type=int, default=1,
+                   help="serve through the database-sharded wrappers on an "
+                        "N-device mesh (brute-force/block-sweep/tree-ah; "
+                        "needs >= N visible devices — on CPU set "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     return p
 
 

@@ -486,3 +486,22 @@ def test_limit_train_recomputes_ground_truth(tmp_path):
         exact, axis=1)
     np.testing.assert_allclose(np.sort(d_loaded, axis=1),
                                np.sort(d_exact, axis=1), rtol=1e-5)
+
+
+def test_harness_shards_serving():
+    """--shards N serves through the database-sharded wrappers on the
+    (virtual 8-device) mesh, at recall >= single-device equal knobs."""
+    data = generate_synthetic_dataset(2000, 32, 16, 10, 7, clustered=True)
+    for algo, extra in (
+        ("tree-ah", ["--num-partitions", "16", "--partitions-to-search", "16",
+                     "--num-blocks", "4", "--reorder", "100"]),
+        ("block-sweep", ["--reorder", "60"]),
+        ("brute-force", []),
+    ):
+        args = make_parser().parse_args(
+            ["--algorithm", algo, "--batch-size", "32", "--shards", "8",
+             *extra])
+        report = run_benchmark(algo, data, args)
+        assert report.shards == 8
+        assert report.recall_at_k >= (0.999 if algo == "brute-force"
+                                      else 0.9), (algo, report.recall_at_k)
