@@ -405,9 +405,6 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
                 "does not match this dataset")
     else:
         index = build_index(algorithm, data, args)
-    n_shards = max(1, int(getattr(args, "shards", 1) or 1))
-    if n_shards > 1:
-        index = _shard_index(index, n_shards)
     build_s = time.perf_counter() - t0
     rss1 = current_rss_bytes()
 
@@ -419,6 +416,12 @@ def run_benchmark(algorithm: str, data: BenchmarkData, args) -> BenchmarkReport:
         t_sv = time.perf_counter()
         save_index(saved_to, index)
         save_s = time.perf_counter() - t_sv
+
+    # shard AFTER saving: the .npz stores the single-device index (the
+    # sharded wrappers re-layout from it on any mesh size at load)
+    n_shards = max(1, int(getattr(args, "shards", 1) or 1))
+    if n_shards > 1:
+        index = _shard_index(index, n_shards)
 
     batch = args.batch_size
     # warm-up compile (excluded from timing, like criterion's warm-up)

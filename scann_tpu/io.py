@@ -142,6 +142,13 @@ def _serialize(searcher):
              "pre_reorder_multiplier": searcher.config.pre_reorder_multiplier,
              "hash_config": _ah_cfg_dict(searcher.config.hash_config),
              "rerank_dtype": searcher.config.rerank_dtype,
+             # serving-kernel shape knobs: a reloaded index must rebuild
+             # its slab with the SAME l_tile the build used (a saved
+             # sharded layout's l_cap is aligned to it) and the same
+             # packing choice
+             "score_l_tile": searcher.config.score_l_tile,
+             "group_q_cap": searcher.config.group_q_cap,
+             "pack_codes": searcher.config.pack_codes,
              "measure": searcher.config.distance_measure.value},
         )
     from scann_tpu.models.block_sweep import BlockSweepSearcher
@@ -272,6 +279,9 @@ def _deserialize_index(meta: dict, arrays: dict):
             pre_reorder_multiplier=meta["pre_reorder_multiplier"],
             distance_measure=DistanceMeasure(meta["measure"]),
             rerank_dtype=meta.get("rerank_dtype", "float32"),
+            score_l_tile=int(meta.get("score_l_tile", 512)),
+            group_q_cap=int(meta.get("group_q_cap", 8)),
+            pack_codes=meta.get("pack_codes"),
         )
         s = TreeXHybridSearcher(cfg)
         s._dataset = DenseDataset(arrays["data"])

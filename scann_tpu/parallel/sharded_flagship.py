@@ -834,40 +834,30 @@ class ShardedTreeXHybridSearcher(Searcher):
 
         put = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec))
+
+        def pad_cols(a, width):
+            if a.shape[2] == width:
+                return a
+            return np.concatenate(
+                [a, np.zeros(a.shape[:2] + (width - a.shape[2],),
+                             np.uint8)], axis=2)
+
+        if self._use_grouped and self._packed:
+            # low-nibble-first pairs (reference lut16.rs:43-61): the
+            # per-shard slab halves, so N-shard capacity doubles too. The
+            # canonical layout stores unpacked S columns; pad to
+            # 2*align_up(ceil(S/2),8) (Mosaic DMA sublane alignment) then
+            # pack — one vectorized op, not the per-partition loop the
+            # warm start skips
+            codes_sh = pad_cols(codes_sh, 2 * int(align_up((s + 1) // 2, 8)))
+            codes_sh = (codes_sh[:, :, 0::2] | (codes_sh[:, :, 1::2] << 4))
+        else:
+            codes_sh = pad_cols(codes_sh, int(align_up(s, 32)))
         if self._use_grouped:
-            if self._packed:
-                # low-nibble-first pairs (reference lut16.rs:43-61): the
-                # per-shard slab halves, so N-shard capacity doubles too.
-                # The canonical layout stores unpacked S columns; pad to
-                # 2*align_up(ceil(S/2),8) (Mosaic DMA sublane alignment)
-                # then pack — one vectorized op, not the per-partition
-                # loop the warm start skips
-                s_cols = 2 * int(align_up((s + 1) // 2, 8))
-                if codes_sh.shape[2] != s_cols:
-                    codes_sh = np.concatenate(
-                        [codes_sh,
-                         np.zeros(codes_sh.shape[:2]
-                                  + (s_cols - codes_sh.shape[2],), np.uint8)],
-                        axis=2)
-                codes_sh = (codes_sh[:, :, 0::2] | (codes_sh[:, :, 1::2] << 4))
-            else:
-                s_pad = int(align_up(s, 32))
-                if codes_sh.shape[2] != s_pad:
-                    codes_sh = np.concatenate(
-                        [codes_sh,
-                         np.zeros(codes_sh.shape[:2]
-                                  + (s_pad - codes_sh.shape[2],), np.uint8)],
-                        axis=2)
             # transposed [Sh, S_pad, L_sh] slab for the grouped Pallas DMA
             self._codes = put(np.ascontiguousarray(
                 codes_sh.transpose(0, 2, 1)), P("db", None, None))
         else:
-            s_pad = int(align_up(s, 32))
-            if codes_sh.shape[2] != s_pad:
-                codes_sh = np.concatenate(
-                    [codes_sh,
-                     np.zeros(codes_sh.shape[:2] + (s_pad - codes_sh.shape[2],),
-                              np.uint8)], axis=2)
             self._codes = put(codes_sh, P("db", None, None))
         self._perm = put(layout["perm"], P("db", None))
         self._db = put(layout["db"], P("db", None, None))
@@ -1221,12 +1211,6 @@ class ShardedBlockSweepSearcher(Searcher):
         pre_k = min(pre_k, self._blk // cfg.block_r)
         pre_eps, post_eps = epsilons(params)
 
-        b = len(queries)
-        b_pad = align_up(b, SUBLANE_BF16)
-        if b_pad != b:
-            queries = np.concatenate(
-                [queries, np.zeros((b_pad - b, queries.shape[1]),
-                                   np.float32)])
         key = (pre_k, k, allow_mask is not None)
         if key not in self._kernels:
             self._kernels[key] = sharded_block_sweep_kernel(
@@ -1235,10 +1219,7 @@ class ShardedBlockSweepSearcher(Searcher):
                 int8_sweep=cfg.sweep_dtype == "int8", aug_sn=self._aug_sn,
                 dequant=self._dequant, with_mask=allow_mask is not None,
                 top2=cfg.top2)
-        q = replicate(self.mesh, jnp.asarray(queries))
-        args = [self._aug, self._rdb, self._norms, q]
-        if cfg.sweep_dtype == "int8":
-            args.append(self._aug_scales)
+        pen_dev = None
         if allow_mask is not None:
             # penalty rows are in the permuted order the shards store, so
             # each shard's slice is local (no cross-shard translation)
@@ -1254,13 +1235,34 @@ class ShardedBlockSweepSearcher(Searcher):
             pen = build_allow_penalty(
                 allow_mask, self._aug.shape[0], cfg.block_r,
                 inv_perm=self._inv, **pen_kw)
-            args.append(jax.device_put(
-                jnp.asarray(pen),
-                NamedSharding(self.mesh, P("db", None))))
-        args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
-        dists, idx = self._kernels[key](*args)
-        idx = np.asarray(idx)[:b]
-        dists = np.asarray(dists)[:b]
+            pen_dev = jax.device_put(
+                jnp.asarray(pen), NamedSharding(self.mesh, P("db", None)))
+
+        # chunk over max_batch like the single-device searcher (the top2
+        # tournament kernel needs ~2x the per-query VMEM, hence the halved
+        # cap — an uncapped replicated batch that serves fine single-device
+        # could exceed VMEM sharded)
+        max_batch = cfg.max_batch // 2 if cfg.top2 else cfg.max_batch
+        out_i, out_d = [], []
+        for lo in range(0, len(queries), max_batch):
+            qc = queries[lo : lo + max_batch]
+            bc = len(qc)
+            b_pad = align_up(bc, SUBLANE_BF16)
+            if b_pad != bc:
+                qc = np.concatenate(
+                    [qc, np.zeros((b_pad - bc, qc.shape[1]), np.float32)])
+            q = replicate(self.mesh, jnp.asarray(qc))
+            args = [self._aug, self._rdb, self._norms, q]
+            if cfg.sweep_dtype == "int8":
+                args.append(self._aug_scales)
+            if pen_dev is not None:
+                args.append(pen_dev)
+            args += [jnp.float32(pre_eps), jnp.float32(post_eps)]
+            dc, ic = self._kernels[key](*args)
+            out_i.append(np.asarray(ic)[:bc])
+            out_d.append(np.asarray(dc)[:bc])
+        idx = np.concatenate(out_i)
+        dists = np.concatenate(out_d)
         if self._inv is not None:
             valid = idx >= 0
             idx = np.where(

@@ -124,7 +124,7 @@ def advise_build(n: int, dim: int, sample: np.ndarray,
         parts = max(n // dens, 16)
     want_soar = stats.skewed or (target_recall is not None
                                  and target_recall >= 0.99)
-    if want_soar or stats.skewed:
+    if want_soar:
         p, pre_k = 30, 300
     else:
         p, pre_k = 10, 150
@@ -145,39 +145,27 @@ def advise_config(n: int, dim: int, sample: np.ndarray,
                   target_recall: Optional[float] = None,
                   seed: int = 0):
     """Full ScannConfig from scale + data statistics + chip profile —
-    ``auto_config`` with the knobs data-driven instead of hand-set."""
-    from scann_tpu.config import ScannConfig
-    from scann_tpu.utils.chip_profile import load_profile
+    ``auto_config``'s architecture assembly (shared, not duplicated) with
+    the data-dependent knobs overridden from the sample statistics."""
+    from scann_tpu.models.scann import auto_config
 
-    prof = load_profile()
-    cfg = ScannConfig(distance_measure=measure)
-    if n <= prof.sweep_max_n:
+    cfg = auto_config(n, dim, measure)
+    if cfg.brute_force is not None:
         # the sweep is skew-immune (it streams everything): the knobs that
         # matter are the rerank depth and — for >=0.99 targets on
         # near-duplicate-heavy data — top2, which removes the
         # one-candidate-per-block collision ceiling
-        cfg.with_brute_force()
-        cfg.brute_force.block_sweep = True
         cfg.brute_force.block_sweep_top2 = (target_recall or 0) >= 0.99
         cfg.with_reordering()
         cfg.exact_reordering.num_candidates = (
             100 if (target_recall or 0) >= 0.99 else 64)
         return cfg
     adv = advise_build(n, dim, sample, target_recall, seed=seed)
-    cfg.with_partitioning()
     cfg.partitioning.num_partitions = adv.num_partitions
     cfg.partitioning.num_partitions_to_search = adv.partitions_to_search
     cfg.partitioning.spilling = adv.spilling
     cfg.partitioning.spilling_mode = adv.spilling_mode
     cfg.partitioning.max_partition_size = adv.max_partition_size
     cfg.partitioning.split_stragglers = adv.split_stragglers
-    cfg.with_hashing()
-    cfg.hash.num_buckets = 16
-    blocks = min((s for s in range(1, dim + 1) if dim % s == 0),
-                 key=lambda s: (abs(dim / s - 2), -s), default=1)
-    cfg.hash.num_blocks = max(blocks, 1)
-    cfg.with_reordering()
     cfg.exact_reordering.num_candidates = adv.pre_reorder_k
-    if n * dim * 4 > prof.f32_rerank_max_bytes:
-        cfg.exact_reordering.rerank_dtype = "bfloat16"
     return cfg

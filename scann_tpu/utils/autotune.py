@@ -53,7 +53,16 @@ class AutotuneResult:
     table: List[AutotuneEntry]
 
 
+def _unwrap(searcher):
+    """Innermost concrete searcher: through the Scann facade (``_impl``)
+    and the sharded wrappers (``_inner``) — partition structure and the
+    dataset live there; searching still goes through the outer object."""
+    inner = getattr(searcher, "_impl", searcher)
+    return getattr(inner, "_inner", inner)
+
+
 def _dataset_of(searcher):
+    searcher = _unwrap(searcher)
     ds = getattr(searcher, "dataset", None)
     if ds is None:
         ds = getattr(searcher, "_dataset", None)
@@ -65,6 +74,7 @@ def _dataset_of(searcher):
 
 
 def _measure_of(searcher):
+    searcher = _unwrap(searcher)
     m = getattr(searcher, "_measure", None)
     if m is None:
         for cfg_attr in ("_config", "config"):
@@ -130,9 +140,10 @@ def autotune(
     if gt is None:
         gt = _exact_gt(searcher, queries, k)
 
-    # the Scann facade delegates to an inner searcher; inspect that one for
-    # partition structure but keep searching through the facade
-    inner = getattr(searcher, "_impl", searcher)
+    # the Scann facade and the sharded wrappers delegate to an inner
+    # searcher; inspect that one for partition structure but keep
+    # searching through the outer object
+    inner = _unwrap(searcher)
     partitioner = getattr(inner, "partitioner", None)
     has_partitions = partitioner is not None
     if p_grid is None:
@@ -143,10 +154,15 @@ def autotune(
     if leaf_weight is None:
         l_cap = None
         if has_partitions:
-            try:
-                l_cap = inner._csr_state()[5]
-            except Exception:
-                l_cap = None
+            # sharded wrappers carry their l_cap directly (building the
+            # single-device slab just to read it would waste minutes)
+            l_cap = getattr(getattr(searcher, "_impl", searcher),
+                            "_l_cap", None)
+            if l_cap is None:
+                try:
+                    l_cap = inner._csr_state()[5]
+                except Exception:
+                    l_cap = None
         leaf_weight = float(l_cap) if l_cap else 0.0
 
     n_parts = None

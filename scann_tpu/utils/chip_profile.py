@@ -92,14 +92,12 @@ def calibrate(n_probe: int = 200_000, dim: int = 100,
     import time
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from scann_tpu.data.dataset import DenseDataset
     from scann_tpu.hashes.hasher import AsymmetricHasherConfig
     from scann_tpu.models.block_sweep import BlockSweepConfig, BlockSweepSearcher
     from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
-    from scann_tpu.utils.benchmarking import scan_time
 
     rng = np.random.default_rng(seed)
     db = rng.standard_normal((n_probe, dim), dtype=np.float32)
@@ -107,6 +105,11 @@ def calibrate(n_probe: int = 200_000, dim: int = 100,
     ds = DenseDataset(db)
 
     def timed_searcher(s):
+        """Per-call wall clock (NOT the chained-scan protocol the bench
+        artifacts use): both searchers pay the same dispatch overhead, so
+        it cancels in the t_tree/t_sweep ratio the crossover needs —
+        and staying at the public API keeps calibrate() cheap and
+        searcher-agnostic."""
         s.search_batched_arrays(q, 10)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(5):

@@ -215,3 +215,38 @@ def test_sharded_sweep_layout_round_trip(tmp_path):
     i2, d2 = sh2.search_batched_arrays(q, 5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_tree_layout_round_trip_custom_l_tile(tmp_path):
+    """Warm start with a non-default score_l_tile: the saved layout's l_cap
+    is aligned to the BUILD-time l_tile, so the inner config's serving
+    knobs must round-trip or the restored server dies on its first query
+    (regression: _serialize omitted score_l_tile/group_q_cap/pack_codes)."""
+    from scann_tpu import SearchParameters
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig, TreeXHybridSearcher
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+    rng = np.random.default_rng(4)
+    db = rng.normal(size=(1500, 16)).astype(np.float32)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    inner = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=12, partitions_to_search=6,
+        score_l_tile=128, group_q_cap=4,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=4,
+                                           seed=0, max_iterations=4),
+    )).build(DenseDataset(db))
+    mesh = make_mesh(4, axis_names=("db",))
+    sh = ShardedTreeXHybridSearcher(inner, mesh, force_kernel="grouped")
+    path = str(tmp_path / "layout128.npz")
+    sh.save_layout(path)
+    params = SearchParameters(pre_reordering_num_neighbors=48)
+    i1, d1 = sh.search_batched_arrays(q, 5, params)
+    sh2 = ShardedTreeXHybridSearcher.load_layout(path, mesh,
+                                                 force_kernel="grouped")
+    assert sh2._inner.config.score_l_tile == 128
+    assert sh2._inner.config.group_q_cap == 4
+    i2, d2 = sh2.search_batched_arrays(q, 5, params)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)

@@ -505,3 +505,31 @@ def test_harness_shards_serving():
         assert report.shards == 8
         assert report.recall_at_k >= (0.999 if algo == "brute-force"
                                       else 0.9), (algo, report.recall_at_k)
+
+
+def test_harness_shards_with_save_and_autotune(tmp_path):
+    """--shards composes with --save-index (saves the single-device index
+    BEFORE sharding) and --autotune-target (the tuner sees the inner
+    searcher's partition structure through the sharded wrapper)."""
+    path = str(tmp_path / "sh.npz")
+    data = generate_synthetic_dataset(2000, 32, 16, 10, 7, clustered=True)
+    args = make_parser().parse_args(
+        ["--algorithm", "tree-ah", "--num-partitions", "16",
+         "--partitions-to-search", "4", "--num-blocks", "4",
+         "--reorder", "40", "--batch-size", "32", "--shards", "8",
+         "--save-index", path,
+         "--autotune-target", "0.95", "--autotune-leaves", "4,8,16",
+         "--autotune-prek", "40,100"])
+    report = run_benchmark("tree-ah", data, args)
+    assert report.shards == 8
+    assert report.index_saved_to == path
+    # the leaves grid WAS swept (regression: sharded wrappers hid the
+    # partitioner and p silently stayed at the config default)
+    assert report.autotuned_num_leaves_to_search is not None
+    assert report.recall_at_k >= 0.9
+
+    # the saved npz holds the single-device index and reloads fine
+    from scann_tpu.io import load_index
+
+    loaded = load_index(path)
+    assert loaded.dataset_size() == 2000
