@@ -647,27 +647,58 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
     centers = np.asarray(cent_dev)
 
     # 3. per-shard assignment
-    tokens = np.asarray(
-        sharded_assign_kernel(mesh)(data_sh, cent_dev))[:n]
+    assign = sharded_assign_kernel(mesh)
+    tokens = np.asarray(assign(data_sh, cent_dev))[:n]
 
-    # 3b. balance cap (the measured lever on skewed data): per-shard top-r
-    # candidate tables + the same host demote loop the single-device build
-    # runs. Straggler splitting (the hard-cap guarantee) remains
-    # single-device-only; the cap here is best-effort like the reference
-    # has nothing at all.
+    # 3b. LBG balance rounds (the same splitting discipline as the
+    # single-device _balance, which dominates build quality — it grows K
+    # where partitions overflow and re-refines, roughly halving assignment
+    # inertia on clustered data): split oversized partitions by jittered
+    # member copies, bucket K to 256, refine with sharded Lloyd steps,
+    # re-assign per shard; finally hard-demote via the shared cap loop.
+    # Straggler splitting (the hard-cap guarantee) remains
+    # single-device-only.
     if cfg.max_partition_size is not None:
         from scann_tpu.partitioning.tree_partitioner import demote_to_cap
 
         cap = cfg.max_partition_size
         if cap == "auto":
             cap = max(int(1.5 * n / max(min(kparts, n), 1)), 8)
+        cap = int(cap)
+        for _ in range(4):  # TreePartitionerConfig.balance_rounds default
+            sizes_now = np.bincount(tokens, minlength=centers.shape[0])
+            if sizes_now.max() <= cap:
+                break
+            new_centers = [centers]
+            for t in np.nonzero(sizes_now > cap)[0]:
+                members = np.nonzero(tokens == t)[0]
+                n_extra = min(int(sizes_now[t] // cap), len(members))
+                if n_extra <= 0:
+                    continue
+                picks = rng.choice(members, size=n_extra, replace=False)
+                new_centers.append(
+                    data[picks] + rng.normal(size=(n_extra, d)
+                                             ).astype(np.float32) * 1e-4)
+            centers = np.concatenate(new_centers, axis=0)
+            k_pad = ((centers.shape[0] + 255) // 256) * 256
+            if k_pad > centers.shape[0]:
+                extra = rng.choice(n, size=k_pad - centers.shape[0],
+                                   replace=False)
+                centers = np.concatenate([centers, data[extra]], axis=0)
+            cent_dev = jnp.asarray(centers)
+            step_b = sharded_kmeans_step(mesh, k=k_pad)
+            for _ in range(3):
+                cent_dev, _, _ = step_b(data_sh, cent_dev, jnp.int32(n_real))
+            centers = np.asarray(cent_dev)
+            tokens = np.asarray(assign(data_sh, cent_dev))[:n]
+        kparts = centers.shape[0]
         sizes_now = np.bincount(tokens, minlength=kparts)
-        if sizes_now.max() > int(cap):
+        if sizes_now.max() > cap:
             r = min(12, kparts)
             d_r, c_r = sharded_topr_kernel(
                 mesh, r=r, measure=cfg.distance_measure)(data_sh, cent_dev)
             tokens = demote_to_cap(np.asarray(d_r)[:n], np.asarray(c_r)[:n],
-                                   int(cap), rounds=12)
+                                   cap, rounds=12)
 
     tp = TreePartitioner(TreePartitionerConfig(
         num_partitions=kparts, seed=seed,

@@ -603,13 +603,16 @@ def test_sharded_build_balance_cap():
     cap = max(int(1.5 * 3200 / 16), 8)  # 300
     assert mx_cap <= mx_un
     assert mx_cap <= cap + 64  # best-effort: bounded slack, no livelock
-    # recall survives the cap (compare against the uncapped build at the
-    # same knobs: the dense near-duplicate cluster bounds what PQ-ranked
-    # pre_k can resolve for either build)
+    # recall survives the cap (compare against the uncapped build with
+    # each searching a proportional share of its own partition count —
+    # the LBG rounds grow K, so a fixed p covers a smaller fraction)
     q = db[rng.integers(0, len(db), size=16)]
     gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
-    params = SearchParameters(pre_reordering_num_neighbors=400)
-    i_c, _ = capped.search_batched_arrays(q, 10, params)
-    i_u, _ = uncapped.search_batched_arrays(q, 10, params)
+    i_c, _ = capped.search_batched_arrays(q, 10, SearchParameters(
+        pre_reordering_num_neighbors=400,
+        num_leaves_to_search=capped._inner.partitioner.num_partitions))
+    i_u, _ = uncapped.search_batched_arrays(q, 10, SearchParameters(
+        pre_reordering_num_neighbors=400,
+        num_leaves_to_search=uncapped._inner.partitioner.num_partitions))
     assert _recall(i_c, gt) >= _recall(i_u, gt) - 0.05
     assert _recall(i_c, gt) >= 0.85
