@@ -534,6 +534,20 @@ def test_sharded_build_end_to_end(data):
     i_sh, d_sh = sharded.search_batched_arrays(q, 10, params)
     assert _recall(i_sh, gt) >= 0.9
 
+    # build-quality parity with the SINGLE-DEVICE build (regression: the
+    # sharded build skipped the LBG balance rounds and measured ~2x the
+    # assignment inertia / −10pp recall on real hardware — catch that
+    # class here, not just a recall floor)
+    s_single = TreeXHybridSearcher(cfg).build(ds)
+    def _inertia(tp):
+        toks = tp.tokenization.tokens
+        return float(((db - tp.centers[toks]) ** 2).sum())
+    in_sh = _inertia(sharded._inner.partitioner)
+    in_1 = _inertia(s_single.partitioner)
+    assert in_sh <= in_1 * 1.25, (in_sh, in_1)
+    i_1b, _ = s_single.search_batched_arrays(q, 10, params)
+    assert _recall(i_sh, gt) >= _recall(i_1b, gt) - 0.03
+
     # serving equivalence: single-device searcher over the same artifacts
     single = sharded._inner
     i_1, d_1 = single.search_batched_arrays(q, 10, params)
