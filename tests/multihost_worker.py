@@ -122,3 +122,20 @@ d_ret = ((queries[:, None, :] - full[np.maximum(idx_t, 0)]) ** 2).sum(-1)
 np.testing.assert_allclose(dists_t[m], d_ret[m], rtol=1e-4, atol=1e-4)
 
 print(f"proc {proc_id}: multihost sharded tree-AH OK", flush=True)
+
+# ---------------------------------------------------------------------------
+# warm start across the process boundary: the per-shard layout reloads into
+# the SAME global-mesh device placement and serves identical answers
+# (each process saves/loads its own file; layouts are deterministic)
+# ---------------------------------------------------------------------------
+import tempfile
+
+_path = os.path.join(tempfile.gettempdir(),
+                     f"mh_layout_{port}_{proc_id}.npz")
+sharded_tree.save_layout(_path)
+reloaded = ShardedTreeXHybridSearcher.load_layout(_path, mesh)
+idx_r, dists_r = reloaded.search_batched_arrays(queries, K, params)
+np.testing.assert_array_equal(idx_r, idx_t)
+np.testing.assert_allclose(dists_r, dists_t, rtol=1e-5, atol=1e-5)
+os.unlink(_path)
+print(f"proc {proc_id}: multihost warm-start OK", flush=True)
