@@ -22,3 +22,30 @@ ref_idx, ref_dist = BruteForceSearcher(ds).search_batched_arrays(q, 5)
 assert np.allclose(dist, ref_dist, rtol=1e-4, atol=1e-4)
 print("sharded top-5 matches single-device exact search; "
       f"first row: {idx[0].tolist()}")
+
+# --- sharded BUILD + warm start (tree-×-AH) --------------------------------
+# The index trains with the database only ever row-sharded (k-means via
+# psum Lloyd steps, LBG balance, per-shard residual PQ encode), then the
+# per-shard serving layout persists so a restart skips the re-layout.
+from scann_tpu import SearchParameters
+from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+from scann_tpu.models.tree_x_hybrid import TreeXHybridConfig
+from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+tree = ShardedTreeXHybridSearcher.build(
+    ds,
+    TreeXHybridConfig(num_partitions=16, partitions_to_search=8,
+                      hash_config=AsymmetricHasherConfig(
+                          num_codes=16, num_subspaces=8, seed=0,
+                          max_iterations=6)),
+    mesh)
+params = SearchParameters(pre_reordering_num_neighbors=80)
+t_idx, _ = tree.search_batched_arrays(q, 5, params)
+
+import tempfile, os
+path = os.path.join(tempfile.mkdtemp(), "layout.npz")
+tree.save_layout(path)
+warm = ShardedTreeXHybridSearcher.load_layout(path, mesh)
+w_idx, _ = warm.search_batched_arrays(q, 5, params)
+assert np.array_equal(t_idx, w_idx)
+print("sharded build + warm-start reload: identical answers")
