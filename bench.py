@@ -201,7 +201,7 @@ def _run_tree_ah_default(log):
     if grouped:
         kern = tree_ah_grouped_kernel
         codes_arg = codes_csr
-        kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+        kw.update(q_cap=s.effective_q_cap(B, P), l_tile=cfg.score_l_tile,
                   packed=s._pack_codes())
     else:
         kern = tree_ah_kernel
@@ -403,7 +403,7 @@ def _run_adversarial_default(log):
               approx_select_min=cfg.approx_selection_min_partitions)
     if grouped:
         kern, codes_arg = tree_ah_grouped_kernel, codes_csr
-        kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+        kw.update(q_cap=s.effective_q_cap(B, P), l_tile=cfg.score_l_tile,
                   packed=s._pack_codes())
     else:
         kern, codes_arg = tree_ah_kernel, codes_rows
@@ -577,9 +577,9 @@ def _run_tree_ah(log, ds, q_all, q_np, gt):
         kw = dict(p=p, pre_k=pre_k, k=10, l_cap=l_cap, use_residuals=True,
                   measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
                   approx_select_min=cfg.approx_selection_min_partitions,
-                  q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
-                  packed=s._pack_codes())
+                  l_tile=cfg.score_l_tile, packed=s._pack_codes())
         for b in (128, 1024):
+            kw["q_cap"] = s.effective_q_cap(b, p)
             q_dev = q_all[:b]
             idx, _ = s.search_batched_arrays(
                 q_np[:b], 10,

@@ -133,8 +133,7 @@ def main():
                   approx_select_min=cfg.approx_selection_min_partitions)
         if grouped:
             kern, codes_arg = tree_ah_grouped_kernel, codes_csr
-            kw.update(q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
-                      packed=s._pack_codes())
+            kw.update(l_tile=cfg.score_l_tile, packed=s._pack_codes())
         else:
             kern, codes_arg = tree_ah_kernel, codes_rows
         for b in (128, B):
@@ -143,6 +142,8 @@ def main():
                 q_np[:b], K, params=SearchParameters(
                     num_leaves_to_search=p, pre_reordering_num_neighbors=pre_k))
             rec = recall_at_k(idx, gt[:b])
+            if grouped:
+                kw["q_cap"] = s.effective_q_cap(b, p)
 
             def call(qq, dbx, nx, c, codes, off, sz, pm, cbx):
                 return kern(dbx, nx, c, codes, off, sz, pm, cbx, qq,

@@ -280,7 +280,8 @@ def _deserialize_index(meta: dict, arrays: dict):
             distance_measure=DistanceMeasure(meta["measure"]),
             rerank_dtype=meta.get("rerank_dtype", "float32"),
             score_l_tile=int(meta.get("score_l_tile", 512)),
-            group_q_cap=int(meta.get("group_q_cap", 8)),
+            group_q_cap=(None if meta.get("group_q_cap") is None
+                         else int(meta["group_q_cap"])),
             pack_codes=meta.get("pack_codes"),
         )
         s = TreeXHybridSearcher(cfg)

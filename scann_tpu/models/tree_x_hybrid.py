@@ -98,10 +98,13 @@ class TreeXHybridConfig:
     partition_training_sample_size: Optional[int] = None
     # grouped-kernel shape knobs: queries per group row-block and the code
     # L-tile (tiles past a partition's size skip DMA + matmul entirely).
-    # Swept at 1.18M, B=1024: q_cap 8 / l_tile 512 beat 32/256 by ~13%
-    # (most partitions hold only a few pairs, so small q_cap wastes fewer
-    # padded LUT rows; bigger L-tiles amortize grid/DMA overhead)
-    group_q_cap: int = 8
+    # group_q_cap None = adaptive from the (B, p) pair density at search
+    # time: sparse groups (few pairs per partition) favor q_cap=8 (fewer
+    # padded LUT rows; 1.18M p=10 sweep: 8/512 beat 32/256 by ~13%), dense
+    # groups favor 16 (a partition probed by ~15 queries at q_cap=8 splits
+    # into two groups and DMAs its codes twice; SOAR p=30 measured +11%
+    # QPS at q_cap=16). An explicit int pins it.
+    group_q_cap: Optional[int] = None
     score_l_tile: int = 512
     # approximate top-p centroid selection (lax.approx_min_k) once the
     # centroid count makes the sort-based exact top-k the bottleneck
@@ -767,6 +770,16 @@ class TreeXHybridSearcher(Searcher):
 
         return is_tpu()
 
+    def effective_q_cap(self, b: int, p: int) -> int:
+        """Grouped-kernel queries-per-group: the config's explicit value,
+        or adaptive from the expected pairs-per-partition density
+        (b*p / num_partitions) — measured crossover near 8 pairs (see
+        TreeXHybridConfig.group_q_cap)."""
+        if self.config.group_q_cap is not None:
+            return int(self.config.group_q_cap)
+        kparts = max(self.partitioner.num_partitions, 1)
+        return 16 if (b * p) / kparts >= 8.0 else 8
+
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,
                               params: Optional[SearchParameters] = None,
@@ -831,7 +844,8 @@ class TreeXHybridSearcher(Searcher):
                 csr_offsets, part_sizes, perm,
                 self.codebook.centroids_device(), jnp.asarray(queries),
                 jnp.int32(n_valid), mask_dev, pre_eps, post_eps,
-                q_cap=cfg.group_q_cap, l_tile=cfg.score_l_tile,
+                q_cap=self.effective_q_cap(len(queries), p),
+                l_tile=cfg.score_l_tile,
                 interpret=not is_tpu(), packed=self._pack_codes(), **common)
         else:
             dists, idx = tree_ah_kernel(

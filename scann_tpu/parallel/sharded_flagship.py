@@ -976,14 +976,17 @@ class ShardedTreeXHybridSearcher(Searcher):
             pre_k = pre_k * mult
         pre_k = min(max(pre_k, k), p * self._l_cap)
         with_mask = allow_mask is not None
-        key = (p, pre_k, k, with_mask)
+        # per-shard pair density: each shard sees the full replicated batch
+        # against its owned partitions (~p/n_sh of the selected set)
+        q_cap = self._inner.effective_q_cap(len(queries), p)
+        key = (p, pre_k, k, with_mask, q_cap)
         if key not in self._kernels:
             self._kernels[key] = sharded_tree_ah_kernel(
                 self.mesh, p=p, pre_k=pre_k, k=k, l_cap=self._l_cap,
                 use_residuals=cfg.use_residuals, measure=cfg.distance_measure,
                 multiplicity=mult,
                 approx_select_min=cfg.approx_selection_min_partitions,
-                use_grouped=self._use_grouped, q_cap=cfg.group_q_cap,
+                use_grouped=self._use_grouped, q_cap=q_cap,
                 l_tile=cfg.score_l_tile, with_mask=with_mask,
                 dequant=self._dequant, packed=self._packed)
         q = replicate(self.mesh, jnp.asarray(queries))
