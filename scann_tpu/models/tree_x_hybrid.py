@@ -773,12 +773,14 @@ class TreeXHybridSearcher(Searcher):
     def effective_q_cap(self, b: int, p: int) -> int:
         """Grouped-kernel queries-per-group: the config's explicit value,
         or adaptive from the expected pairs-per-partition density
-        (b*p / num_partitions) — measured crossover near 8 pairs (see
-        TreeXHybridConfig.group_q_cap)."""
+        (b*p / num_partitions). The measured crossover sits between ~10
+        pairs (200k flagship shape: q_cap=8 still fastest at density
+        10.2) and ~15 (SOAR p=30: 16 wins by 11%) — threshold 12 keeps
+        both measured winners (see TreeXHybridConfig.group_q_cap)."""
         if self.config.group_q_cap is not None:
             return int(self.config.group_q_cap)
         kparts = max(self.partitioner.num_partitions, 1)
-        return 16 if (b * p) / kparts >= 8.0 else 8
+        return 16 if (b * p) / kparts >= 12.0 else 8
 
     # -- search -----------------------------------------------------------------
     def search_batched_arrays(self, queries: np.ndarray, k: int,

@@ -561,16 +561,20 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
          parallel/sharded.sharded_kmeans_step (per-shard one-hot
          segment-sums, psum over ICI), empty clusters reseeded from
          random rows (reference: kmeans.rs:405-410);
-      3. per-shard token assignment (sharded_assign_kernel);
+      3. per-shard token assignment (sharded_assign_kernel), then the LBG
+         balance rounds (shared lbg_grow_centers splitting + sharded
+         Lloyd refinement + per-shard re-assign + the shared hard-demote)
+         — the discipline that drives build quality (BENCH_NOTES round 4:
+         skipping it measured 2.2x the inertia / −10pp recall);
       4. PQ codebook trained on a host residual sample;
       5. per-shard residual encode into uint8 codes
          (sharded_residual_encode_kernel) — only the [N, S] code bytes
          come back to host for the CSR layout, never the residuals;
       6. the per-shard CSR serving layout (ShardedTreeXHybridSearcher).
 
-    Spilling/SOAR multi-assignment and the LBG balance rounds are
-    single-device build features (partitioning/tree_partitioner.py) not yet
-    reproduced sharded; configs requesting them are rejected loudly.
+    Spilling/SOAR multi-assignment and the straggler split (the hard-cap
+    guarantee) are single-device build features not yet reproduced
+    sharded; spilling configs are rejected loudly.
 
     Returns a serving ShardedTreeXHybridSearcher whose ``_inner`` holds the
     trained artifacts (partitioner, codebook, per-assignment codes), so
@@ -659,36 +663,28 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
     # Straggler splitting (the hard-cap guarantee) remains
     # single-device-only.
     if cfg.max_partition_size is not None:
-        from scann_tpu.partitioning.tree_partitioner import demote_to_cap
+        from scann_tpu.partitioning.tree_partitioner import (
+            demote_to_cap,
+            lbg_grow_centers,
+        )
 
         cap = cfg.max_partition_size
         if cap == "auto":
             cap = max(int(1.5 * n / max(min(kparts, n), 1)), 8)
         cap = int(cap)
+        steps_by_k = {}  # reuse the jitted Lloyd step per K (compiles once)
         for _ in range(4):  # TreePartitionerConfig.balance_rounds default
-            sizes_now = np.bincount(tokens, minlength=centers.shape[0])
-            if sizes_now.max() <= cap:
+            grown = lbg_grow_centers(data, tokens, centers, cap, rng)
+            if grown is None:
                 break
-            new_centers = [centers]
-            for t in np.nonzero(sizes_now > cap)[0]:
-                members = np.nonzero(tokens == t)[0]
-                n_extra = min(int(sizes_now[t] // cap), len(members))
-                if n_extra <= 0:
-                    continue
-                picks = rng.choice(members, size=n_extra, replace=False)
-                new_centers.append(
-                    data[picks] + rng.normal(size=(n_extra, d)
-                                             ).astype(np.float32) * 1e-4)
-            centers = np.concatenate(new_centers, axis=0)
-            k_pad = ((centers.shape[0] + 255) // 256) * 256
-            if k_pad > centers.shape[0]:
-                extra = rng.choice(n, size=k_pad - centers.shape[0],
-                                   replace=False)
-                centers = np.concatenate([centers, data[extra]], axis=0)
+            centers = grown
             cent_dev = jnp.asarray(centers)
-            step_b = sharded_kmeans_step(mesh, k=k_pad)
+            k_pad = centers.shape[0]
+            if k_pad not in steps_by_k:
+                steps_by_k[k_pad] = sharded_kmeans_step(mesh, k=k_pad)
             for _ in range(3):
-                cent_dev, _, _ = step_b(data_sh, cent_dev, jnp.int32(n_real))
+                cent_dev, _, _ = steps_by_k[k_pad](data_sh, cent_dev,
+                                                   jnp.int32(n_real))
             centers = np.asarray(cent_dev)
             tokens = np.asarray(assign(data_sh, cent_dev))[:n]
         kparts = centers.shape[0]

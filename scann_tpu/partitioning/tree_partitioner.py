@@ -83,6 +83,40 @@ def select_partitions_kernel(centers, queries, *, measure: DistanceMeasure, p: i
     return top_k_smallest(dists, p)
 
 
+def lbg_grow_centers(data: np.ndarray, tokens: np.ndarray,
+                     centers: np.ndarray, cap: int,
+                     rng: np.random.Generator) -> Optional[np.ndarray]:
+    """One LBG splitting step, shared by the single-device balance rounds
+    and the sharded build: add jittered member copies of every oversized
+    centroid, then pad K to a 256 bucket (stable compiled Lloyd shapes)
+    with random dataset rows. Returns the grown [K', D] centers, or None
+    when no partition exceeds ``cap`` (callers stop their rounds)."""
+    sizes = np.bincount(tokens, minlength=centers.shape[0])
+    if sizes.max() <= cap:
+        return None
+    n = len(data)
+    new_centers = [centers]
+    for t in np.nonzero(sizes > cap)[0]:
+        members = np.nonzero(tokens == t)[0]
+        n_extra = min(int(sizes[t] // cap), len(members))
+        if n_extra <= 0:
+            continue
+        picks = rng.choice(members, size=n_extra, replace=False)
+        new_centers.append(
+            data[picks] + rng.normal(size=(n_extra, data.shape[1])
+                                     ).astype(np.float32) * 1e-4)
+    centers = np.concatenate(new_centers, axis=0)
+    k_pad = ((centers.shape[0] + 255) // 256) * 256
+    if k_pad > centers.shape[0]:
+        # small datasets can need more bucket-pad centers than they have
+        # rows: sample with replacement past n (duplicate centers lose
+        # their members to whichever copy argmin picks — harmless)
+        pad_n = k_pad - centers.shape[0]
+        extra = rng.choice(n, size=pad_n, replace=pad_n > n)
+        centers = np.concatenate([centers, data[extra]], axis=0)
+    return centers
+
+
 def demote_to_cap(dists: np.ndarray, choices: np.ndarray, cap: int,
                   rounds: int) -> np.ndarray:
     """Host demote loop of the balance cap: given each point's top-r
@@ -233,28 +267,13 @@ class TreePartitioner:
             data_dev = jnp.asarray(data, dtype=jnp.float32)
 
         for _ in range(max(cfg.balance_rounds, 0)):
-            sizes = np.bincount(tokens, minlength=self.centers.shape[0])
-            if sizes.max() <= cap:
+            centers = lbg_grow_centers(data, tokens, self.centers, cap, rng)
+            if centers is None:
                 break
-            new_centers = [self.centers]
-            for t in np.nonzero(sizes > cap)[0]:
-                members = np.nonzero(tokens == t)[0]
-                n_extra = min(int(sizes[t] // cap), len(members))
-                if n_extra <= 0:
-                    continue
-                picks = rng.choice(members, size=n_extra, replace=False)
-                new_centers.append(
-                    data[picks] + rng.normal(size=(n_extra, data.shape[1])
-                                             ).astype(np.float32) * 1e-4)
-            centers = np.concatenate(new_centers, axis=0)
-            # bucket K so the Lloyd program shape is stable across datasets
-            k_pad = ((centers.shape[0] + 255) // 256) * 256
-            if k_pad > centers.shape[0]:
-                extra = rng.choice(n, size=k_pad - centers.shape[0], replace=False)
-                centers = np.concatenate([centers, data[extra]], axis=0)
             c_dev = jnp.asarray(centers, dtype=jnp.float32)
             for _ in range(3):
-                c_dev, _ = lloyd_step_sliced(data_dev, c_dev, k=k_pad)
+                c_dev, _ = lloyd_step_sliced(data_dev, c_dev,
+                                             k=centers.shape[0])
             self.centers = np.asarray(c_dev)
             self._centers_dev = c_dev
             tokens = self.tokenize(data_dev)

@@ -271,3 +271,21 @@ def test_soar_secondaries_respect_partition_cap(rng):
         p.tokenization.max_partition_size, prim_max, cap)
     # spilling still happened for most points
     assert p.tokenization.max_multiplicity == 2
+
+
+def test_lbg_grow_centers_small_dataset_bucket_pad():
+    """Bucket-padding to 256 on a dataset with fewer than 256 rows must
+    sample with replacement instead of crashing (regression: replace=False
+    raised 'Cannot take a larger sample than population')."""
+    from scann_tpu.partitioning.tree_partitioner import lbg_grow_centers
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(200, 8)).astype(np.float32)
+    tokens = np.zeros(200, np.int32)  # everything in partition 0
+    centers = data[:8].copy()
+    grown = lbg_grow_centers(data, tokens, centers, cap=37, rng=rng)
+    assert grown is not None
+    assert grown.shape[0] == 256  # bucket-padded
+    # under the cap -> None (stop signal)
+    tokens2 = np.arange(200, dtype=np.int32) % 8
+    assert lbg_grow_centers(data, tokens2, centers, cap=37, rng=rng) is None
