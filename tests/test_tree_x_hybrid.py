@@ -513,3 +513,18 @@ def test_packed_slab_roundtrip_to_row_major(hybrid_setup, monkeypatch):
     rows_got = np.asarray(jnp.take(ct, order, axis=0).T)
     # unpacked slab pads columns to align_up(S,32); compare the real S
     np.testing.assert_array_equal(rows_got[:, :8], rows_want[:, :8])
+
+
+def test_effective_q_cap_density_rule(hybrid_setup):
+    """Adaptive q_cap: 8 below ~12 pairs/partition, 16 above; explicit
+    config pins it (measured crossover, BENCH_NOTES round-4 q_cap study)."""
+    _, _, _, _, s = hybrid_setup  # 32 partitions
+    # B=32, p=8 -> 8 pairs/partition < 12 -> 8
+    assert s.effective_q_cap(32, 8) == 8
+    # B=1024, p=8 -> 256 pairs/partition -> 16
+    assert s.effective_q_cap(1024, 8) == 16
+    s.config.group_q_cap = 4
+    try:
+        assert s.effective_q_cap(1024, 8) == 4
+    finally:
+        s.config.group_q_cap = None
