@@ -183,6 +183,14 @@ def load_index(path: str):
         if meta.get("format_version") != _FORMAT_VERSION:
             raise ScannError.failed_precondition(
                 f"unsupported index format {meta.get('format_version')}")
+        if "sharded_kind" in meta:
+            raise ScannError.failed_precondition(
+                "this file is a sharded serving layout (kind "
+                f"{meta['sharded_kind']!r}); load it with "
+                "io.load_sharded_layout / <Sharded*Searcher>.load_layout")
+        if "kind" not in meta:
+            raise ScannError.failed_precondition(
+                "not a save_index file: missing index kind")
         arrays = {k: z[k] for k in z.files if k != "__meta__"}
     return _deserialize_index(meta, arrays)
 
@@ -280,9 +288,17 @@ def _deserialize_index(meta: dict, arrays: dict):
             distance_measure=DistanceMeasure(meta["measure"]),
             rerank_dtype=meta.get("rerank_dtype", "float32"),
             score_l_tile=int(meta.get("score_l_tile", 512)),
-            group_q_cap=(None if meta.get("group_q_cap") is None
-                         else int(meta["group_q_cap"])),
-            pack_codes=meta.get("pack_codes"),
+            # files saved before the adaptive-q_cap / packed-slab knobs
+            # existed lack these KEYS entirely (vs an explicit null):
+            # reload them with the fixed q_cap=8 unpacked slab their build
+            # default was, so a previously benchmarked index keeps serving
+            # through the exact kernel shape it was measured with
+            # (advisor r4 finding)
+            group_q_cap=(int(meta["group_q_cap"])
+                         if meta.get("group_q_cap") is not None
+                         else None if "group_q_cap" in meta else 8),
+            pack_codes=(meta["pack_codes"] if "pack_codes" in meta
+                        else False),
         )
         s = TreeXHybridSearcher(cfg)
         s._dataset = DenseDataset(arrays["data"])

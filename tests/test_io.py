@@ -250,3 +250,57 @@ def test_sharded_tree_layout_round_trip_custom_l_tile(tmp_path):
     i2, d2 = sh2.search_batched_arrays(q, 5, params)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_load_index_rejects_sharded_layout_file(tmp_path, db, rng):
+    """A sharded-layout .npz must fail load_index() with a clear pointer to
+    load_sharded_layout, not a raw KeyError (advisor r4 finding)."""
+    from scann_tpu.errors import ScannError
+    from scann_tpu.hashes.hasher import AsymmetricHasherConfig
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+    inner = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=8, partitions_to_search=4,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=4,
+                                           seed=0, max_iterations=3),
+    )).build(DenseDataset(db))
+    sh = ShardedTreeXHybridSearcher(inner, make_mesh(8, axis_names=("db",)))
+    path = str(tmp_path / "layout.npz")
+    sh.save_layout(path)
+    with pytest.raises(ScannError) as exc:
+        load_index(path)
+    assert "load_sharded_layout" in str(exc.value)
+
+
+def test_tree_ah_legacy_save_serving_knob_defaults(tmp_path, db, rng):
+    """Indexes saved before the group_q_cap/pack_codes knobs existed must
+    reload with the fixed q_cap=8 unpacked slab those builds defaulted to,
+    not the new adaptive/auto-pack behavior (advisor r4 finding)."""
+    import json as _json
+
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=8, partitions_to_search=4,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=4,
+                                           seed=42),
+    )).build(DenseDataset(db))
+    p = str(tmp_path / "legacy.npz")
+    save_index(p, s)
+    # simulate a pre-knob save: strip the keys from the meta envelope
+    with np.load(p, allow_pickle=False) as z:
+        meta = _json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    for key in ("group_q_cap", "pack_codes", "score_l_tile"):
+        meta.pop(key, None)
+    np.savez_compressed(p, __meta__=np.frombuffer(
+        _json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    s2 = load_index(p)
+    assert s2.config.group_q_cap == 8
+    assert s2.config.pack_codes is False
+    # a fresh save still round-trips the modern defaults (None = adaptive)
+    p2 = str(tmp_path / "modern.npz")
+    save_index(p2, s)
+    s3 = load_index(p2)
+    assert s3.config.group_q_cap is None
+    assert s3.config.pack_codes is None
+    _same_results(s, s2, rng.normal(size=(4, 16)).astype(np.float32))
