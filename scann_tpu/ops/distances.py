@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 
 class DistanceMeasure(enum.Enum):
-    """The 11 distance measures of the reference (reference: src/distance_measures/mod.rs:32-66)."""
+    """The 11 distance measures of the reference (reference:
+    src/distance_measures/mod.rs:32-66), plus its two free sparse measures
+    (sparse.rs:101-196) promoted to enum members."""
 
     L1 = "L1"
     L2 = "L2"
@@ -41,6 +43,12 @@ class DistanceMeasure(enum.Enum):
     JACCARD = "Jaccard"
     NON_ZERO_INTERSECT = "NonZeroIntersect"
     DICE = "Dice"
+    # the reference also ships these two as free sparse functions OUTSIDE
+    # its DistanceMeasure enum (reference: src/distance_measures/sparse.rs:
+    # 101-147 weighted_jaccard_distance, :178-196 overlap_coefficient_sparse);
+    # here they are first-class measures the sparse searcher serves
+    WEIGHTED_JACCARD = "WeightedJaccard"
+    OVERLAP = "Overlap"
 
     @property
     def is_matmul_friendly(self) -> bool:
@@ -300,3 +308,28 @@ def non_zero_intersect_sparse(a_indices, b_indices) -> float:
     """-|A∩B| (more overlap = closer)."""
     a, b = set(map(int, a_indices)), set(map(int, b_indices))
     return -float(len(a & b))
+
+
+def weighted_jaccard_distance_sparse(a_values, a_indices,
+                                     b_values, b_indices) -> float:
+    """1 - Σ min(|aᵢ|,|bᵢ|) / Σ max(|aᵢ|,|bᵢ|) over weighted sparse vectors
+    (reference: src/distance_measures/sparse.rs:101-147 — values are taken
+    by absolute value; 0.0 when both vectors are empty)."""
+    av = {int(i): abs(float(v)) for i, v in zip(a_indices, a_values)}
+    bv = {int(i): abs(float(v)) for i, v in zip(b_indices, b_values)}
+    min_sum = sum(min(av[i], bv[i]) for i in av.keys() & bv.keys())
+    max_sum = sum(av.values()) + sum(bv.values()) - min_sum
+    if max_sum == 0.0:
+        return 0.0
+    return 1.0 - min_sum / max_sum
+
+
+def overlap_coefficient_sparse(a_indices, b_indices) -> float:
+    """|A∩B| / min(|A|,|B|) (Szymkiewicz–Simpson; reference:
+    src/distance_measures/sparse.rs:178-196 — a SIMILARITY in [0,1],
+    0.0 when either set is empty). The searcher serves the distance
+    1 - overlap so smaller = closer."""
+    a, b = set(map(int, a_indices)), set(map(int, b_indices))
+    if not a or not b:
+        return 0.0
+    return len(a & b) / min(len(a), len(b))
