@@ -20,7 +20,8 @@ trips:
               MXU contraction (ops/tree_ah_grouped.py)
          CPU/fallback: per-pair code-row gather + LUT gather-sum
     -> masked merge across partitions -> approx top-(k·multiplier)
-    -> gather raw rows -> exact re-rank -> top-k (dedup when spilling)
+    -> (keep-best-per-id dedup when spilling) -> gather raw rows
+    -> exact re-rank -> top-k
 
 Optional restricts enter as a [N] bool allowlist mask fused into scoring;
 per-query ``pre/post_reordering_epsilon`` thresholds ride as dynamic
@@ -52,6 +53,7 @@ from scann_tpu.ops.distances import (
 from scann_tpu.ops.lut16_scoring import lut_score_gathered
 from scann_tpu.ops.topk import (
     approx_top_k_smallest,
+    keep_best_per_id,
     top_k_smallest,
     dedup_top_k,
     top_k_unique,
@@ -115,17 +117,25 @@ class TreeXHybridConfig:
     # (pack whenever the grouped kernel serves and num_codes <= 16);
     # False forces the unpacked u8 slab (kernel A/B benchmarking)
     pack_codes: Optional[bool] = None
+    # spilling serving: dedup a spilled point's copies BEFORE the exact
+    # rerank gather (sort-based keep-best-per-id over the approx slots), so
+    # the [B, pre_k, D] gather — the measured latency floor — runs at
+    # unique depth instead of the legacy pre_k*multiplicity inflation.
+    # False = legacy blanket inflation (A/B measurement only).
+    spill_dedup: bool = True
     # dtype of the device copy the exact re-rank gathers from. "bfloat16"
     # halves the dominant serving allocation (f32 database: 8 GB at
     # 20M x 100d) at ~3 decimal digits of distance precision — measured
     # recall@10 cost ~0.5pp at 200k x 100d clustered data (0.944 -> 0.939
     # at equal config) and the single-chip capacity ceiling doubles
     # (docs/DESIGN.md "HBM budget at scale"). "int8" quarters it using the
-    # calibrated ScalarQuantizer codec (quantization/scalar.py) with the
-    # dequant fused after the candidate gather — this implements the
-    # reference's declared-but-unimplemented quantized reordering
-    # (config.rs:290-318). Norms are recomputed from the rounded rows so
-    # the ||d||² term is exactly consistent with the gathered vectors.
+    # residual-anchored per-dim codec (utils/reordering.
+    # residual_rerank_codec: quantize row - center[token], add the
+    # centroid back after the gather) — this implements the reference's
+    # declared-but-unimplemented quantized reordering (config.rs:290-318)
+    # at cluster-noise resolution instead of cluster-spread resolution.
+    # Norms are recomputed from the rounded rows so the ||d||² term is
+    # exactly consistent with the gathered vectors.
     rerank_dtype: str = "float32"
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
@@ -352,15 +362,25 @@ def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
 
 def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
               pre_eps, post_eps, *, pre_k: int, k: int,
-              measure: DistanceMeasure, reorder: bool, multiplicity: int):
-    """approx candidate select -> exact re-rank -> (dedup) top-k.
+              measure: DistanceMeasure, reorder: bool, multiplicity: int,
+              spill_dedup: bool = True):
+    """approx candidate select -> (dedup) -> exact re-rank -> top-k.
 
     Position-based: ``flat_rows`` are CSR row positions (pure arithmetic,
     never gathered); candidate point ids resolve through ``perm`` only for
-    the pre_k survivors. Translating ALL p*l_cap candidates up front was the
-    tree path's dominant cost — a [B, p*l_cap] scalar gather (10.5M random
-    accesses at B=1024, p=10, l_cap=1024) measured ~80 ms/batch, 8x the rest
-    of the pipeline combined."""
+    the approx survivors. Translating ALL p*l_cap candidates up front was
+    the tree path's dominant cost — a [B, p*l_cap] scalar gather (10.5M
+    random accesses at B=1024, p=10, l_cap=1024) measured ~80 ms/batch, 8x
+    the rest of the pipeline combined.
+
+    Under spilling, duplicates are removed BEFORE the rerank gather
+    (``spill_dedup``, default): the approx stage over-selects
+    pre_k×multiplicity slots (a point's copies each hold one), a
+    sort-based keep-best-per-id collapses them, and the [B, pre_k, D] row
+    gather — the measured latency floor at ~31 ns/row — runs at UNIQUE
+    candidate depth. ``spill_dedup=False`` keeps the legacy blanket
+    inflation (gather all pre_k×multiplicity rows, dedup after the exact
+    top-k) for A/B measurement."""
     if not reorder:
         kp = min(k * max(int(multiplicity), 1), flat_scores.shape[-1])
         vals, pos = top_k_smallest(flat_scores, kp)
@@ -378,21 +398,32 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
         missing = (vals >= MASKED_DISTANCE / 2) | (vals_m > pre_eps)
         return jnp.where(missing, jnp.inf, vals_m), jnp.where(missing, -1, idx)
 
-    pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pre_k)
-    pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)  # [B, pre_k]
+    mult = max(int(multiplicity), 1)
+    dedup_first = spill_dedup and mult > 1
+    width = flat_scores.shape[-1]
+    sel_k = min(pre_k * mult, width) if mult > 1 else min(pre_k, width)
+    pre_vals, pre_pos = approx_top_k_smallest(flat_scores, sel_k)
+    pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)  # [B, sel_k]
     pre_cand = jnp.take(perm, pre_rows, axis=0)
     pre_vals = pre_vals.astype(jnp.float32)
     pre_m = approx_to_measure_units(pre_vals, measure)
     pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
+    if dedup_first:
+        # collapse a spilled point's copies to its best approx slot, THEN
+        # gather: unique depth pre_k instead of sel_k rows
+        masked = jnp.where(pre_valid, pre_vals, MASKED_DISTANCE)
+        dvals, pre_cand = keep_best_per_id(masked, pre_cand,
+                                           min(pre_k, sel_k))
+        pre_valid = dvals < MASKED_DISTANCE / 2
     pre_safe = jnp.maximum(pre_cand, 0)
 
     from scann_tpu.utils.reordering import gather_rerank_rows
 
-    rows = gather_rerank_rows(db, pre_safe)                      # [B, pre_k, D]
+    rows = gather_rerank_rows(db, pre_safe)                   # [B, pre_k, D]
     norms = jnp.take(db_sq_norms, pre_safe, axis=0)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
-    if multiplicity > 1:
+    if mult > 1 and not dedup_first:
         vals, idx = top_k_unique(exact, pre_cand, k, multiplicity)
     else:
         vals, pos = top_k_smallest(exact, k)
@@ -406,7 +437,7 @@ def tree_ah_search(
     codebook, queries, n_valid, allow_mask, pre_eps, post_eps,
     *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
-    approx_select_min: int = 1024,
+    approx_select_min: int = 1024, spill_dedup: bool = True,
 ):
     """XLA leaf-scoring path (CPU and fallback): per-pair code-row gather +
     LUT gather-sum over the CSR slab.
@@ -439,13 +470,15 @@ def tree_ah_search(
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
     return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
                      pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
-                     reorder=reorder, multiplicity=multiplicity)
+                     reorder=reorder, multiplicity=multiplicity,
+                     spill_dedup=spill_dedup)
 
 
 tree_ah_kernel = jax.jit(
     tree_ah_search,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
-                     "reorder", "multiplicity", "approx_select_min"),
+                     "reorder", "multiplicity", "approx_select_min",
+                     "spill_dedup"),
 )
 
 
@@ -456,6 +489,7 @@ def tree_ah_search_grouped(
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
     approx_select_min: int = 1024, q_cap: int = 32, l_tile: int = 256,
     interpret: bool = False, int8_luts: bool = False, packed: bool = False,
+    spill_dedup: bool = True,
 ):
     """TPU fast path: grouped MXU leaf scoring (ops/tree_ah_grouped.py).
 
@@ -496,14 +530,16 @@ def tree_ah_search_grouped(
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
     return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
                      pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
-                     reorder=reorder, multiplicity=multiplicity)
+                     reorder=reorder, multiplicity=multiplicity,
+                     spill_dedup=spill_dedup)
 
 
 tree_ah_grouped_kernel = jax.jit(
     tree_ah_search_grouped,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
                      "reorder", "multiplicity", "approx_select_min", "q_cap",
-                     "l_tile", "interpret", "int8_luts", "packed"),
+                     "l_tile", "interpret", "int8_luts", "packed",
+                     "spill_dedup"),
 )
 
 
@@ -683,13 +719,28 @@ class TreeXHybridSearcher(Searcher):
             # the f32 DenseDataset cache can free it with
             # dataset.drop_device_cache() — ideally BEFORE this call so
             # the two copies never coexist in HBM
-            from scann_tpu.utils.reordering import build_rerank_store
+            from scann_tpu.utils.reordering import (
+                build_rerank_store,
+                build_residual_rerank_store,
+            )
 
             n = self._dataset.size
             if self._lp_cache is None or self._lp_cache[2] != n:
-                db_repr, norms = build_rerank_store(
-                    self._dataset.numpy(), n, self.config.rerank_dtype,
-                    SUBLANE_F32)
+                if (self.config.rerank_dtype == "int8"
+                        and self.partitioner is not None):
+                    # residual-anchored int8: quantize row - center[token]
+                    # so the 256 levels resolve within-cluster noise, not
+                    # the cluster spread (the measured 3.5pp-at-20M codec
+                    # failure, BENCH_NOTES round 4); anchors are the
+                    # tree's own centroids
+                    db_repr, norms = build_residual_rerank_store(
+                        self._dataset.numpy(), n,
+                        self.partitioner.tokenization.tokens,
+                        self.partitioner.centers, SUBLANE_F32)
+                else:
+                    db_repr, norms = build_rerank_store(
+                        self._dataset.numpy(), n, self.config.rerank_dtype,
+                        SUBLANE_F32)
                 self._lp_cache = (db_repr, norms, n)
             return self._lp_cache
         db, n = self._dataset.device()
@@ -814,8 +865,8 @@ class TreeXHybridSearcher(Searcher):
         codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = \
             self._csr_state()
         mult = self.partitioner.tokenization.max_multiplicity
-        if mult > 1:
-            pre_k = pre_k * mult
+        # (no pre_k inflation here: _finalize over-selects approx slots by
+        # the multiplicity itself and dedups before the gather)
 
         max_cand = p * l_cap
         if pre_k > max_cand or k > max_cand:
@@ -837,7 +888,8 @@ class TreeXHybridSearcher(Searcher):
         common = dict(p=p, pre_k=pre_k, k=k_eff, l_cap=l_cap,
                       use_residuals=cfg.use_residuals,
                       measure=cfg.distance_measure, multiplicity=mult,
-                      approx_select_min=cfg.approx_selection_min_partitions)
+                      approx_select_min=cfg.approx_selection_min_partitions,
+                      spill_dedup=cfg.spill_dedup)
         if self._use_grouped_pallas():
             from scann_tpu.types import is_tpu
 

@@ -110,6 +110,46 @@ def top_k_unique(
     return dedup_top_k(vals, cand, k)
 
 
+def keep_best_per_id(
+    vals: jnp.ndarray, ids: jnp.ndarray, out_k: int, payload=None,
+):
+    """Smallest-``out_k`` over UNIQUE ids from a candidate list whose ids
+    may repeat (partition spilling), keeping each id's best copy.
+
+    Sort-based: one two-key sort by (id, value) brings copies together
+    best-first, so any entry equal to its left neighbor's id is a worse
+    duplicate and is masked; survivors re-select by value. O(kp log kp)
+    per row vs :func:`dedup_top_k`'s O(kp²) pairwise mask — cheap at
+    CANDIDATE widths, which is what lets the exact re-rank gather run at
+    unique depth instead of the legacy ``pre_k × multiplicity`` inflation
+    (the gather is the measured latency floor of the tree-AH pipeline;
+    reference candidate-merge analog: src/tree_x_hybrid/mod.rs:240-364).
+    Masked entries (``vals >= MASKED_DISTANCE/2``) sort behind real
+    copies of the same id, so they never displace one.
+
+    Returns ``(vals [..., out_k], ids [..., out_k])`` ascending with
+    (MASKED_DISTANCE, -1) fill, plus the payload gathered to the same
+    slots when ``payload`` is given.
+    """
+    from scann_tpu.types import MASKED_DISTANCE
+
+    ops = (ids, vals) if payload is None else (ids, vals, payload)
+    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=2)
+    ids_s, vals_s = sorted_ops[0], sorted_ops[1]
+    prev = jnp.concatenate(
+        [jnp.full(ids_s.shape[:-1] + (1,), -1, ids_s.dtype),
+         ids_s[..., :-1]], axis=-1)
+    dup = (ids_s == prev) & (ids_s >= 0)
+    vals_s = jnp.where(dup, MASKED_DISTANCE, vals_s)
+    out_v, pos = top_k_smallest(vals_s, out_k)
+    out_i = jnp.take_along_axis(ids_s, pos, axis=-1)
+    missing = out_v >= MASKED_DISTANCE / 2
+    out_i = jnp.where(missing, -1, out_i)
+    if payload is None:
+        return out_v, out_i
+    return out_v, out_i, jnp.take_along_axis(sorted_ops[2], pos, axis=-1)
+
+
 def dedup_top_k(
     vals: jnp.ndarray, cand: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -68,16 +68,31 @@ def rerank_codec(data: np.ndarray, n: int, dtype: str):
 
     ``dequant`` is None for float storage, or ``(scale, min)`` for int8 —
     the ``codes * scale + min`` fusion the search kernels apply after the
-    candidate gather. int8 calibration follows quantization/scalar.py
-    (the reference's mean±3σ codec, scalar.rs:113-119). ONE definition of
-    the codec, used by build_rerank_store and by the sharded wrappers'
-    custom layouts (per-shard blocks, per-partition CSR)."""
+    candidate gather. int8 calibration is PER-DIMENSION affine: scale/min
+    are [D] vectors (exact min..max of each coordinate over 256 levels),
+    so a wide-range dimension cannot destroy the resolution of every
+    other one the way one global (scale, min) does — measured at 20M the
+    global codec cost 3.5pp recall@10 vs bf16 at the same config while
+    the per-dim sweep path did not (VERDICT r4 weak #1; the same
+    granularity ops/sweep_pallas.build_int8_augmented_db already uses).
+    The dequant broadcast over the trailing axis costs the kernels
+    nothing. The reference declares quantized reordering but never
+    implements it (config.rs:290-318); its scalar codec is global
+    (scalar.rs:103-130) — this is the finer-by-design replacement. ONE
+    definition of the codec, used by build_rerank_store and by the
+    sharded wrappers' custom layouts (per-shard blocks, per-partition
+    CSR)."""
     if dtype == "int8":
-        from scann_tpu.quantization.scalar import ScalarQuantizer
+        valid = data[:n]
+        mn = valid.min(axis=0).astype(np.float32)
+        scale = ((valid.max(axis=0) - mn) / 255.0).astype(np.float32)
+        scale = np.maximum(scale, 1e-30)
 
-        quant = ScalarQuantizer().calibrate_from_array(data[:n])
-        return (np.uint8, quant.quantize,
-                (np.float32(quant.scale), np.float32(quant.min_value)))
+        def encode(rows):
+            return np.clip(np.rint((rows - mn) / scale), 0, 255) \
+                .astype(np.uint8)
+
+        return np.uint8, encode, (scale, mn)
     if dtype == "bfloat16":
         import ml_dtypes
 
@@ -87,6 +102,79 @@ def rerank_codec(data: np.ndarray, n: int, dtype: str):
     else:
         raise ValueError(f"unsupported rerank dtype {dtype!r}")
     return dt, (lambda rows: rows.astype(dt)), None
+
+
+def residual_rerank_codec(data: np.ndarray, n: int, tokens: np.ndarray,
+                          centers: np.ndarray):
+    """Anchored int8 codec for partitioned searchers: quantize the RESIDUAL
+    ``row - centers[token]`` per-dimension and add the centroid back after
+    the candidate gather.
+
+    On clustered data (every production ≥10M workload here) the residual
+    range is the within-cluster noise scale, not the cluster spread, so the
+    256 levels resolve what actually separates near-neighbors — the
+    mechanism behind the global codec's measured 3.5pp recall@10 loss at
+    20M (BENCH_NOTES round 4). The anchors are the tree's own partition
+    centroids: zero extra training, one extra [N] int32 token table, and a
+    small-table centroid gather fused after the candidate gather.
+
+    Returns ``(encode(rows, row_tokens) -> u8, (scale [D], mn [D]))``.
+    """
+    valid = data[:n]
+    resid_mn = np.full(data.shape[1], np.inf, np.float32)
+    resid_mx = np.full(data.shape[1], -np.inf, np.float32)
+    cs = max(1, (1 << 22) // max(data.shape[1], 1))
+    for lo in range(0, n, cs):
+        r = valid[lo:lo + cs] - centers[tokens[lo:lo + cs]]
+        resid_mn = np.minimum(resid_mn, r.min(axis=0))
+        resid_mx = np.maximum(resid_mx, r.max(axis=0))
+    scale = np.maximum((resid_mx - resid_mn) / 255.0, 1e-30).astype(np.float32)
+    mn = resid_mn.astype(np.float32)
+
+    def encode(rows, row_tokens):
+        r = rows - centers[row_tokens]
+        return np.clip(np.rint((r - mn) / scale), 0, 255).astype(np.uint8)
+
+    return encode, (scale, mn)
+
+
+def build_residual_rerank_store(data: np.ndarray, n: int, tokens: np.ndarray,
+                                centers: np.ndarray, row_align: int):
+    """Residual-anchored int8 rerank store (see residual_rerank_codec):
+    returns ``((codes, scale, mn, tok, centers), norms)`` — the 5-tuple
+    db_repr :func:`gather_rerank_rows` dequantizes after the gather.
+    Norms come from the SAME dequantized rows the gathers produce."""
+    from scann_tpu.types import align_up
+
+    encode, (scale, mn) = residual_rerank_codec(data, n, tokens, centers)
+    n_pad = align_up(max(n, 1), row_align)
+    host = np.zeros((n_pad, data.shape[1]), np.uint8)
+    cs = max(1, (1 << 22) // max(data.shape[1], 1))
+    for lo in range(0, n, cs):
+        hi = min(lo + cs, n)
+        host[lo:hi] = encode(data[lo:hi], tokens[lo:hi])
+    tok = np.zeros(n_pad, np.int32)
+    tok[:n] = tokens[:n]
+    store = jnp.asarray(host)
+    tok_dev = jnp.asarray(tok)
+    cent_dev = jnp.asarray(centers, jnp.float32)
+    sc = jnp.asarray(scale, jnp.float32)
+    mnd = jnp.asarray(mn, jnp.float32)
+
+    @jax.jit
+    def _norms(codes, t):
+        x = codes.astype(jnp.float32) * sc + mnd \
+            + jnp.take(cent_dev, t, axis=0)
+        return jnp.sum(x * x, axis=-1)
+
+    # chunked: the f32 decode of the full store must not materialize
+    n_rows = store.shape[0]
+    ch = max(1, (1 << 22) // max(data.shape[1], 1))
+    ch = int(align_up(ch, row_align))
+    parts = [_norms(store[lo:lo + ch], tok_dev[lo:lo + ch])
+             for lo in range(0, n_rows, ch)]
+    norms = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return (store, sc, mnd, tok_dev, cent_dev), norms
 
 
 def encode_rerank_rows(out: np.ndarray, data: np.ndarray, n: int, encode):
@@ -137,15 +225,23 @@ def build_rerank_store(data: np.ndarray, n: int, dtype: str,
     store = jnp.asarray(host)
     norms = rerank_norms_fn(dequant)(store)
     if dequant is not None:
-        return (store, jnp.float32(dequant[0]), jnp.float32(dequant[1])), norms
+        return (store, jnp.asarray(dequant[0], jnp.float32),
+                jnp.asarray(dequant[1], jnp.float32)), norms
     return store, norms
 
 
 def gather_rerank_rows(db_repr, idx):
     """f32 candidate rows gathered from a rerank store built by
-    :func:`build_rerank_store` (or a plain f32 array): int8 stores
-    dequantize only the gathered rows; bf16 rows cast after the gather."""
+    :func:`build_rerank_store` / :func:`build_residual_rerank_store` (or a
+    plain f32 array): int8 stores dequantize only the gathered rows (the
+    residual 5-tuple adds its anchor centroid back — a small-table gather);
+    bf16 rows cast after the gather."""
     if isinstance(db_repr, tuple):
+        if len(db_repr) == 5:
+            q8, scale, mn, tok, centers = db_repr
+            anchors = jnp.take(centers, jnp.take(tok, idx, axis=0), axis=0)
+            return (jnp.take(q8, idx, axis=0).astype(jnp.float32) * scale
+                    + mn + anchors)
         q8, scale, mn = db_repr
         return jnp.take(q8, idx, axis=0).astype(jnp.float32) * scale + mn
     rows = jnp.take(db_repr, idx, axis=0)

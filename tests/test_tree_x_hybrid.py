@@ -345,17 +345,61 @@ def test_int8_rerank_matches_f32(hybrid_setup):
         q, 10, SearchParameters(pre_reordering_num_neighbors=120))
     assert _recall(idx, gt) >= 0.9
     # returned distances equal the codec-consistent truth: exact distances
-    # to the quantize->dequantize'd rows (the codec clips outliers at
-    # mean±3σ — reference calibration semantics, scalar.rs:113-119 — so
-    # comparing against unquantized f32 rows would conflate codec error
-    # with kernel error)
-    from scann_tpu.quantization.scalar import ScalarQuantizer
+    # to the quantize->dequantize'd rows under the RESIDUAL-ANCHORED
+    # per-dim codec the tree serves with (utils/reordering.
+    # residual_rerank_codec — comparing against unquantized f32 rows would
+    # conflate codec error with kernel error)
+    from scann_tpu.utils.reordering import residual_rerank_codec
 
-    quant = ScalarQuantizer().calibrate_from_array(db)
-    deq = quant.dequantize(quant.quantize(db))
+    toks = s8.partitioner.tokenization.tokens
+    cents = s8.partitioner.centers
+    encode, (scale, mn) = residual_rerank_codec(db, len(db), toks, cents)
+    deq = encode(db, toks).astype(np.float32) * scale + mn + cents[toks]
     d_q = ((q[:, None, :] - deq[np.maximum(idx, 0)]) ** 2).sum(-1)
     m = idx >= 0
     np.testing.assert_allclose(dist[m], d_q[m], rtol=1e-3, atol=1e-3)
+
+
+def test_int8_residual_codec_survives_cluster_spread(rng):
+    """Clustered data with cluster spread >> within-cluster noise — the
+    production ≥10M shape, and the mechanism behind the measured 3.5pp
+    recall@10 loss at 20M (VERDICT r4 weak #1): an absolute-step codec
+    spends its 256 levels on the cluster SPREAD, so the noise scale that
+    separates near-neighbors falls below one quantization step. The
+    residual-anchored codec quantizes row - center[token] and must keep
+    rerank ranking where the affine codec measurably cannot."""
+    from scann_tpu.utils.reordering import rerank_codec, residual_rerank_codec
+    from scann_tpu.trees.kmeans import KMeans, KMeansConfig
+
+    n_cl, per, d = 32, 128, 16
+    cents = (rng.normal(size=(n_cl, d)) * 100.0).astype(np.float32)
+    db = (np.repeat(cents, per, axis=0)
+          + rng.normal(size=(n_cl * per, d)).astype(np.float32))
+    q = db[rng.choice(len(db), 50, replace=False)] \
+        + 0.1 * rng.normal(size=(50, d)).astype(np.float32)
+
+    def rank_fidelity(deq):
+        """recall@10 of exact ranking on dequantized rows vs the truth —
+        exactly what the rerank stage computes over its candidates."""
+        d_est = ((q[:, None, :] - deq[None]) ** 2).sum(-1)
+        d_true = ((q[:, None, :] - db[None]) ** 2).sum(-1)
+        top_est = np.argsort(d_est, axis=1)[:, :10]
+        top_true = np.argsort(d_true, axis=1)[:, :10]
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10.0
+                        for a, b in zip(top_est, top_true)])
+
+    res = KMeans(KMeansConfig(num_clusters=n_cl, max_iterations=20,
+                              seed=0)).fit(db)
+    toks = np.asarray(res.assignments, np.int32)
+    encode_r, (sc, mn) = residual_rerank_codec(db, len(db), toks,
+                                               res.centers)
+    deq_resid = (encode_r(db, toks).astype(np.float32) * sc + mn
+                 + res.centers[toks])
+    _, encode_a, (sa, ma) = rerank_codec(db, len(db), "int8")
+    deq_affine = encode_a(db).astype(np.float32) * sa + ma
+    fid_r, fid_a = rank_fidelity(deq_resid), rank_fidelity(deq_affine)
+    assert fid_r >= 0.95, f"residual codec fidelity {fid_r}"
+    assert fid_r > fid_a + 0.1, (fid_r, fid_a)
 
 
 def test_int8_rerank_io_roundtrip(hybrid_setup, tmp_path):
@@ -415,7 +459,9 @@ def test_build_rerank_store_unaligned_n():
     data = rng.normal(size=(13, 5)).astype(np.float32)
     (codes, scale, mn), norms = build_rerank_store(data, 13, "int8", 8)
     assert codes.shape[0] == 16  # padded
-    deq = np.asarray(codes[:13]).astype(np.float32) * float(scale) + float(mn)
+    # per-dim codec: scale/mn are [D] vectors broadcasting over rows
+    deq = (np.asarray(codes[:13]).astype(np.float32) * np.asarray(scale)
+           + np.asarray(mn))
     np.testing.assert_allclose(
         np.asarray(norms)[:13], (deq ** 2).sum(-1), rtol=1e-5, atol=1e-5)
     rep16, norms16 = build_rerank_store(data, 13, "bfloat16", 8)
@@ -528,3 +574,88 @@ def test_effective_q_cap_density_rule(hybrid_setup):
         assert s.effective_q_cap(1024, 8) == 4
     finally:
         s.config.group_q_cap = None
+
+
+def test_keep_best_per_id_unit(rng):
+    """Sort-based keep-best-per-id vs a host oracle, including masked
+    entries and a payload."""
+    import jax.numpy as jnp
+
+    from scann_tpu.ops.topk import keep_best_per_id
+    from scann_tpu.types import MASKED_DISTANCE
+
+    b, kp, out_k = 5, 24, 8
+    ids = rng.integers(0, 10, size=(b, kp)).astype(np.int32)
+    vals = np.sort(rng.random(size=(b, kp)).astype(np.float32), axis=1)
+    # mask a few entries the way _finalize does
+    mask = rng.random(size=(b, kp)) < 0.2
+    vals = np.where(mask, MASKED_DISTANCE, vals).astype(np.float32)
+    rows = rng.integers(0, 1000, size=(b, kp)).astype(np.int32)
+    v, i, r = keep_best_per_id(jnp.asarray(vals), jnp.asarray(ids), out_k,
+                               payload=jnp.asarray(rows))
+    v, i, r = np.asarray(v), np.asarray(i), np.asarray(r)
+    for row in range(b):
+        best = {}
+        for j in range(kp):
+            if vals[row, j] >= MASKED_DISTANCE / 2:
+                continue
+            t = int(ids[row, j])
+            if t not in best or vals[row, j] < best[t][0]:
+                best[t] = (vals[row, j], rows[row, j])
+        want = sorted((val, t, pay) for t, (val, pay) in best.items())[:out_k]
+        got_valid = [(v[row, j], i[row, j], r[row, j])
+                     for j in range(out_k) if i[row, j] >= 0]
+        assert len(got_valid) == len(want)
+        for (gv, gi, gr), (wv, wi, wr) in zip(got_valid, want):
+            assert gi == wi and gr == wr
+            np.testing.assert_allclose(gv, wv, rtol=1e-6)
+    # missing slots are (MASKED, -1)
+    assert ((i >= 0) | (v >= MASKED_DISTANCE / 2)).all()
+
+
+def test_spill_dedup_matches_legacy_inflation():
+    """spill_dedup=True (dedup before the rerank gather) must return the
+    same neighbors as the legacy pre_k*multiplicity inflated gather — the
+    optimization changes gather width, not results."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 16)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 16, size=3000)
+    db = (centers[assign] + rng.normal(size=(3000, 16)) * 0.6).astype(np.float32)
+    q = (centers[rng.integers(0, 16, size=25)]
+         + rng.normal(size=(25, 16)) * 0.6).astype(np.float32)
+    ds = DenseDataset(db)
+
+    def build(dedup):
+        return TreeXHybridSearcher(TreeXHybridConfig(
+            num_partitions=16, partitions_to_search=8,
+            spilling=True, spilling_mode="soar", spill_dedup=dedup,
+            hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                               seed=3),
+        )).build(ds)
+
+    s_new, s_old = build(True), build(False)
+    assert s_new.partitioner.tokenization.max_multiplicity > 1
+    gt, _ = BruteForceSearcher(ds).search_batched_arrays(q, 10)
+
+    # at full candidate depth (window covers every probed leaf) both paths
+    # rerank the same unique set -> identical results
+    deep = SearchParameters(pre_reordering_num_neighbors=10_000)
+    i_new, d_new = s_new.search_batched_arrays(q, 10, deep)
+    i_old, d_old = s_old.search_batched_arrays(q, 10, deep)
+    np.testing.assert_array_equal(i_new, i_old)
+    np.testing.assert_allclose(d_new, d_old, rtol=1e-5, atol=1e-5)
+
+    # the dedup path reranks EXACTLY pre_k unique candidates; the legacy
+    # path gathers pre_k*mult slots whose unique depth floats between
+    # pre_k and pre_k*mult. At EQUAL GATHER WIDTH (new pre_k = legacy
+    # pre_k * mult rows gathered) the dedup path must match or beat the
+    # legacy recall — every gathered row is a distinct candidate
+    i_new, _ = s_new.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i_old, _ = s_old.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=60))
+    r_new, r_old = _recall(i_new, gt), _recall(i_old, gt)
+    assert r_new >= r_old - 1e-9, (r_new, r_old)
+    for row in i_new:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
