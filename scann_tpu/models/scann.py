@@ -80,8 +80,40 @@ def _rerank_dtype_of(r) -> str:
     return r.rerank_dtype
 
 
+def _tree_cfg_of(config: ScannConfig) -> TreeXHybridConfig:
+    """ScannConfig (partitioning + hash [+ reordering]) -> the
+    TreeXHybridConfig the facade builds with — shared by the single-device
+    constructor branch and the mesh-aware sharded build routing."""
+    p = config.partitioning
+    cfg = TreeXHybridConfig(
+        num_partitions=int(p.num_partitions),
+        partitions_to_search=int(p.num_partitions_to_search),
+        hash_config=_hash_to_ah_config(config.hash, for_tree_ah=True),
+        distance_measure=config.distance_measure,
+        spilling=bool(p.spilling),
+        spilling_threshold=float(p.spilling_threshold),
+        spilling_mode=str(p.spilling_mode),
+        soar_lambda=float(p.soar_lambda),
+        max_partition_size=p.max_partition_size,
+        split_stragglers=bool(p.split_stragglers),
+        partition_max_iterations=int(p.max_training_iterations),
+        partition_convergence_threshold=float(p.convergence_threshold),
+        partition_num_levels=int(p.num_levels),
+        partition_training_sample_size=p.training_sample_size,
+    )
+    if config.exact_reordering is not None:
+        cfg.pre_reorder_multiplier = max(
+            float(config.exact_reordering.num_candidates)
+            / max(config.num_neighbors, 1),
+            1.0,
+        )
+        cfg.rerank_dtype = _rerank_dtype_of(config.exact_reordering)
+    return cfg
+
+
 def auto_config(n: int, dim: int,
                 measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
+                force_tree: bool = False,
                 ) -> ScannConfig:
     """Pick an architecture from dataset scale (TPU extension; the reference
     always requires an explicit mode, scann.rs:60-103).
@@ -105,7 +137,7 @@ def auto_config(n: int, dim: int,
 
     prof = load_profile()
     cfg = ScannConfig(distance_measure=measure)
-    if n <= prof.sweep_max_n:
+    if n <= prof.sweep_max_n and not force_tree:
         cfg.with_brute_force()
         cfg.brute_force.block_sweep = True
         return cfg
@@ -139,12 +171,22 @@ def auto_config(n: int, dim: int,
 class Scann(Searcher):
     """Config-driven searcher facade."""
 
-    def __init__(self, dataset: DenseDataset, config: Optional[ScannConfig] = None):
+    def __init__(self, dataset: DenseDataset, config: Optional[ScannConfig] = None,
+                 _impl: Optional[Searcher] = None,
+                 _mode: Optional[SearchMode] = None):
+        """``_impl``/``_mode`` are internal: a pre-built implementation
+        (the mesh-aware ``auto()`` builds sharded searchers outside this
+        constructor) — the facade then only wires delegation around it."""
         config = config or ScannConfig()
         if dataset.is_empty:
             raise ScannError.invalid_argument("Dataset cannot be empty")
         self._dataset = dataset
         self._config = config
+        self._auto_decision = None
+        if _impl is not None:
+            self._impl = _impl
+            self.search_mode = _mode or SearchMode.TREE_AH
+            return
         measure = config.distance_measure
 
         if config.brute_force is not None and config.brute_force.block_sweep:
@@ -176,31 +218,8 @@ class Scann(Searcher):
             )
             self.search_mode = SearchMode.BRUTE_FORCE
         elif config.partitioning is not None and config.hash is not None:
-            p = config.partitioning
-            cfg = TreeXHybridConfig(
-                num_partitions=int(p.num_partitions),
-                partitions_to_search=int(p.num_partitions_to_search),
-                hash_config=_hash_to_ah_config(config.hash, for_tree_ah=True),
-                distance_measure=measure,
-                spilling=bool(p.spilling),
-                spilling_threshold=float(p.spilling_threshold),
-                spilling_mode=str(p.spilling_mode),
-                soar_lambda=float(p.soar_lambda),
-                max_partition_size=p.max_partition_size,
-                split_stragglers=bool(p.split_stragglers),
-                partition_max_iterations=int(p.max_training_iterations),
-                partition_convergence_threshold=float(p.convergence_threshold),
-                partition_num_levels=int(p.num_levels),
-                partition_training_sample_size=p.training_sample_size,
-            )
-            if config.exact_reordering is not None:
-                cfg.pre_reorder_multiplier = max(
-                    float(config.exact_reordering.num_candidates)
-                    / max(config.num_neighbors, 1),
-                    1.0,
-                )
-                cfg.rerank_dtype = _rerank_dtype_of(config.exact_reordering)
-            self._impl = TreeXHybridSearcher(cfg).build(dataset)
+            self._impl = TreeXHybridSearcher(
+                _tree_cfg_of(config)).build(dataset)
             self.search_mode = SearchMode.TREE_AH
         elif config.partitioning is not None:
             p = config.partitioning
@@ -261,7 +280,7 @@ class Scann(Searcher):
              measure: DistanceMeasure = DistanceMeasure.SQUARED_L2,
              target_recall: Optional[float] = None,
              tune_queries: Optional[np.ndarray] = None,
-             seed: int = 0) -> "Scann":
+             seed: int = 0, mesh=None) -> "Scann":
         """Architecture + build knobs chosen from dataset scale, the chip
         profile, and (when a ``target_recall`` is given) cheap data
         statistics — SOAR / balance caps turn on when a sample shows the
@@ -274,19 +293,73 @@ class Scann(Searcher):
         without explicit params meets the target out of the box — no
         hand-set knobs anywhere (the reference's own defaults reach
         0.23-0.41 recall, README.md:713-716).
+
+        ``mesh`` (a jax.sharding.Mesh over a "db" axis) makes the choice
+        MESH-AWARE (VERDICT r4 next #4): past the one-chip serving budget
+        (chip profile ``f32_rerank_max_bytes``, the rerank copy being the
+        dominant allocation) auto() forces the tree architecture, builds
+        it END-TO-END over the mesh (sharded_tree_ah_build — the database
+        only ever row-sharded), and returns the sharded wrapper; within
+        budget, the mesh is noted but the single-chip build is kept (it
+        has no merge overhead). The decision is stamped in
+        :meth:`describe`.
         """
         n, dim = dataset.size, dataset.dimensionality
-        if target_recall is None:
-            return cls(dataset, auto_config(n, dim, measure))
-        from scann_tpu.utils.advisor import advise_config
-
         rng = np.random.default_rng(seed)
-        sample_idx = rng.choice(n, min(n, 20_000), replace=False)
-        data = dataset.numpy()
-        cfg = advise_config(n, dim, data[sample_idx], measure,
-                            target_recall, seed=seed)
-        cfg.num_neighbors = 10
-        self = cls(dataset, cfg)
+        data = None
+        if target_recall is None:
+            cfg = auto_config(n, dim, measure)
+        else:
+            from scann_tpu.utils.advisor import advise_config
+
+            data = dataset.numpy()
+            sample_idx = rng.choice(n, min(n, 20_000), replace=False)
+            cfg = advise_config(n, dim, data[sample_idx], measure,
+                                target_recall, seed=seed)
+            cfg.num_neighbors = 10
+
+        self = None
+        if mesh is not None and mesh.devices.size > 1:
+            from scann_tpu.utils.chip_profile import load_profile
+
+            prof = load_profile()
+            rdt = _rerank_dtype_of(cfg.exact_reordering)
+            itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[rdt]
+            serving_bytes = n * dim * itemsize
+            budget = int(prof.f32_rerank_max_bytes)
+            shards_needed = max(1, -(-serving_bytes // budget))
+            if shards_needed > 1:
+                if cfg.partitioning is None or cfg.hash is None:
+                    # over one-chip budget: the sweep's two database
+                    # copies bind even harder — force the tree
+                    cfg = auto_config(n, dim, measure, force_tree=True)
+                from scann_tpu.parallel.sharded_flagship import (
+                    ShardedTreeXHybridSearcher,
+                )
+
+                n_dev = int(mesh.devices.size)
+                impl = ShardedTreeXHybridSearcher.build(
+                    dataset, _tree_cfg_of(cfg), mesh)
+                self = cls(dataset, cfg, _impl=impl,
+                           _mode=SearchMode.TREE_AH)
+                self._auto_decision = {
+                    "sharded": True, "shards": n_dev,
+                    "shards_needed": int(shards_needed),
+                    "serving_bytes": int(serving_bytes),
+                    "per_chip_budget": budget,
+                    "reason": "serving bytes exceed one-chip budget",
+                }
+        if self is None:
+            self = cls(dataset, cfg)
+            if mesh is not None:
+                self._auto_decision = {
+                    "sharded": False,
+                    "reason": "fits one chip; single-device build kept",
+                }
+        if target_recall is None:
+            return self
+        if data is None:
+            data = dataset.numpy()
         if tune_queries is None:
             tune_queries = data[rng.choice(n, min(n, 256), replace=False)]
         from scann_tpu.utils.autotune import autotune
@@ -296,6 +369,22 @@ class Scann(Searcher):
         self.default_params = res.params
         self.autotune_result = res
         return self
+
+    def describe(self) -> dict:
+        """Architecture + decision report (the reference has no analog —
+        its modes are always explicit, scann.rs:60-103)."""
+        out = {
+            "search_mode": self.search_mode.value,
+            "impl": type(self._impl).__name__,
+            "n": self.dataset_size(),
+            "dim": self.dimensionality(),
+            "distance_measure": self._config.distance_measure.value,
+        }
+        if getattr(self, "_auto_decision", None):
+            out["auto"] = dict(self._auto_decision)
+        if getattr(self, "autotune_result", None) is not None:
+            out["autotuned_params"] = str(self.autotune_result.params)
+        return out
 
     # -- delegation -----------------------------------------------------------
     @property

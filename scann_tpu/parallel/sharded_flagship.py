@@ -57,6 +57,7 @@ from scann_tpu.ops.distances import (
 from scann_tpu.ops.lut16_scoring import lut_score
 from scann_tpu.ops.topk import (
     approx_top_k_smallest,
+    keep_best_per_id,
     merge_top_k,
     top_k_smallest,
     top_k_unique,
@@ -367,7 +368,8 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                            with_mask: bool = False,
                            db_axis: str = "db",
                            dequant=None,
-                           packed: bool = False):
+                           packed: bool = False,
+                           spill_dedup: bool = True):
     """fn(centers, codebook, codes, offsets [Sh,K], sizes [Sh,K],
     perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries[, allow_mask
     replicated [N]], pre_eps, post_eps) -> (dists, idx).
@@ -446,12 +448,28 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                 allowed, flat_scores,
                 jnp.asarray(MASKED_DISTANCE, flat_scores.dtype))
 
-        pk = min(pre_k, p * l_cap)
-        pre_vals, pre_pos = approx_top_k_smallest(flat_scores, pk)
+        mult = max(int(multiplicity), 1)
+        dedup_first = spill_dedup and mult > 1
+        sel_k = min(pre_k * mult, p * l_cap) if mult > 1 \
+            else min(pre_k, p * l_cap)
+        pre_vals, pre_pos = approx_top_k_smallest(flat_scores, sel_k)
         pre_rows = jnp.take_along_axis(rows_il, pre_pos, axis=1)
         pre_vals = pre_vals.astype(jnp.float32)
         pre_m = approx_to_measure_units(pre_vals, measure)
         pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
+        pk = sel_k
+        if dedup_first:
+            # collapse a spilled point's shard-local copies BEFORE the
+            # rerank gather (same lever as the single-device _finalize:
+            # the gather is the latency floor, run it at unique depth).
+            # Cross-SHARD copies still exist — the ICI merge dedups those.
+            ids = jnp.take(perm, pre_rows, axis=0)
+            masked = jnp.where(pre_valid, pre_vals, MASKED_DISTANCE)
+            pk = min(pre_k, sel_k)
+            dvals, ids_u, pre_rows = keep_best_per_id(
+                masked, ids, pk, payload=pre_rows)
+            pre_valid = dvals < MASKED_DISTANCE / 2
+            pre_rows = jnp.clip(pre_rows, 0, db_csr.shape[0] - 1)
 
         rrows = jnp.take(db_csr, pre_rows, axis=0)
         if dequant is not None:
@@ -465,12 +483,21 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         rnorm = jnp.take(norms_csr, pre_rows, axis=0)
         exact = gathered_distances(measure, queries, rrows, rnorm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
-        # over-fetch by the spill multiplicity: a point's copies may live on
-        # one shard or several; the deduped global merge needs k*mult slots
-        k_local = min(k * max(multiplicity, 1), pk)
-        vals, pos = top_k_smallest(exact, k_local)
-        sel_rows = jnp.take_along_axis(pre_rows, pos, axis=1)
-        idx = jnp.take(perm, sel_rows, axis=0)
+        if dedup_first:
+            # local candidates are already unique: k local slots suffice
+            # (a global top-k point is local top-k on every shard holding
+            # a copy — identical exact distance); cross-shard duplicates
+            # are removed by the multiplicity-aware ICI merge below
+            k_local = min(k, pk)
+            vals, pos = top_k_smallest(exact, k_local)
+            idx = jnp.take_along_axis(ids_u, pos, axis=1)
+        else:
+            # legacy: over-fetch by the spill multiplicity — a point's
+            # copies each hold an exact slot until the merge dedups
+            k_local = min(k * mult, pk)
+            vals, pos = top_k_smallest(exact, k_local)
+            sel_rows = jnp.take_along_axis(pre_rows, pos, axis=1)
+            idx = jnp.take(perm, sel_rows, axis=0)
         idx = jnp.where(vals < MASKED_DISTANCE / 2, idx, -1)
         # the all_gather supplies n_shards*k_local candidates; when the
         # per-shard candidate ceiling makes that less than k, merge to
@@ -545,6 +572,54 @@ def sharded_residual_encode_kernel(mesh: Mesh, db_axis: str = "db"):
     return jax.jit(_encode)
 
 
+def sharded_soar_select_kernel(mesh: Mesh, *, r: int, lam: float,
+                               db_axis: str = "db"):
+    """fn(data [N,D] row-sharded, centers [K,D] replicated, primary [N]
+    row-sharded) -> secondary tokens [N] row-sharded int32 — each shard
+    runs the SOAR orthogonality-amplified selection on its own rows
+    (partitioning/tree_partitioner.soar_select_kernel; replicated
+    centers, no row movement)."""
+    from scann_tpu.partitioning.tree_partitioner import soar_select_kernel
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(db_axis, None), P(None, None), P(db_axis)),
+        out_specs=P(db_axis),
+        check_vma=False,
+    )
+    def _soar(data_blk, centers, prim_blk):
+        return soar_select_kernel(centers, data_blk, prim_blk,
+                                  jnp.float32(lam), r=r)
+
+    return jax.jit(_soar)
+
+
+def sharded_avq_encode_kernel(mesh: Mesh, *, eta: float,
+                              db_axis: str = "db"):
+    """AVQ (score-aware) per-shard residual encode: like
+    sharded_residual_encode_kernel but through the anisotropic
+    coordinate-descent assignment (hashes/avq.avq_encode_kernel), with the
+    shard's RAW rows as the protected directions — codes then match the
+    anisotropically trained codebook's loss instead of silently reverting
+    to plain L2 argmin (advisor r4 finding)."""
+    from scann_tpu.hashes.avq import avq_encode_kernel, unit_directions
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(db_axis, None), P(None, None), P(db_axis),
+                  P(None, None, None)),
+        out_specs=P(db_axis, None),
+        check_vma=False,
+    )
+    def _encode(data_blk, centers, tokens_blk, codebook):
+        resid = data_blk - jnp.take(centers, tokens_blk, axis=0)
+        return avq_encode_kernel(
+            resid, unit_directions(data_blk), codebook,
+            jnp.float32(eta)).astype(jnp.uint8)
+
+    return jax.jit(_encode)
+
+
 def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
                           force_kernel: Optional[str] = None,
                           verbose: bool = False):
@@ -572,9 +647,16 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
          come back to host for the CSR layout, never the residuals;
       6. the per-shard CSR serving layout (ShardedTreeXHybridSearcher).
 
-    Spilling/SOAR multi-assignment and the straggler split (the hard-cap
-    guarantee) are single-device build features not yet reproduced
-    sharded; spilling configs are rejected loudly.
+    Spilling (distance-rule) and SOAR secondary assignment run per shard
+    (sharded_soar_select_kernel / a top-2 threshold rule over
+    sharded_topr_kernel) with the per-assignment residual encode done in
+    one extra sharded pass — a point's secondary code encodes the
+    residual against ITS partition's centroid, exactly like the
+    single-device build. Hierarchical partitioning (num_levels > 1)
+    trains the k-means tree on the host sample for INITIAL leaf centers,
+    then refines them over the full row-sharded data with the same Lloyd
+    steps (leaves are flat at serving time either way). The straggler
+    split (the hard-cap guarantee) remains single-device-only.
 
     Returns a serving ShardedTreeXHybridSearcher whose ``_inner`` holds the
     trained artifacts (partitioner, codebook, per-assignment codes), so
@@ -592,13 +674,6 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
     from scann_tpu.trees.kmeans import KMeans, KMeansConfig, KMeansInit
 
     cfg = config
-    if cfg.spilling:
-        raise ScannError.unimplemented(
-            "sharded build does not support spilling/SOAR yet; build "
-            "single-device and wrap, or disable spilling")
-    if cfg.partition_num_levels > 1:
-        raise ScannError.unimplemented(
-            "sharded build supports flat partitioning only (num_levels=1)")
     mesh = mesh or make_mesh(axis_names=("db",))
     if dataset.is_empty:
         raise ScannError.invalid_argument("Cannot build from empty dataset")
@@ -620,11 +695,28 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
         n, max(100 * kparts, 10_000))
     sample_idx = (rng.choice(n, sample_n, replace=False) if sample_n < n
                   else np.arange(n))
-    km = KMeans(KMeansConfig(
-        num_clusters=kparts, max_iterations=cfg.partition_max_iterations,
-        convergence_threshold=cfg.partition_convergence_threshold,
-        init_method=KMeansInit.KMEANS_PLUS_PLUS, seed=seed))
-    centers = km.fit(data[sample_idx]).centers.astype(np.float32)
+    if cfg.partition_num_levels > 1:
+        # hierarchical init: leaves of a k-means tree over the sample
+        # (single-device analog: tree_partitioner._build_hierarchical);
+        # the full-data sharded Lloyd refinement below flattens/refines
+        # them — serving uses flat leaf centers in both builds
+        from scann_tpu.trees.kmeans_tree import KMeansTree, KMeansTreeConfig
+
+        fan = max(int(np.ceil(kparts ** (1.0 / cfg.partition_num_levels))),
+                  2)
+        tree = KMeansTree(KMeansTreeConfig(
+            num_children=fan, max_depth=cfg.partition_num_levels,
+            max_iterations=cfg.partition_max_iterations,
+            seed=seed)).build(data[sample_idx])
+        centers = tree.leaf_centers().astype(np.float32)
+        kparts = centers.shape[0]
+    else:
+        km = KMeans(KMeansConfig(
+            num_clusters=kparts,
+            max_iterations=cfg.partition_max_iterations,
+            convergence_threshold=cfg.partition_convergence_threshold,
+            init_method=KMeansInit.KMEANS_PLUS_PLUS, seed=seed))
+        centers = km.fit(data[sample_idx]).centers.astype(np.float32)
 
     # 2. Lloyd refinement over the full sharded data
     data_sh, n_real = shard_rows(mesh, data)
@@ -696,11 +788,46 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
             tokens = demote_to_cap(np.asarray(d_r)[:n], np.asarray(c_r)[:n],
                                    cap, rounds=12)
 
+    # 3c. secondary assignments (spilling / SOAR), computed per shard
+    cent_dev = jnp.asarray(centers)
+    sec_full = None
+    extra = None
+    if cfg.spilling:
+        if cfg.spilling_mode == "soar":
+            soar = sharded_soar_select_kernel(
+                mesh, r=min(8, kparts), lam=float(cfg.soar_lambda))
+            tok_pad = jax.device_put(
+                np.pad(tokens, (0, data_sh.shape[0] - n)),
+                NamedSharding(mesh, P("db")))
+            sec_full = np.asarray(soar(data_sh, cent_dev, tok_pad))[:n]
+            extra = np.stack(
+                [np.arange(n, dtype=np.int64), sec_full.astype(np.int64)],
+                axis=1)
+        else:
+            # distance rule: 2nd-nearest within the ratio threshold
+            d2, t2 = sharded_topr_kernel(
+                mesh, r=2, measure=cfg.distance_measure)(data_sh, cent_dev)
+            d2 = np.asarray(d2)[:n]
+            t2 = np.asarray(t2)[:n]
+            ok = d2[:, 1] <= d2[:, 0] * (1.0 + cfg.spilling_threshold)
+            sec_full = np.where(ok, t2[:, 1], -1).astype(np.int32)
+            pts = np.nonzero(ok)[0]
+            extra = np.stack([pts, t2[ok, 1].astype(np.int64)], axis=1)
+
+    # the partitioner config mirrors the single-device build's so the
+    # shared helpers (_cap_secondaries' cap value in particular) compute
+    # identical bounds
     tp = TreePartitioner(TreePartitionerConfig(
-        num_partitions=kparts, seed=seed,
-        distance_measure=cfg.distance_measure))
+        num_partitions=cfg.num_partitions, seed=seed,
+        distance_measure=cfg.distance_measure,
+        spilling=cfg.spilling, spilling_threshold=cfg.spilling_threshold,
+        spilling_mode=cfg.spilling_mode, soar_lambda=cfg.soar_lambda,
+        max_partition_size=cfg.max_partition_size))
     tp.centers = centers
-    tp.tokenization = DatabaseTokenization(tokens, kparts)
+    if extra is not None and cfg.max_partition_size is not None:
+        extra = tp._cap_secondaries(extra, tokens, n)
+    tp.tokenization = DatabaseTokenization(tokens, kparts,
+                                           extra_pairs=extra)
 
     # 4. PQ codebook on a host residual sample
     hc = cfg.hash_config
@@ -713,19 +840,32 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
         max_iterations=hc.max_iterations, seed=hc.seed,
         anisotropic_threshold=hc.anisotropic_threshold,
     )).train(resid_sample,
-             directions=data[h_idx] if hc.anisotropic_threshold is not None
-             and cfg.use_residuals else None)
+             directions=data[h_idx]
+             if hc.anisotropic_threshold is not None else None)
 
-    # 5. per-shard residual encode (codes come back as [N, S] bytes)
-    tok_dev = jax.device_put(
-        np.pad(tokens, (0, data_sh.shape[0] - n)),
-        NamedSharding(mesh, P("db")))
-    enc_tokens = tok_dev if cfg.use_residuals else jnp.zeros_like(tok_dev)
-    enc_centers = (cent_dev if cfg.use_residuals
-                   else jnp.zeros_like(cent_dev))
-    codes = np.asarray(sharded_residual_encode_kernel(mesh)(
-        data_sh, enc_centers, enc_tokens,
-        codebook.centroids_device()))[:n].astype(np.uint8)
+    # 5. per-shard encode (codes come back as [N, S] bytes): the AVQ
+    # coordinate-descent kernel when the codebook was trained
+    # anisotropically — plain L2 argmin would silently mismatch the
+    # trained loss (advisor r4 finding)
+    if codebook.eta is not None:
+        enc_fn = sharded_avq_encode_kernel(mesh, eta=float(codebook.eta))
+    else:
+        enc_fn = sharded_residual_encode_kernel(mesh)
+    cb_dev = codebook.centroids_device()
+
+    def encode_vs(tokens_np):
+        """[N, S] u8 codes of every row's residual against tokens_np's
+        centroid (raw rows when use_residuals is off), one sharded pass."""
+        t_dev = jax.device_put(
+            np.pad(tokens_np.astype(np.int32),
+                   (0, data_sh.shape[0] - n)),
+            NamedSharding(mesh, P("db")))
+        e_tok = t_dev if cfg.use_residuals else jnp.zeros_like(t_dev)
+        e_cent = cent_dev if cfg.use_residuals else jnp.zeros_like(cent_dev)
+        return np.asarray(enc_fn(data_sh, e_cent, e_tok,
+                                 cb_dev))[:n].astype(np.uint8)
+
+    primary_codes = encode_vs(tokens)
 
     # 6. assemble the inner searcher (artifacts only — no single-device
     # serving slab is ever built; the sharded wrapper lays out per shard)
@@ -733,8 +873,20 @@ def sharded_tree_ah_build(dataset, config, mesh: Optional[Mesh] = None,
     inner._dataset = dataset
     inner.partitioner = tp
     inner.codebook = codebook
-    # per-assignment CSR row order (no spilling -> one row per point)
-    inner.codes = codes[tp.tokenization.point_indices]
+    # per-assignment CSR row order: a spilled point's secondary row
+    # encodes the residual against ITS partition's centroid (one extra
+    # sharded pass) — same composition as the single-device build
+    tk = tp.tokenization
+    if cfg.spilling and sec_full is not None and cfg.use_residuals:
+        secondary_codes = encode_vs(np.maximum(sec_full, 0))
+        row_tokens = np.repeat(np.arange(kparts, dtype=np.int32),
+                               tk.partition_sizes)
+        pts = tk.point_indices
+        is_primary = row_tokens == tokens[pts]
+        inner.codes = np.where(is_primary[:, None], primary_codes[pts],
+                               secondary_codes[pts])
+    else:
+        inner.codes = primary_codes[tk.point_indices]
     return ShardedTreeXHybridSearcher(inner, mesh,
                                       force_kernel=force_kernel)
 
@@ -965,17 +1117,16 @@ class ShardedTreeXHybridSearcher(Searcher):
             if params.post_reordering_epsilon is not None:
                 post_eps = float(params.post_reordering_epsilon)
         mult = self._inner.partitioner.tokenization.max_multiplicity
-        if mult > 1:
-            # spilled points occupy one approx slot per CSR copy: inflate
-            # pre_k so the unique candidate depth matches the request
-            # (same as the single-device searcher)
-            pre_k = pre_k * mult
+        # (no pre_k inflation here: the kernel over-selects approx slots by
+        # the multiplicity itself and dedups before the gather — unless
+        # spill_dedup=False pins the legacy inflated-gather path)
         pre_k = min(max(pre_k, k), p * self._l_cap)
         with_mask = allow_mask is not None
         # per-shard pair density: each shard sees the full replicated batch
         # against its owned partitions (~p/n_sh of the selected set)
         q_cap = self._inner.effective_q_cap(len(queries), p)
-        key = (p, pre_k, k, with_mask, q_cap)
+        dedup = bool(getattr(cfg, "spill_dedup", True))
+        key = (p, pre_k, k, with_mask, q_cap, dedup)
         if key not in self._kernels:
             self._kernels[key] = sharded_tree_ah_kernel(
                 self.mesh, p=p, pre_k=pre_k, k=k, l_cap=self._l_cap,
@@ -984,7 +1135,8 @@ class ShardedTreeXHybridSearcher(Searcher):
                 approx_select_min=cfg.approx_selection_min_partitions,
                 use_grouped=self._use_grouped, q_cap=q_cap,
                 l_tile=cfg.score_l_tile, with_mask=with_mask,
-                dequant=self._dequant, packed=self._packed)
+                dequant=self._dequant, packed=self._packed,
+                spill_dedup=dedup)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._cent, self._cb, self._codes, self._offs, self._sizes,
                 self._perm, self._db, self._norms, q]
@@ -1142,7 +1294,10 @@ def _compute_sweep_shard_layout(sweep, n_sh: int) -> dict:
     data_perm = data if inv is None else data[inv]
     db_dt, encode, dequant = rerank_codec(data_perm, n, cfg.rerank_dtype)
     if dequant is not None:
-        out["dequant"] = (float(dequant[0]), float(dequant[1]))
+        # per-dim [D] vectors -> JSON-safe lists (they ride the layout's
+        # meta envelope in io.save_sharded_layout)
+        out["dequant"] = (np.asarray(dequant[0]).tolist(),
+                          np.asarray(dequant[1]).tolist())
     rdb = np.zeros((n_pad, data.shape[1]), db_dt)
     encode_rerank_rows(rdb, data_perm, n, encode)
     out["rdb"] = rdb
@@ -1185,8 +1340,10 @@ class ShardedBlockSweepSearcher(Searcher):
         # full permuted data at layout-compute time); None for f32/bf16
         self._dequant = layout.get("dequant")
         if self._dequant is not None:
-            self._dequant = (np.float32(self._dequant[0]),
-                             np.float32(self._dequant[1]))
+            # per-dim [D] vectors (scalars in pre-r5 saved layouts — the
+            # asarray broadcast serves both)
+            self._dequant = (np.asarray(self._dequant[0], np.float32),
+                             np.asarray(self._dequant[1], np.float32))
 
         sh = lambda a, spec: jax.device_put(a, NamedSharding(self.mesh, spec))
         self._aug_scales = None

@@ -533,3 +533,51 @@ def test_harness_shards_with_save_and_autotune(tmp_path):
 
     loaded = load_index(path)
     assert loaded.dataset_size() == 2000
+
+
+def test_auto_mesh_aware_sharded_build(tmp_path, monkeypatch):
+    """Mesh-aware Scann.auto() (VERDICT r4 next #4): with a mesh and a
+    dataset past the (profile-scaled) one-chip serving budget, auto()
+    must route to the sharded end-to-end build, return the sharded
+    wrapper, stamp the decision, and still meet the recall target."""
+    import json
+
+    from scann_tpu.models.scann import Scann
+    from scann_tpu.parallel.mesh import make_mesh
+    from scann_tpu.parallel.sharded_flagship import ShardedTreeXHybridSearcher
+
+    # a profile whose budget this little dataset exceeds (the real default
+    # is GBs; the decision logic is budget-relative either way)
+    prof = {"sweep_max_n": 2000, "f32_rerank_max_bytes": 100_000,
+            "partition_density": 600, "source": "test"}
+    prof_path = tmp_path / "prof.json"
+    prof_path.write_text(json.dumps(prof))
+    monkeypatch.setenv("SCANN_TPU_CHIP_PROFILE", str(prof_path))
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 16)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 32, size=5000)
+    db = (centers[assign] + rng.normal(size=(5000, 16)) * 0.5).astype(np.float32)
+    q = (centers[rng.integers(0, 32, size=30)]
+         + rng.normal(size=(30, 16)) * 0.5).astype(np.float32)
+    ds = DenseDataset(db)
+    gt = np.argsort(((q[:, None, :] - db[None]) ** 2).sum(-1),
+                    axis=1)[:, :10]
+
+    mesh = make_mesh(8, axis_names=("db",))
+    s = Scann.auto(ds, target_recall=0.9, mesh=mesh, seed=0)
+    assert isinstance(s.impl, ShardedTreeXHybridSearcher)
+    desc = s.describe()
+    assert desc["auto"]["sharded"] is True
+    assert desc["auto"]["shards_needed"] > 1
+    idx, _ = s.search_batched_arrays(q, 10)
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10.0
+                   for a, b in zip(idx, gt)])
+    assert rec >= 0.9, rec
+
+    # under-budget with a mesh: single-chip build kept, decision stamped
+    prof["f32_rerank_max_bytes"] = 10**12
+    prof_path.write_text(json.dumps(prof))
+    s2 = Scann.auto(ds, mesh=mesh, seed=0)
+    assert not isinstance(s2.impl, ShardedTreeXHybridSearcher)
+    assert s2.describe()["auto"]["sharded"] is False

@@ -566,14 +566,121 @@ def test_sharded_build_end_to_end(data):
     np.testing.assert_array_equal(single.codes[0], want.astype(np.uint8))
 
 
-def test_sharded_build_rejects_spilling(data):
+def test_sharded_build_soar_parity(data):
+    """Sharded SOAR build (VERDICT r4 next #3): secondary assignments and
+    per-assignment residual codes computed per shard must match the
+    single-device SOAR build's quality — inertia parity, recall parity,
+    and a spot-check that secondary CSR rows encode the residual against
+    THEIR partition's centroid (not the primary's)."""
     db, q, ds, gt = data
-    from scann_tpu.errors import ScannError
+    cfg = TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12,
+        spilling=True, spilling_mode="soar",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42, max_iterations=8))
+    mesh = make_mesh(8, axis_names=("db",))
+    sharded = ShardedTreeXHybridSearcher.build(ds, cfg, mesh)
+    tkz = sharded._inner.partitioner.tokenization
+    assert tkz.max_multiplicity > 1  # every point got a secondary
+    params = SearchParameters(pre_reordering_num_neighbors=120)
+    i_sh, d_sh = sharded.search_batched_arrays(q, 10, params)
+    assert _recall(i_sh, gt) >= 0.9
+    for row in i_sh:  # dedup across spilled copies survives the merge
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
 
-    cfg = TreeXHybridConfig(num_partitions=8, spilling=True)
-    with pytest.raises(ScannError):
-        ShardedTreeXHybridSearcher.build(ds, cfg,
-                                         make_mesh(8, axis_names=("db",)))
+    s_single = TreeXHybridSearcher(cfg).build(ds)
+    i_1, _ = s_single.search_batched_arrays(q, 10, params)
+    assert _recall(i_sh, gt) >= _recall(i_1, gt) - 0.03
+
+    def _inertia(tp):
+        toks = tp.tokenization.tokens
+        return float(((db - tp.centers[toks]) ** 2).sum())
+
+    assert _inertia(sharded._inner.partitioner) <= \
+        _inertia(s_single.partitioner) * 1.25
+
+    # spot-check a SECONDARY assignment's code: find a CSR row whose
+    # partition is not its point's primary token
+    single = sharded._inner
+    tk = single.partitioner.tokenization
+    row_tokens = np.repeat(np.arange(tk.num_partitions), tk.partition_sizes)
+    sec_rows = np.nonzero(row_tokens != tk.tokens[tk.point_indices])[0]
+    assert len(sec_rows) > 0
+    r = int(sec_rows[0])
+    pt, t = int(tk.point_indices[r]), int(row_tokens[r])
+    resid = db[pt] - single.partitioner.centers[t]
+    cb = single.codebook
+    sub = resid.reshape(cb.num_subspaces, cb.dims_per_subspace)
+    want = np.argmin(((sub[:, None, :] - cb.centroids) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(single.codes[r], want.astype(np.uint8))
+
+
+def test_sharded_build_distance_spilling(data):
+    """Distance-rule spilling through the sharded build: threshold
+    secondaries from the per-shard top-2, per-assignment codes, unique
+    serving results."""
+    db, q, ds, gt = data
+    cfg = TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12,
+        spilling=True, spilling_mode="distance", spilling_threshold=0.5,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42, max_iterations=8))
+    mesh = make_mesh(8, axis_names=("db",))
+    sharded = ShardedTreeXHybridSearcher.build(ds, cfg, mesh)
+    tkz = sharded._inner.partitioner.tokenization
+    assert len(tkz.point_indices) > len(db)  # some points spilled
+    i_sh, _ = sharded.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(i_sh, gt) >= 0.9
+    for row in i_sh:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_sharded_build_hierarchical(data):
+    """num_levels=2 through the sharded build: k-means-tree leaves seed
+    the full-data sharded Lloyd refinement; serving works end-to-end."""
+    db, q, ds, gt = data
+    cfg = TreeXHybridConfig(
+        num_partitions=25, partitions_to_search=12,
+        partition_num_levels=2,
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42, max_iterations=8))
+    mesh = make_mesh(8, axis_names=("db",))
+    sharded = ShardedTreeXHybridSearcher.build(ds, cfg, mesh)
+    assert sharded._inner.partitioner.num_partitions >= 16
+    i_sh, _ = sharded.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(i_sh, gt) >= 0.9
+
+
+def test_sharded_build_avq_encode(data):
+    """anisotropic_threshold through the sharded build must use the AVQ
+    coordinate-descent encode (advisor r4 medium): per-shard codes match
+    the single-device AVQ encode of the same residuals bit-for-bit."""
+    db, q, ds, gt = data
+    cfg = TreeXHybridConfig(
+        num_partitions=24, partitions_to_search=12,
+        hash_config=AsymmetricHasherConfig(
+            num_codes=16, num_subspaces=8, seed=42, max_iterations=8,
+            anisotropic_threshold=0.2))
+    mesh = make_mesh(8, axis_names=("db",))
+    sharded = ShardedTreeXHybridSearcher.build(ds, cfg, mesh)
+    single = sharded._inner
+    assert single.codebook.eta is not None
+    tk = single.partitioner.tokenization
+    # re-encode a slice on host through the codebook's own AVQ path with
+    # the raw rows as directions — the sharded pass must agree
+    pts = tk.point_indices[:64]
+    toks = np.repeat(np.arange(tk.num_partitions),
+                     tk.partition_sizes)[:64]
+    resid = db[pts] - single.partitioner.centers[toks]
+    want = single.codebook.encode_dataset(resid, directions=db[pts])
+    np.testing.assert_array_equal(single.codes[:64], want)
+    i_sh, _ = sharded.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(i_sh, gt) >= 0.9
 
 
 def test_sharded_build_cosine(data):
