@@ -29,6 +29,13 @@ SEED = 42
 SPILL = os.environ.get("ADV_SPILL", "")
 # ADV_SKIP_SWEEP=1 jumps straight to the tree (sweep numbers already taken)
 SKIP_SWEEP = os.environ.get("ADV_SKIP_SWEEP", "") == "1"
+# ADV_RERANK sets the exact-rerank store dtype (bfloat16 for >=10M scale)
+RERANK = os.environ.get("ADV_RERANK", "float32")
+# ADV_CONFIGS="p:pre_k,p:pre_k" overrides the serving sweep
+CONFIGS = [tuple(map(int, c.split(":")))
+           for c in os.environ.get("ADV_CONFIGS", "").split(",") if c]     or [(10, 150), (20, 200), (30, 300)]
+# ADV_B_ONLY=1 times only the large batch (the headline row)
+B_ONLY = os.environ.get("ADV_B_ONLY", "") == "1"
 
 
 def log(*a):
@@ -101,6 +108,7 @@ def main():
     cfg = TreeXHybridConfig(
         num_partitions=N_PARTS, partitions_to_search=10,
         spilling=SPILL == "soar", spilling_mode=SPILL or "distance",
+        rerank_dtype=RERANK,
         hash_config=AsymmetricHasherConfig(
             num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
             training_sample_size=100_000))
@@ -116,6 +124,10 @@ def main():
         f"p50={np.median(sizes):.0f} p99={np.percentile(sizes, 99):.0f} "
         f"max={sizes.max()} (cap target 1.5x mean)")
 
+    if RERANK != "float32":
+        # free the build-time f32 device cache BEFORE the low-precision
+        # store uploads, so the two copies never coexist in HBM
+        ds.drop_device_cache()
     db_d, norms, n_valid = s._device_state()
     codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
     cent = s.partitioner.centers_device()
@@ -127,7 +139,7 @@ def main():
     log(f"l_cap={l_cap} multiplicity={mult} "
         f"kernel={'grouped-pallas' if grouped else 'xla'}")
 
-    for p, pre_k in ((10, 150), (20, 200), (30, 300)):
+    for p, pre_k in CONFIGS:
         kw = dict(p=p, pre_k=pre_k, k=K, l_cap=l_cap, use_residuals=True,
                   measure=DistanceMeasure.SQUARED_L2, multiplicity=mult,
                   approx_select_min=cfg.approx_selection_min_partitions)
@@ -136,7 +148,7 @@ def main():
             kw.update(l_tile=cfg.score_l_tile, packed=s._pack_codes())
         else:
             kern, codes_arg = tree_ah_kernel, codes_rows
-        for b in (128, B):
+        for b in ((B,) if B_ONLY else (128, B)):
             q_dev = jnp.asarray(q_np[:b])
             idx, _ = s.search_batched_arrays(
                 q_np[:b], K, params=SearchParameters(

@@ -595,6 +595,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "knobs are ignored, build_seconds reports the load")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the search phase here")
+    p.add_argument("--calibrate-profile", default=None, metavar="PATH",
+                   help="re-measure the chip profile's crossover constants "
+                        "on THIS chip (utils/chip_profile.calibrate), save "
+                        "the JSON to PATH, and use it for this run — the "
+                        "in-place regeneration hook deployments run once "
+                        "per chip generation")
     p.add_argument("--shards", type=int, default=1,
                    help="serve through the database-sharded wrappers on an "
                         "N-device mesh (brute-force/block-sweep/tree-ah; "
@@ -605,6 +611,17 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = make_parser().parse_args(argv)
+    if args.calibrate_profile:
+        import os
+
+        from scann_tpu.utils.chip_profile import calibrate, save_profile
+
+        prof = calibrate(verbose=True)
+        save_profile(prof, args.calibrate_profile)
+        # the rest of this run (auto_config crossovers, advisor) reads it
+        os.environ["SCANN_TPU_CHIP_PROFILE"] = args.calibrate_profile
+        print(f"chip profile calibrated -> {args.calibrate_profile}: "
+              f"sweep_max_n={prof.sweep_max_n:,}")
     if args.dataset:
         loader = load_hdf5_dataset if args.dataset.endswith(
             (".hdf5", ".h5")) else load_json_dataset

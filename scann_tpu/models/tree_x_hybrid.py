@@ -244,6 +244,23 @@ def _residual_luts(queries, centers, parts, codebook, *, s_pad: int,
     return luts.reshape(b * p, s_pad * c)
 
 
+def candidate_rows_from_positions(parts, csr_offsets, num_rows, pos, *,
+                                  p: int):
+    """CSR rows for leaf-major flat candidate positions, computed
+    ARITHMETICALLY: position j = l*p + ti maps to
+    min(csr_offsets[parts[b, ti]] + l, num_rows-1) — a [B, p] offset
+    gather plus modular arithmetic, instead of take_along_axis over the
+    materialized [B, p*l_cap] position tensor. At SOAR width
+    (p*l_cap = 61k) the materialize+gather measured ~20-25 ms/batch —
+    bigger than the leaf scoring itself (BENCH_NOTES round-5 stage
+    decomposition); this replacement is ~free."""
+    offs = jnp.take(csr_offsets, parts, axis=0)            # [B, p]
+    ti = pos % p
+    l = pos // p
+    rows = jnp.take_along_axis(offs, ti, axis=1) + l
+    return jnp.minimum(rows, num_rows - 1)
+
+
 def _csr_row_positions(parts, csr_offsets, num_rows, *, p: int, l_cap: int):
     """[B, p*l_cap] leaf-major CSR row positions for the selected partitions
     (pure arithmetic — point ids resolve through ``perm`` only later)."""
@@ -360,8 +377,8 @@ def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
     return flat_scores, rows_il
 
 
-def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
-              pre_eps, post_eps, *, pre_k: int, k: int,
+def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
+              pre_eps, post_eps, *, pre_k: int, k: int, p: int,
               measure: DistanceMeasure, reorder: bool, multiplicity: int,
               spill_dedup: bool = True):
     """approx candidate select -> (dedup) -> exact re-rank -> top-k.
@@ -381,10 +398,12 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
     candidate depth. ``spill_dedup=False`` keeps the legacy blanket
     inflation (gather all pre_k×multiplicity rows, dedup after the exact
     top-k) for A/B measurement."""
+    parts, csr_offsets, num_rows = row_ctx
     if not reorder:
         kp = min(k * max(int(multiplicity), 1), flat_scores.shape[-1])
         vals, pos = top_k_smallest(flat_scores, kp)
-        rows_sel = jnp.take_along_axis(flat_rows, pos, axis=1)
+        rows_sel = candidate_rows_from_positions(
+            parts, csr_offsets, num_rows, pos, p=p)
         idx = jnp.take(perm, rows_sel, axis=0)
         if multiplicity > 1:
             vals, idx = dedup_top_k(vals, idx, k)
@@ -403,7 +422,8 @@ def _finalize(db, db_sq_norms, queries, flat_scores, flat_rows, perm,
     width = flat_scores.shape[-1]
     sel_k = min(pre_k * mult, width) if mult > 1 else min(pre_k, width)
     pre_vals, pre_pos = approx_top_k_smallest(flat_scores, sel_k)
-    pre_rows = jnp.take_along_axis(flat_rows, pre_pos, axis=1)  # [B, sel_k]
+    pre_rows = candidate_rows_from_positions(
+        parts, csr_offsets, num_rows, pre_pos, p=p)      # [B, sel_k]
     pre_cand = jnp.take(perm, pre_rows, axis=0)
     pre_vals = pre_vals.astype(jnp.float32)
     pre_m = approx_to_measure_units(pre_vals, measure)
@@ -468,8 +488,10 @@ def tree_ah_search(
         allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
         allowed = jnp.take(allow_csr, rows_il, axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
-    return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
-                     pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
+    return _finalize(db, db_sq_norms, queries, flat_scores,
+                     (parts, csr_offsets, codes_rows.shape[0]), perm,
+                     pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
+                     measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
                      spill_dedup=spill_dedup)
 
@@ -525,11 +547,16 @@ def tree_ah_search_grouped(
         # restricts are pre-selection hard filters (reference semantics):
         # the bit gather is per-candidate and costs what the unmasked
         # fast path deliberately avoids — acceptable for filtered queries
+        # (rows_il materializes only on this branch; the unmasked path
+        # resolves candidate rows arithmetically after selection)
         allow_csr = jnp.take(allow_mask, jnp.maximum(perm, 0), axis=0)
         allowed = jnp.take(allow_csr, rows_il, axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
-    return _finalize(db, db_sq_norms, queries, flat_scores, rows_il, perm,
-                     pre_eps, post_eps, pre_k=pre_k, k=k, measure=measure,
+    num_rows = codes_csr.shape[1]
+    return _finalize(db, db_sq_norms, queries, flat_scores,
+                     (parts, csr_offsets, num_rows), perm,
+                     pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
+                     measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
                      spill_dedup=spill_dedup)
 

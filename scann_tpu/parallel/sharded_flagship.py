@@ -387,6 +387,7 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
     from scann_tpu.models.tree_x_hybrid import (
         _residual_luts,
         _select_partitions,
+        candidate_rows_from_positions,
         leaf_scores_grouped,
         leaf_scores_xla,
     )
@@ -453,7 +454,12 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
         sel_k = min(pre_k * mult, p * l_cap) if mult > 1 \
             else min(pre_k, p * l_cap)
         pre_vals, pre_pos = approx_top_k_smallest(flat_scores, sel_k)
-        pre_rows = jnp.take_along_axis(rows_il, pre_pos, axis=1)
+        # arithmetic row resolution (not take_along_axis over the
+        # materialized [B, p*l_cap] tensor — measured ~20 ms/batch at
+        # SOAR width, BENCH_NOTES round-5 stage decomposition)
+        pre_rows = candidate_rows_from_positions(
+            parts, offsets, codes.shape[1] if use_grouped else
+            codes.shape[0], pre_pos, p=p)
         pre_vals = pre_vals.astype(jnp.float32)
         pre_m = approx_to_measure_units(pre_vals, measure)
         pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
