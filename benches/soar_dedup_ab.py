@@ -69,13 +69,14 @@ def main():
     q_cap = s.effective_q_cap(B, P)
     log(f"l_cap={l_cap} mult={mult} q_cap={q_cap} packed={s._pack_codes()}")
 
-    for dedup, pre_k in ((False, 300), (True, 300), (True, 400),
-                         (True, 500), (False, 400)):
+    for dedup, pre_k, qc in ((False, 300, None), (True, 300, None),
+                             (True, 400, None), (False, 400, None),
+                             (True, 300, 16)):
         kw = dict(p=P, pre_k=pre_k, k=K, l_cap=l_cap, use_residuals=True,
                   measure=DistanceMeasure.SQUARED_L2, multiplicity=mult,
                   approx_select_min=cfg.approx_selection_min_partitions,
                   l_tile=cfg.score_l_tile, packed=s._pack_codes(),
-                  q_cap=q_cap, spill_dedup=dedup)
+                  q_cap=qc or q_cap, spill_dedup=dedup)
         s.config.spill_dedup = dedup
         idx, _ = s.search_batched_arrays(
             q_np[:B], K, params=SearchParameters(
@@ -92,7 +93,8 @@ def main():
                      (q_dev, db_d, norms, cent, codes_csr,
                       csr_offsets, part_sizes, perm, cb), iters=8)
         rows = pre_k if dedup else pre_k * mult
-        log(f"dedup={dedup} pre_k={pre_k} (gather {rows} rows) B={B}: "
+        log(f"dedup={dedup} pre_k={pre_k} q_cap={qc or q_cap} "
+            f"(gather {rows} rows) B={B}: "
             f"recall@10={rec:.4f} {dt*1e3:.2f} ms/batch -> {B/dt:,.0f} QPS")
 
 

@@ -126,7 +126,9 @@ def ah_search_reorder_kernel(
     from scann_tpu.utils.reordering import gather_rerank_rows
 
     rows = gather_rerank_rows(db, cand)                # [B, pre_k, D]
-    norms = jnp.take(db_sq_norms, cand, axis=0)
+    # norms recomputed from the gathered f32 rows (per-element norm
+    # gathers cost ~20 ns each on TPU; identical math to the table)
+    norms = jnp.sum(rows * rows, axis=-1)
     exact = gathered_distances(measure, queries, rows, norms)
     pre_m = approx_to_measure_units(pre_vals.astype(jnp.float32), measure)
     valid = (cand < n_valid) & (pre_m <= pre_eps)
@@ -184,7 +186,7 @@ def ah_search_fused_kernel(
 
     safe = jnp.clip(cand, 0, rerank_store_rows(db) - 1)
     rows = gather_rerank_rows(db, safe)                # [B, pre_k, D]
-    norms = jnp.take(db_sq_norms, safe, axis=0)
+    norms = jnp.sum(rows * rows, axis=-1)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
     out_vals, pos = top_k_smallest(exact, k)

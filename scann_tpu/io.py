@@ -367,8 +367,11 @@ def save_sharded_layout(path: str, sharded) -> None:
         kind = "tree_ah"
         layout = _compute_tree_shard_layout(sharded._inner,
                                             sharded.mesh.shape["db"])
-        keys = ("codes", "perm", "db", "sizes", "offs")
+        keys = tuple(k for k in ("codes", "perm", "db", "sizes", "offs",
+                                 "tok") if layout.get(k) is not None)
         extra_meta["layout_l_cap"] = int(layout["l_cap"])
+        # residual-anchored int8 codec params (None for f32/bf16)
+        extra_meta["layout_dequant"] = layout.get("dequant")
     elif isinstance(sharded, ShardedBlockSweepSearcher):
         kind = "block_sweep"
         layout = _compute_sweep_shard_layout(sharded._inner,
@@ -438,6 +441,7 @@ def load_sharded_layout(path: str, cls=None, mesh=None, force_kernel=None):
     mesh = mesh or make_mesh(axis_names=("db",))
     if kind == "tree_ah":
         layout["l_cap"] = meta["layout_l_cap"]
+        layout["dequant"] = meta.get("layout_dequant")
         return cls(inner, mesh, force_kernel=force_kernel, layout=layout)
     layout["blk"] = meta["layout_blk"]
     layout["aug_sn"] = meta["layout_aug_sn"]

@@ -134,22 +134,36 @@ class BlockSweepSearcher(Searcher):
     # -- device state ---------------------------------------------------------
     def _rerank_state(self, n: int):
         """(db_repr, norms): the rerank copy in the configured dtype —
-        f32 (shared DenseDataset cache), bf16 rows (half), or a
-        (u8 codes, scale, min) tuple (quarter, ScalarQuantizer codec).
-        Low-precision copies upload directly from host (no f32 device copy
-        needed — callers can drop the dataset cache; see docs/DESIGN.md)."""
+        f32 rows, bf16 rows (half), or a (u8 codes, scale, min) tuple
+        (quarter, per-dim codec). Low-precision copies upload directly
+        from host (no f32 device copy needed — callers can drop the
+        dataset cache; see docs/DESIGN.md).
+
+        Rows are stored in the SAME permuted order as the augmented sweep
+        copy (when shuffle is on), so the kernel gathers candidates at
+        their raw sweep positions and translates only the k winners
+        through inv_perm — a [B, k] gather instead of [B, pre_k]
+        (per-element gathers cost ~20 ns each on TPU; the pre-gather
+        translation was ~2 ms of an ~8 ms batch at 1.18M). The sharded
+        wrapper has always used this layout
+        (parallel/sharded_flagship._compute_sweep_shard_layout)."""
         if self._rerank_cache is not None and self._rerank_cache[2] == n:
             return self._rerank_cache[0], self._rerank_cache[1]
         rdt = self._config.rerank_dtype
+        data = self._dataset.numpy()
+        data_p = data if self._inv_host is None else data[self._inv_host]
         if rdt == "float32":
-            db, _ = self._dataset.device()
+            if self._inv_host is None:
+                db, _ = self._dataset.device()   # shared cache, same order
+            else:
+                db = jnp.asarray(data_p)
             norms = jax.jit(squared_norms)(db)
             db_repr = db
         else:
             from scann_tpu.utils.reordering import build_rerank_store
 
-            db_repr, norms = build_rerank_store(
-                self._dataset.numpy(), n, rdt, SUBLANE_BF16)
+            db_repr, norms = build_rerank_store(data_p, n, rdt,
+                                                SUBLANE_BF16)
         self._rerank_cache = (db_repr, norms, n)
         return db_repr, norms
 

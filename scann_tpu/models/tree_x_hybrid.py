@@ -257,8 +257,20 @@ def candidate_rows_from_positions(parts, csr_offsets, num_rows, pos, *,
     offs = jnp.take(csr_offsets, parts, axis=0)            # [B, p]
     ti = pos % p
     l = pos // p
-    rows = jnp.take_along_axis(offs, ti, axis=1) + l
-    return jnp.minimum(rows, num_rows - 1)
+    # one-hot MXU contraction instead of take_along_axis: per-ELEMENT
+    # gathers cost ~20 ns each on TPU regardless of table size (a
+    # [B, sel_k] take_along over the tiny [B, p] table measured
+    # +12 ms/batch at B=1024, sel=600 — half the leaf-scoring cost),
+    # while a [B, sel, p] one-hot matmul is MXU work in the microseconds.
+    # Offsets split into 8192-based digits so each f32 contraction stays
+    # exact past 2^24 CSR rows (SOAR at 20M has ~41M).
+    onehot = jax.nn.one_hot(ti, p, dtype=jnp.float32)      # [B, sel, p]
+    offs_f = offs.astype(jnp.float32)
+    hi = jnp.floor(offs_f / 8192.0)
+    lo = offs_f - hi * 8192.0
+    row0 = (jnp.einsum("bsp,bp->bs", onehot, hi) * 8192.0
+            + jnp.einsum("bsp,bp->bs", onehot, lo)).astype(jnp.int32)
+    return jnp.minimum(row0 + l, num_rows - 1)
 
 
 def _csr_row_positions(parts, csr_offsets, num_rows, *, p: int, l_cap: int):
@@ -440,7 +452,11 @@ def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
     from scann_tpu.utils.reordering import gather_rerank_rows
 
     rows = gather_rerank_rows(db, pre_safe)                   # [B, pre_k, D]
-    norms = jnp.take(db_sq_norms, pre_safe, axis=0)
+    # norms recomputed from the gathered rows (identical math: the norms
+    # table is built from the same dequantized rows) — a [B, pre_k]
+    # per-element norm gather costs ~20 ns/element on TPU; the square-sum
+    # over rows already resident in registers is ~free
+    norms = jnp.sum(rows * rows, axis=-1)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
     if mult > 1 and not dedup_first:

@@ -657,14 +657,6 @@ def sweep_search_kernel(
                                       tile_n=tile_n, interpret=interpret,
                                       penalty=allow_pen, top2=top2)
 
-    if inv_perm is not None:
-        # stored positions are (id * stride) % n_valid; resolve true ids via
-        # the inverse-permutation table — a [B, pre_k]-sized gather from a
-        # few-MB array, ~1% of the rerank row gather's traffic.
-        # (Out-of-range slots are masked by pre_valid below.)
-        cand = jnp.take(inv_perm, jnp.clip(cand, 0, inv_perm.shape[0] - 1),
-                        axis=0)
-
     # approximate distance in the measure's own units for pre_eps
     approx = sweep_approx_in_measure_units(pv, queries, measure)
     pre_valid = (pv < mask_cut) & (approx <= pre_eps)
@@ -676,11 +668,21 @@ def sweep_search_kernel(
 
     safe = jnp.clip(cand, 0, rerank_store_rows(db) - 1)
     rows = gather_rerank_rows(db, safe)                  # [B, pre_k, D]
-    norms = jnp.take(db_sq_norms, safe, axis=0)
+    # norms recomputed from the gathered rows (identical math to the
+    # table; per-element norm gathers cost ~20 ns each on TPU)
+    norms = jnp.sum(rows * rows, axis=-1)
     exact = gathered_distances(measure, queries, rows, norms)
     exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
     out_vals, pos = top_k_smallest(exact, k)
     idx = jnp.take_along_axis(cand, pos, axis=1)
+    if inv_perm is not None:
+        # stored positions are (id * stride) % n_valid; the rerank store
+        # is laid out in the SAME permuted order, so true ids resolve only
+        # for the k winners — a [B, k] gather instead of [B, pre_k]
+        # (per-element gathers cost ~20 ns each on TPU; at pre_k=100,
+        # B=1024 the pre-gather translation was ~2 ms of a ~8 ms batch)
+        idx = jnp.take(inv_perm, jnp.clip(idx, 0, inv_perm.shape[0] - 1),
+                       axis=0)
     missing = (out_vals >= MASKED_DISTANCE / 2) | (out_vals > post_eps)
     return (jnp.where(missing, jnp.inf, out_vals),
             jnp.where(missing, -1, idx))

@@ -190,7 +190,9 @@ def sharded_ah_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
             rows = rows.astype(jnp.float32) * dequant[0] + dequant[1]
         elif rows.dtype != jnp.float32:
             rows = rows.astype(jnp.float32)  # bf16 rerank copy
-        nrm = jnp.take(norms_blk, safe, axis=0)
+        # norms recomputed from the gathered f32 rows (per-element
+        # norm gathers cost ~20 ns each on TPU; identical math)
+        nrm = jnp.sum(rows * rows, axis=-1)
         exact = gathered_distances(measure, queries, rows, nrm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
         # local partials can be narrower than k (pk = blk when k > blk),
@@ -369,7 +371,8 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
                            db_axis: str = "db",
                            dequant=None,
                            packed: bool = False,
-                           spill_dedup: bool = True):
+                           spill_dedup: bool = True,
+                           residual_anchor: bool = False):
     """fn(centers, codebook, codes, offsets [Sh,K], sizes [Sh,K],
     perm [Sh,L], db_csr [Sh,L,D], norms_csr [Sh,L], queries[, allow_mask
     replicated [N]], pre_eps, post_eps) -> (dists, idx).
@@ -396,6 +399,8 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
     in_specs = [P(), P(), codes_spec, P(db_axis, None), P(db_axis, None),
                 P(db_axis, None), P(db_axis, None, None), P(db_axis, None),
                 P(None, None)]
+    if residual_anchor:
+        in_specs.append(P(db_axis, None))    # per-row anchor tokens
     if with_mask:
         in_specs.append(P())
     in_specs += [P(), P()]
@@ -408,10 +413,10 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
     )
     def _kern(centers, codebook, codes, offsets, sizes, perm, db_csr,
               norms_csr, queries, *rest):
-        if with_mask:
-            allow_mask, pre_eps, post_eps = rest
-        else:
-            (pre_eps, post_eps), allow_mask = rest, None
+        rest = list(rest)
+        tok_csr = rest.pop(0)[0] if residual_anchor else None
+        allow_mask = rest.pop(0) if with_mask else None
+        pre_eps, post_eps = rest
         codes = codes[0]              # [L_sh, S_pad] or [S_pad, L_sh]
         offsets = offsets[0]          # [K] local CSR starts
         sizes = sizes[0]              # [K] zero for unowned partitions
@@ -483,10 +488,17 @@ def sharded_tree_ah_kernel(mesh: Mesh, *, p: int, pre_k: int, k: int,
             # only for the gathered candidates, same as the single-device
             # _finalize (models/tree_x_hybrid.py)
             rrows = rrows.astype(jnp.float32) * dequant[0] + dequant[1]
+            if residual_anchor:
+                # residual-anchored codec: codes hold row − its
+                # partition's centroid; add the anchor back (per-row
+                # token table + small centroid-table row gather)
+                tok_l = jnp.take(tok_csr, pre_rows, axis=0)
+                rrows = rrows + jnp.take(centers, tok_l, axis=0)
         elif rrows.dtype != jnp.float32:
             # bf16 rerank copy: exact math in f32 on the rounded rows
             rrows = rrows.astype(jnp.float32)
-        rnorm = jnp.take(norms_csr, pre_rows, axis=0)
+        # norms recomputed from the gathered f32 rows (see above)
+        rnorm = jnp.sum(rrows * rrows, axis=-1)
         exact = gathered_distances(measure, queries, rrows, rnorm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
         if dedup_first:
@@ -945,9 +957,43 @@ def _compute_tree_shard_layout(searcher, n_sh: int) -> dict:
     # rerank copy in the wrapped searcher's configured dtype: the
     # [Sh, L_sh, D] raw-row slab is the dominant per-shard allocation
     # (same lever as single-device rerank_dtype; codec shared via
-    # rerank_codec; docs/DESIGN.md "HBM budget at scale")
+    # rerank_codec; docs/DESIGN.md "HBM budget at scale"). int8 uses the
+    # RESIDUAL-ANCHORED per-dim codec: each CSR row quantizes the
+    # residual against ITS OWN partition's centroid (even finer than the
+    # single-device primary-token anchor for spilled copies), with a
+    # per-row token table so the kernel adds the centroid back after the
+    # gather — same quality mechanism as the single-device store
+    # (utils/reordering.residual_rerank_codec).
     rdt = getattr(searcher.config, "rerank_dtype", "float32")
-    db_dt, encode, _ = rerank_codec(data, len(data), rdt)
+    residual = rdt == "int8"
+    tok_sh = None
+    if residual:
+        centers = searcher.partitioner.centers
+        row_tokens = np.repeat(np.arange(kparts, dtype=np.int32),
+                               tk.partition_sizes)
+        ids_all = tk.point_indices
+        # chunked residual min/max over every assignment (never
+        # materializes the [M, D] gathered rows)
+        r_mn = np.full(d, np.inf, np.float32)
+        r_mx = np.full(d, -np.inf, np.float32)
+        cs = max(1, (1 << 22) // max(d, 1))
+        for lo in range(0, len(ids_all), cs):
+            r = (data[ids_all[lo:lo + cs]]
+                 - centers[row_tokens[lo:lo + cs]])
+            r_mn = np.minimum(r_mn, r.min(axis=0))
+            r_mx = np.maximum(r_mx, r.max(axis=0))
+        r_scale = np.maximum((r_mx - r_mn) / 255.0, 1e-30).astype(np.float32)
+        r_mn = r_mn.astype(np.float32)
+
+        def enc_r(rows, toks):
+            r = rows - centers[toks]
+            return np.clip(np.rint((r - r_mn) / r_scale), 0,
+                           255).astype(np.uint8)
+
+        db_dt = np.uint8
+        tok_sh = np.zeros((n_sh, l_sh), np.int32)
+    else:
+        db_dt, encode, _ = rerank_codec(data, len(data), rdt)
 
     codes_sh = np.zeros((n_sh, l_sh, s), np.uint8)
     perm_sh = np.zeros((n_sh, l_sh), np.int32)
@@ -964,10 +1010,19 @@ def _compute_tree_shard_layout(searcher, n_sh: int) -> dict:
                 searcher.codes[csr_off[t] : csr_off[t] + sz]
             ids = tk.partition_indices(t)
             perm_sh[sh, lo : lo + sz] = ids
-            db_sh[sh, lo : lo + sz] = encode(data[ids])
-    return {"codes": codes_sh, "perm": perm_sh, "db": db_sh,
-            "sizes": sizes_sh, "offs": offs_sh,
-            "l_cap": l_cap, "n_sh": n_sh}
+            if residual:
+                db_sh[sh, lo : lo + sz] = enc_r(
+                    data[ids], np.full(sz, t, np.int32))
+                tok_sh[sh, lo : lo + sz] = t
+            else:
+                db_sh[sh, lo : lo + sz] = encode(data[ids])
+    out = {"codes": codes_sh, "perm": perm_sh, "db": db_sh,
+           "sizes": sizes_sh, "offs": offs_sh,
+           "l_cap": l_cap, "n_sh": n_sh}
+    if residual:
+        out["tok"] = tok_sh
+        out["dequant"] = (r_scale.tolist(), r_mn.tolist())
+    return out
 
 
 class ShardedTreeXHybridSearcher(Searcher):
@@ -1002,11 +1057,7 @@ class ShardedTreeXHybridSearcher(Searcher):
                         and searcher.config.hash_config.num_codes <= 16
                         and (pc is None or bool(pc)))
 
-        from scann_tpu.utils.reordering import rerank_codec, rerank_norms_fn
-
-        data = searcher._dataset.numpy()
-        rdt = getattr(searcher.config, "rerank_dtype", "float32")
-        _, _, self._dequant = rerank_codec(data, len(data), rdt)
+        from scann_tpu.utils.reordering import rerank_norms_fn
 
         if layout is None:
             layout = _compute_tree_shard_layout(searcher, n_sh)
@@ -1014,6 +1065,12 @@ class ShardedTreeXHybridSearcher(Searcher):
             raise ScannError.invalid_argument(
                 f"saved layout was computed for {layout['n_sh']} shards, "
                 f"mesh has {n_sh}")
+        # int8 rerank: the residual-anchored codec params + per-row token
+        # table travel in the layout (see _compute_tree_shard_layout)
+        self._dequant = layout.get("dequant")
+        if self._dequant is not None:
+            self._dequant = (np.asarray(self._dequant[0], np.float32),
+                             np.asarray(self._dequant[1], np.float32))
         self._l_cap = int(layout["l_cap"])
         codes_sh = layout["codes"]
 
@@ -1046,6 +1103,11 @@ class ShardedTreeXHybridSearcher(Searcher):
             self._codes = put(codes_sh, P("db", None, None))
         self._perm = put(layout["perm"], P("db", None))
         self._db = put(layout["db"], P("db", None, None))
+        self._tok = (put(layout["tok"], P("db", None))
+                     if layout.get("tok") is not None else None)
+        # norms are recomputed in-kernel from the gathered rows; this
+        # table only pads the legacy arg slot (cheap — and for the
+        # residual codec it would be wrong without the anchor anyway)
         self._norms = rerank_norms_fn(
             self._dequant,
             out_shardings=NamedSharding(self.mesh, P("db", None)))(self._db)
@@ -1142,10 +1204,13 @@ class ShardedTreeXHybridSearcher(Searcher):
                 use_grouped=self._use_grouped, q_cap=q_cap,
                 l_tile=cfg.score_l_tile, with_mask=with_mask,
                 dequant=self._dequant, packed=self._packed,
-                spill_dedup=dedup)
+                spill_dedup=dedup,
+                residual_anchor=self._tok is not None)
         q = replicate(self.mesh, jnp.asarray(queries))
         args = [self._cent, self._cb, self._codes, self._offs, self._sizes,
                 self._perm, self._db, self._norms, q]
+        if self._tok is not None:
+            args.append(self._tok)
         if with_mask:
             m = np.zeros(n, dtype=bool)
             m[: len(allow_mask)] = np.asarray(allow_mask, dtype=bool)[:n]
@@ -1238,7 +1303,9 @@ def sharded_block_sweep_kernel(mesh: Mesh, *, pre_k: int, k: int,
             rows = rows.astype(jnp.float32) * dequant[0] + dequant[1]
         elif rows.dtype != jnp.float32:
             rows = rows.astype(jnp.float32)
-        nrm = jnp.take(norms_blk, safe, axis=0)
+        # norms recomputed from the gathered f32 rows (per-element
+        # norm gathers cost ~20 ns each on TPU; identical math)
+        nrm = jnp.sum(rows * rows, axis=-1)
         exact = gathered_distances(measure, queries, rows, nrm)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
         vals, pos = top_k_smallest(exact, min(k, pk * (2 if top2 else 1)))

@@ -32,7 +32,7 @@ def reorder_kernel(db, db_sq_norms, queries, candidates, *, measure: DistanceMea
     valid = candidates >= 0
     safe = jnp.maximum(candidates, 0)
     rows = jnp.take(db, safe, axis=0)
-    norms = jnp.take(db_sq_norms, safe, axis=0)
+    norms = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
     dists = gathered_distances(measure, queries, rows, norms)
     dists = jnp.where(valid, dists, MASKED_DISTANCE)
     vals, pos = top_k_smallest(dists, k)
