@@ -49,3 +49,13 @@ warm = ShardedTreeXHybridSearcher.load_layout(path, mesh)
 w_idx, _ = warm.search_batched_arrays(q, 5, params)
 assert np.array_equal(t_idx, w_idx)
 print("sharded build + warm-start reload: identical answers")
+
+# --- hands-free: mesh-aware auto() -----------------------------------------
+# Past the one-chip serving budget (chip profile), Scann.auto(mesh=...)
+# routes to the sharded end-to-end build by itself and stamps the decision:
+from scann_tpu.models.scann import Scann
+
+auto = Scann.auto(ds, mesh=mesh)
+print("auto() decision:", auto.describe().get("auto"))
+a_idx, _ = auto.search_batched_arrays(q, 5)
+print("mesh-aware auto() served", a_idx.shape, "results")
