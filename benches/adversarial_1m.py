@@ -36,6 +36,9 @@ CONFIGS = [tuple(map(int, c.split(":")))
            for c in os.environ.get("ADV_CONFIGS", "").split(",") if c]     or [(10, 150), (20, 200), (30, 300)]
 # ADV_B_ONLY=1 times only the large batch (the headline row)
 B_ONLY = os.environ.get("ADV_B_ONLY", "") == "1"
+# ADV_INDEX_CACHE=path.npz: reuse a previously built tree (the 10M SOAR
+# build is ~22 min on-chip; serving studies shouldn't pay it twice)
+INDEX_CACHE = os.environ.get("ADV_INDEX_CACHE", "")
 
 
 def log(*a):
@@ -112,9 +115,21 @@ def main():
         hash_config=AsymmetricHasherConfig(
             num_codes=16, num_subspaces=50, seed=42, max_iterations=12,
             training_sample_size=100_000))
-    s = TreeXHybridSearcher(cfg).build(ds)
-    log(f"tree-AH build ({N_PARTS} partitions, spill={SPILL or 'none'}): "
-        f"{time.perf_counter()-t0:.1f}s")
+    if INDEX_CACHE and os.path.exists(INDEX_CACHE):
+        from scann_tpu.io import load_index
+
+        s = load_index(INDEX_CACHE)
+        s.config.rerank_dtype = RERANK
+        log(f"loaded cached index: {time.perf_counter()-t0:.1f}s")
+    else:
+        s = TreeXHybridSearcher(cfg).build(ds)
+        log(f"tree-AH build ({N_PARTS} partitions, spill={SPILL or 'none'}): "
+            f"{time.perf_counter()-t0:.1f}s")
+        if INDEX_CACHE:
+            from scann_tpu.io import save_index
+
+            save_index(INDEX_CACHE, s)
+            log(f"index cached -> {INDEX_CACHE}")
 
     # partition-balance picture on skewed data: the l_cap demote loop is the
     # lever this generator stresses
