@@ -190,14 +190,23 @@ def _run_tree_ah_default(log):
             num_leaves_to_search=P, pre_reordering_num_neighbors=PRE_K))
     recall = _recall_at_k(idx, gt, K)
 
-    db_d, norms, n_valid = s._device_state()
     codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = s._csr_state()
     cent = s.partitioner.centers_device()
     cb = s.codebook.centroids_device()
     grouped = s._use_grouped_pallas()
+    # serve through the searcher's own resolved layout (the id-embedded
+    # CSR store at mult=1: +10-15% QPS at identical recall, BENCH_NOTES
+    # round-5 "Id-embedded CSR rerank store")
+    csr_store = s._rerank_layout() == "csr"
+    if csr_store:
+        db_d, n_valid = s._csr_store_state()
+        norms = None
+    else:
+        db_d, norms, n_valid = s._device_state()
     kw = dict(p=P, pre_k=PRE_K, k=K, l_cap=l_cap, use_residuals=True,
               measure=DistanceMeasure.SQUARED_L2, multiplicity=1,
-              approx_select_min=cfg.approx_selection_min_partitions)
+              approx_select_min=cfg.approx_selection_min_partitions,
+              csr_store=csr_store)
     if grouped:
         kern = tree_ah_grouped_kernel
         codes_arg = codes_csr

@@ -91,6 +91,10 @@ def main():
     s = TreeXHybridSearcher(cfg).build(ds)
     log(f"tree-AH build ({N_PARTS} partitions): "
         f"{time.perf_counter()-t0:.1f}s")
+    # this A/B isolates the rerank CODEC; pin the id layout so the public
+    # API's recall eval and the timed kernel use the same single store
+    # (the csr-layout default would otherwise build a second 5.4 GB copy)
+    s.config.rerank_layout = "id"
     ds.drop_device_cache()
     log("dropped f32 device copy")
 

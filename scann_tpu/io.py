@@ -149,6 +149,7 @@ def _serialize(searcher):
              "score_l_tile": searcher.config.score_l_tile,
              "group_q_cap": searcher.config.group_q_cap,
              "pack_codes": searcher.config.pack_codes,
+             "rerank_layout": searcher.config.rerank_layout,
              "measure": searcher.config.distance_measure.value},
         )
     from scann_tpu.models.block_sweep import BlockSweepSearcher
@@ -299,6 +300,10 @@ def _deserialize_index(meta: dict, arrays: dict):
                          else None if "group_q_cap" in meta else 8),
             pack_codes=(meta["pack_codes"] if "pack_codes" in meta
                         else False),
+            # auto (None) resolves to "csr" only when results are
+            # bit-identical to "id", so legacy files may take the faster
+            # layout safely; an explicit save value round-trips
+            rerank_layout=meta.get("rerank_layout"),
         )
         s = TreeXHybridSearcher(cfg)
         s._dataset = DenseDataset(arrays["data"])

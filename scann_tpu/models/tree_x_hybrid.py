@@ -137,6 +137,19 @@ class TreeXHybridConfig:
     # Norms are recomputed from the rounded rows so the ||d||² term is
     # exactly consistent with the gathered vectors.
     rerank_dtype: str = "float32"
+    # layout of the rerank store. "id" = original-id row order (the rerank
+    # gather translates CSR positions through the [N_csr] perm table — a
+    # [B, sel_k] scalar gather at ~20 ns/element, ~12 ms/batch at SOAR
+    # width). "csr" = CSR row order with the point id embedded in 4
+    # base-256 digit lanes the (8,128) lane tiling pads for free
+    # (utils/reordering.build_csr_rerank_store): the gather takes the
+    # arithmetically-resolved positions directly and the perm gather
+    # disappears. None = auto: "csr" when each point has one assignment
+    # and the store is f32/bf16 (identical bytes, identical results,
+    # strictly less gather work); "id" under spilling (the CSR store
+    # carries one row per assignment = x multiplicity HBM) and for the
+    # residual-anchored int8 codec (needs its per-row anchor token).
+    rerank_layout: Optional[str] = None
 
     def with_hash(self, cfg: AsymmetricHasherConfig) -> "TreeXHybridConfig":
         self.hash_config = cfg
@@ -392,7 +405,7 @@ def leaf_scores_grouped(luts_flat, parts, codes_csr, csr_offsets, part_sizes,
 def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
               pre_eps, post_eps, *, pre_k: int, k: int, p: int,
               measure: DistanceMeasure, reorder: bool, multiplicity: int,
-              spill_dedup: bool = True):
+              spill_dedup: bool = True, csr_store: bool = False):
     """approx candidate select -> (dedup) -> exact re-rank -> top-k.
 
     Position-based: ``flat_rows`` are CSR row positions (pure arithmetic,
@@ -409,7 +422,16 @@ def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
     gather — the measured latency floor at ~31 ns/row — runs at UNIQUE
     candidate depth. ``spill_dedup=False`` keeps the legacy blanket
     inflation (gather all pre_k×multiplicity rows, dedup after the exact
-    top-k) for A/B measurement."""
+    top-k) for A/B measurement.
+
+    ``csr_store=True``: ``db`` is an id-embedded CSR-ordered rerank store
+    (utils/reordering.build_csr_rerank_store) — the row gather takes the
+    arithmetically-resolved CSR positions directly and the candidate ids
+    decode from the gathered rows' digit lanes, eliminating the
+    ``[B, sel_k]`` perm-table scalar gather (~20 ns/element, ~12 ms/batch
+    at SOAR width) entirely. Spilled copies dedup AFTER the exact scores
+    (their rows were gathered anyway; the perm gather they existed to
+    amortize is gone)."""
     parts, csr_offsets, num_rows = row_ctx
     if not reorder:
         kp = min(k * max(int(multiplicity), 1), flat_scores.shape[-1])
@@ -430,16 +452,32 @@ def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
         return jnp.where(missing, jnp.inf, vals_m), jnp.where(missing, -1, idx)
 
     mult = max(int(multiplicity), 1)
-    dedup_first = spill_dedup and mult > 1
+    dedup_first = spill_dedup and mult > 1 and not csr_store
     width = flat_scores.shape[-1]
     sel_k = min(pre_k * mult, width) if mult > 1 else min(pre_k, width)
     pre_vals, pre_pos = approx_top_k_smallest(flat_scores, sel_k)
     pre_rows = candidate_rows_from_positions(
         parts, csr_offsets, num_rows, pre_pos, p=p)      # [B, sel_k]
-    pre_cand = jnp.take(perm, pre_rows, axis=0)
     pre_vals = pre_vals.astype(jnp.float32)
     pre_m = approx_to_measure_units(pre_vals, measure)
     pre_valid = (pre_vals < MASKED_DISTANCE / 2) & (pre_m <= pre_eps)
+    if csr_store:
+        from scann_tpu.utils.reordering import gather_csr_rerank_rows
+
+        rows, pre_cand = gather_csr_rerank_rows(db, pre_rows,
+                                                queries.shape[-1])
+        norms = jnp.sum(rows * rows, axis=-1)
+        exact = gathered_distances(measure, queries, rows, norms)
+        exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
+        if mult > 1:
+            vals, idx = top_k_unique(exact, pre_cand, k, multiplicity)
+        else:
+            vals, pos = top_k_smallest(exact, k)
+            idx = jnp.take_along_axis(pre_cand, pos, axis=1)
+        missing = (vals >= MASKED_DISTANCE / 2) | (vals > post_eps)
+        return (jnp.where(missing, jnp.inf, vals),
+                jnp.where(missing, -1, idx))
+    pre_cand = jnp.take(perm, pre_rows, axis=0)
     if dedup_first:
         # collapse a spilled point's copies to its best approx slot, THEN
         # gather: unique depth pre_k instead of sel_k rows
@@ -474,6 +512,7 @@ def tree_ah_search(
     *, p: int, pre_k: int, k: int, l_cap: int, use_residuals: bool,
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
     approx_select_min: int = 1024, spill_dedup: bool = True,
+    csr_store: bool = False,
 ):
     """XLA leaf-scoring path (CPU and fallback): per-pair code-row gather +
     LUT gather-sum over the CSR slab.
@@ -509,14 +548,14 @@ def tree_ah_search(
                      pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
                      measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
-                     spill_dedup=spill_dedup)
+                     spill_dedup=spill_dedup, csr_store=csr_store)
 
 
 tree_ah_kernel = jax.jit(
     tree_ah_search,
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
                      "reorder", "multiplicity", "approx_select_min",
-                     "spill_dedup"),
+                     "spill_dedup", "csr_store"),
 )
 
 
@@ -527,7 +566,7 @@ def tree_ah_search_grouped(
     measure: DistanceMeasure, reorder: bool = True, multiplicity: int = 1,
     approx_select_min: int = 1024, q_cap: int = 32, l_tile: int = 256,
     interpret: bool = False, int8_luts: bool = False, packed: bool = False,
-    spill_dedup: bool = True,
+    spill_dedup: bool = True, csr_store: bool = False,
 ):
     """TPU fast path: grouped MXU leaf scoring (ops/tree_ah_grouped.py).
 
@@ -574,7 +613,7 @@ def tree_ah_search_grouped(
                      pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
                      measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
-                     spill_dedup=spill_dedup)
+                     spill_dedup=spill_dedup, csr_store=csr_store)
 
 
 tree_ah_grouped_kernel = jax.jit(
@@ -582,7 +621,7 @@ tree_ah_grouped_kernel = jax.jit(
     static_argnames=("p", "pre_k", "k", "l_cap", "use_residuals", "measure",
                      "reorder", "multiplicity", "approx_select_min", "q_cap",
                      "l_tile", "interpret", "int8_luts", "packed",
-                     "spill_dedup"),
+                     "spill_dedup", "csr_store"),
 )
 
 
@@ -600,11 +639,17 @@ class TreeXHybridSearcher(Searcher):
         self._dataset: Optional[DenseDataset] = None
         self._norms_cache = None
         self._csr_cache = None
+        self._csr_perm_np = None
         self._lp_cache = None
+        self._csr_store_cache = None
         if self.config.rerank_dtype not in ("float32", "bfloat16", "int8"):
             raise ScannError.invalid_argument(
                 f"rerank_dtype must be float32, bfloat16 or int8, got "
                 f"{self.config.rerank_dtype!r}")
+        if self.config.rerank_layout not in (None, "id", "csr"):
+            raise ScannError.invalid_argument(
+                f"rerank_layout must be None, 'id' or 'csr', got "
+                f"{self.config.rerank_layout!r}")
 
     # -- build ----------------------------------------------------------------
     def build(self, dataset: DenseDataset) -> "TreeXHybridSearcher":
@@ -723,6 +768,7 @@ class TreeXHybridSearcher(Searcher):
         self._norms_cache = None
         self._csr_cache = None
         self._lp_cache = None
+        self._csr_store_cache = None
         return self
 
     # -- metadata ---------------------------------------------------------------
@@ -834,6 +880,8 @@ class TreeXHybridSearcher(Searcher):
                 codes_aligned[lo : lo + sz, :s] = \
                     self.codes[csr_off[t] : csr_off[t] + sz]
                 perm_aligned[lo : lo + sz] = tk.partition_indices(t)
+            # host copy kept for the id-embedded CSR rerank store builder
+            self._csr_perm_np = perm_aligned
             if self._use_grouped_pallas():
                 # TPU serves only through the transposed slab — skip the
                 # row-major device copy entirely (1.3 GB saved at 20M,
@@ -863,6 +911,36 @@ class TreeXHybridSearcher(Searcher):
         from scann_tpu.types import is_tpu
 
         return is_tpu()
+
+    def _rerank_layout(self) -> str:
+        """Resolved rerank-store layout (see TreeXHybridConfig.rerank_layout):
+        auto picks "csr" exactly when it is a pure win — one assignment per
+        point (identical store bytes) and a non-anchored codec."""
+        rl = self.config.rerank_layout
+        if rl is not None:
+            return rl
+        mult = self.partitioner.tokenization.max_multiplicity
+        return "csr" if (mult == 1 and self.config.rerank_dtype != "int8") \
+            else "id"
+
+    def _csr_store_state(self):
+        """Id-embedded CSR-ordered rerank store (+ valid count): the
+        serving state for ``rerank_layout='csr'``. Built from the SAME
+        codec as the id-ordered store (identical dequantized values, so
+        results are bit-identical); rows follow the aligned CSR layout of
+        :meth:`_csr_state` so the kernels' arithmetically-resolved
+        positions index it directly."""
+        n = self._dataset.size
+        if self._csr_store_cache is None or self._csr_store_cache[1] != n:
+            from scann_tpu.utils.reordering import build_csr_rerank_store
+
+            self._csr_state()  # ensures _csr_perm_np
+            dt = self.config.rerank_dtype
+            store = build_csr_rerank_store(
+                self._dataset.numpy(), self._csr_perm_np,
+                "float32" if dt == "float32" else dt)
+            self._csr_store_cache = (store, n)
+        return self._csr_store_cache
 
     def effective_q_cap(self, b: int, p: int) -> int:
         """Grouped-kernel queries-per-group: the config's explicit value,
@@ -904,10 +982,18 @@ class TreeXHybridSearcher(Searcher):
             pre_k = int(np.ceil(k * cfg.pre_reorder_multiplier))
         pre_eps, post_eps = (np.float32(e) for e in epsilons(params))
 
-        db, norms, n_valid = self._device_state()
         codes_rows, codes_csr, csr_offsets, part_sizes, perm, l_cap = \
             self._csr_state()
         mult = self.partitioner.tokenization.max_multiplicity
+        # id-embedded CSR store: restricts go through the id layout (the
+        # allow mask is indexed by original ids over rows_il, which only
+        # materializes on that branch)
+        csr_store = self._rerank_layout() == "csr" and allow_mask is None
+        if csr_store:
+            db, n_valid = self._csr_store_state()
+            norms = None
+        else:
+            db, norms, n_valid = self._device_state()
         # (no pre_k inflation here: _finalize over-selects approx slots by
         # the multiplicity itself and dedups before the gather)
 
@@ -932,7 +1018,7 @@ class TreeXHybridSearcher(Searcher):
                       use_residuals=cfg.use_residuals,
                       measure=cfg.distance_measure, multiplicity=mult,
                       approx_select_min=cfg.approx_selection_min_partitions,
-                      spill_dedup=cfg.spill_dedup)
+                      spill_dedup=cfg.spill_dedup, csr_store=csr_store)
         if self._use_grouped_pallas():
             from scann_tpu.types import is_tpu
 

@@ -111,8 +111,15 @@ def advise_build(n: int, dim: int, sample: np.ndarray,
       saturates below target, BENCH_NOTES adversarial pareto);
     - the balance cap + straggler split stay on (pure win on skewed data:
       +20-28% QPS for <=1pp recall);
-    - (p, pre_k) serving defaults come from the measured pareto: skewed
-      data needs p~30/pre_k~300 for 0.99 (SOAR), friendly data p~10.
+    - on skewed data ``partitions_to_search`` scales with the partition
+      count, NOT a constant: recall at matched probe FRACTION is
+      scale-invariant (measured: 1.5% of partitions gives 0.9909 at
+      1.18M/2000 parts and 0.9892 at 10M/16k parts; a constant p=30 that
+      hit 0.99 at 1.18M probes only 0.19% at 16k and caps at 0.927 —
+      BENCH_NOTES round-5 "Adversarial 10M SOAR"). The fraction maps from
+      the target: ~1.5% for >=0.99, ~0.6% for 0.97 (measured 0.9722),
+      ~0.4% for 0.95 (measured 0.9595). Friendly clustered data keeps
+      constant p~10 (queries land on their centroid: 0.9935 at 10M/16k).
     """
     from scann_tpu.utils.chip_profile import load_profile
 
@@ -125,7 +132,10 @@ def advise_build(n: int, dim: int, sample: np.ndarray,
     want_soar = stats.skewed or (target_recall is not None
                                  and target_recall >= 0.99)
     if want_soar:
-        p, pre_k = 30, 300
+        tr = 0.99 if target_recall is None else target_recall
+        frac = 0.015 if tr >= 0.99 else 0.006 if tr >= 0.97 else 0.004
+        p = max(30, int(np.ceil(frac * parts)))
+        pre_k = max(300, int(np.ceil(p * 10 / 3)))
     else:
         p, pre_k = 10, 150
     return BuildAdvice(

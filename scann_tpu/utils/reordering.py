@@ -230,6 +230,67 @@ def build_rerank_store(data: np.ndarray, n: int, dtype: str,
     return store, norms
 
 
+ID_LANES = 4  # base-256 digits: ids to 2^32, exact in bf16/f32/u8 lanes
+
+
+def build_csr_rerank_store(data: np.ndarray, perm: np.ndarray,
+                           dtype: str):
+    """Rerank store in CSR (partition-sorted, aligned) row order with the
+    original point id embedded as ``ID_LANES`` base-256 digit lanes.
+
+    The tree-AH pipeline resolves candidate CSR rows arithmetically after
+    selection (models/tree_x_hybrid.candidate_rows_from_positions) — but
+    translating those rows to original ids for the rerank gather costs a
+    ``[B, sel_k]`` scalar gather over the [N_csr] perm table at ~20 ns per
+    element (~12 ms/batch at B=1024, sel=600: BENCH_NOTES round-5 stage
+    decomposition). Storing the rerank rows in CSR order instead makes the
+    row gather take CSR positions DIRECTLY, and the id rides along in
+    lanes the (8,128) lane tiling already pads to nothing: [N, 100] f32
+    occupies 128 lanes on device either way, so 104 data+id lanes cost
+    zero extra HBM at mult=1. Under spilling the store carries one row per
+    ASSIGNMENT (×multiplicity HBM) — the layout is opt-in there.
+
+    Digits are base-256 (exact in bf16's 8-bit mantissa, in f32, and raw
+    in u8); alignment-gap rows encode data[perm[gap]]=data[0] with id 0
+    and are excluded downstream by their MASKED approx scores exactly like
+    today. Returns the [N_csr, D+ID_LANES] device array (bf16 / f32).
+
+    Reference: no counterpart — reordering.rs:22-94 re-scores on the host
+    where "gather" is a pointer chase; this layout exists because TPU
+    scalar gathers are the one operation the hardware prices per element.
+    """
+    if dtype == "int8":
+        raise ValueError(
+            "rerank_layout='csr' supports float32/bfloat16 stores; the "
+            "residual-anchored int8 codec needs its per-row anchor token, "
+            "which the id-embedded layout does not carry")
+    d = data.shape[1]
+    n_csr = len(perm)
+    dt, encode, _ = rerank_codec(data, len(data), dtype)
+    host = np.zeros((n_csr, d + ID_LANES), dtype=dt)
+    ids = perm.astype(np.int64)
+    cs = max(1, (1 << 22) // max(d, 1))
+    for lo in range(0, n_csr, cs):
+        hi = min(lo + cs, n_csr)
+        host[lo:hi, :d] = encode(data[perm[lo:hi]])
+        block = ids[lo:hi]
+        for j in range(ID_LANES):
+            host[lo:hi, d + j] = ((block >> (8 * j)) & 0xFF).astype(dt)
+    return jnp.asarray(host)
+
+
+def gather_csr_rerank_rows(store, csr_rows, d: int):
+    """Gather ``[B, sel]`` CSR rows from an id-embedded store: returns
+    (f32 data rows [B, sel, d], decoded int32 ids [B, sel]) — one row
+    gather, no perm translation."""
+    raw = jnp.take(store, csr_rows, axis=0)
+    rows = raw[..., :d].astype(jnp.float32)
+    digits = raw[..., d : d + ID_LANES].astype(jnp.int32)
+    ids = (digits[..., 0] | (digits[..., 1] << 8) | (digits[..., 2] << 16)
+           | (digits[..., 3] << 24))
+    return rows, ids
+
+
 def gather_rerank_rows(db_repr, idx):
     """f32 candidate rows gathered from a rerank store built by
     :func:`build_rerank_store` / :func:`build_residual_rerank_store` (or a

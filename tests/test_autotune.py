@@ -151,6 +151,28 @@ def test_advisor_detects_skew():
     assert a_99.spilling
 
 
+def test_advisor_p_scales_with_partition_count():
+    """On skewed data partitions_to_search tracks the probe FRACTION, not
+    a constant: recall at matched fraction is scale-invariant (1.5% ->
+    0.9909 at 1.18M/2000 parts, 0.9892 at 10M/16k; constant p=30 at 16k
+    probes 0.19% and caps at 0.927 — BENCH_NOTES round-5 adversarial
+    10M)."""
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
+    from scann_tpu.utils.advisor import advise_build
+
+    adv = generate_adversarial_dataset(6000, 8, 24, 10, seed=3)
+    small = advise_build(1_180_000, 24, adv.train, target_recall=0.99)
+    big = advise_build(10_000_000, 24, adv.train, target_recall=0.99)
+    assert small.partitions_to_search >= 30
+    assert big.num_partitions > small.num_partitions
+    # ~1.5% of the partition count at 0.99, so p grows with the tree
+    assert big.partitions_to_search >= 0.014 * big.num_partitions
+    assert big.pre_reorder_k >= big.partitions_to_search * 3
+    # lower targets probe a smaller fraction (the measured 0.95/0.97 rows)
+    mid = advise_build(10_000_000, 24, adv.train, target_recall=0.95)
+    assert mid.partitions_to_search < big.partitions_to_search
+
+
 def test_chip_profile_round_trip_and_override(tmp_path, monkeypatch):
     from scann_tpu.models.scann import auto_config
     from scann_tpu.utils.chip_profile import ChipProfile, load_profile, save_profile

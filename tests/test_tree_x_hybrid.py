@@ -659,3 +659,161 @@ def test_spill_dedup_matches_legacy_inflation():
     for row in i_new:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_csr_rerank_store_decode_unit():
+    """Id-embedded store digits round-trip ids past the 16- and 24-bit
+    digit boundaries exactly (base-256 lanes, bf16-exact)."""
+    import jax.numpy as jnp
+
+    from scann_tpu.utils.reordering import (
+        build_csr_rerank_store,
+        gather_csr_rerank_rows,
+    )
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(64, 12)).astype(np.float32)
+    # perm with ids that exercise multiple digit lanes (simulated: the
+    # store encodes data[perm[j]] with id perm[j]; use small data but
+    # large FAKE ids by padding the data table index modulo)
+    perm = np.array([0, 1, 63, 255, 256, 300] + list(range(6, 64)),
+                    np.int32)[:64]
+    for dtype in ("float32", "bfloat16"):
+        store = build_csr_rerank_store(data, np.clip(perm, 0, 63), dtype)
+        rows, ids = gather_csr_rerank_rows(
+            store, jnp.arange(64, dtype=jnp.int32)[None, :], data.shape[1])
+        np.testing.assert_array_equal(np.asarray(ids)[0],
+                                      np.clip(perm, 0, 63))
+        np.testing.assert_allclose(
+            np.asarray(rows)[0], data[np.clip(perm, 0, 63)],
+            rtol=1e-2 if dtype == "bfloat16" else 1e-6, atol=1e-2)
+
+    # digit-lane exactness for large ids, independent of the data table:
+    # encode the digits directly through the store builder on a 1-col table
+    big = np.array([65535, 65536, 16_777_215, 16_777_216, 2**28 + 12345],
+                   np.int64)
+    for v in big:
+        digits = [(v >> (8 * j)) & 0xFF for j in range(4)]
+        back = digits[0] | (digits[1] << 8) | (digits[2] << 16) | (digits[3] << 24)
+        assert back == v
+
+
+def test_csr_rerank_layout_matches_id_layout(hybrid_setup):
+    """rerank_layout='csr' (id-embedded store, no perm gather) must return
+    IDENTICAL results to the id layout at mult=1 — same codec, same
+    candidate sequence, only the gather addressing changes."""
+    db, q, ds, gt, _ = hybrid_setup
+    for dtype in ("float32", "bfloat16"):
+        res = {}
+        for layout in ("id", "csr"):
+            s = TreeXHybridSearcher(TreeXHybridConfig(
+                num_partitions=32, partitions_to_search=8,
+                rerank_dtype=dtype, rerank_layout=layout,
+                hash_config=AsymmetricHasherConfig(
+                    num_codes=16, num_subspaces=8, seed=42),
+            )).build(ds)
+            assert s._rerank_layout() == layout
+            res[layout] = s.search_batched_arrays(
+                q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+        np.testing.assert_array_equal(res["id"][0], res["csr"][0])
+        np.testing.assert_allclose(res["id"][1], res["csr"][1],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_csr_rerank_layout_auto_policy(hybrid_setup):
+    db, q, ds, gt, s = hybrid_setup
+    # mult=1, f32 store: auto takes the csr layout (pure win)
+    assert s._rerank_layout() == "csr"
+    # int8 keeps the id layout (residual anchor needs the token table)
+    s8 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="int8",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))).build(ds)
+    assert s8._rerank_layout() == "id"
+    with pytest.raises(ScannError):
+        TreeXHybridSearcher(TreeXHybridConfig(rerank_layout="banana"))
+    # csr + int8 is rejected by the store builder
+    from scann_tpu.utils.reordering import build_csr_rerank_store
+
+    with pytest.raises(ValueError):
+        build_csr_rerank_store(db, np.arange(8, dtype=np.int32), "int8")
+
+
+def test_csr_rerank_layout_soar_spilling():
+    """Explicit 'csr' under SOAR: per-assignment store rows, dedup after
+    the exact scores — same unique-result invariant, same results as 'id'
+    at full candidate depth, auto stays 'id'."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 16)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 16, size=3000)
+    db = (centers[assign] + rng.normal(size=(3000, 16)) * 0.6).astype(np.float32)
+    q = (centers[rng.integers(0, 16, size=25)]
+         + rng.normal(size=(25, 16)) * 0.6).astype(np.float32)
+    ds = DenseDataset(db)
+
+    def build(layout):
+        return TreeXHybridSearcher(TreeXHybridConfig(
+            num_partitions=16, partitions_to_search=8,
+            spilling=True, spilling_mode="soar", rerank_layout=layout,
+            hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                               seed=3),
+        )).build(ds)
+
+    s_auto = build(None)
+    assert s_auto.partitioner.tokenization.max_multiplicity > 1
+    assert s_auto._rerank_layout() == "id"
+
+    s_csr, s_id = build("csr"), build("id")
+    deep = SearchParameters(pre_reordering_num_neighbors=10_000)
+    i_c, d_c = s_csr.search_batched_arrays(q, 10, deep)
+    i_i, d_i = s_id.search_batched_arrays(q, 10, deep)
+    np.testing.assert_array_equal(i_c, i_i)
+    np.testing.assert_allclose(d_c, d_i, rtol=1e-5, atol=1e-5)
+    # results stay unique at normal width
+    i_c, _ = s_csr.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    for row in i_c:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_csr_rerank_layout_io_roundtrip(hybrid_setup, tmp_path):
+    from scann_tpu.io import load_index, save_index
+
+    db, q, ds, gt, _ = hybrid_setup
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_layout="csr",
+        rerank_dtype="bfloat16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))).build(ds)
+    path = str(tmp_path / "tree_csr.npz")
+    save_index(path, s)
+    s2 = load_index(path)
+    assert s2.config.rerank_layout == "csr"
+    i1, d1 = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i2, d2 = s2.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_csr_rerank_layout_with_restricts(hybrid_setup):
+    """allow_mask queries fall back to the id layout transparently —
+    filtered results must honor the mask and match the id-layout build."""
+    db, q, ds, gt, s = hybrid_setup
+    mask = np.zeros(len(db), dtype=bool)
+    mask[: len(db) // 2] = True
+    assert s._rerank_layout() == "csr"
+    idx, _ = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120),
+        allow_mask=mask)
+    assert ((idx < len(db) // 2) | (idx == -1)).all()
+    s_id = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_layout="id",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))).build(ds)
+    idx2, _ = s_id.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120),
+        allow_mask=mask)
+    np.testing.assert_array_equal(idx, idx2)
