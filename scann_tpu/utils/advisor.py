@@ -101,7 +101,8 @@ class BuildAdvice:
 
 def advise_build(n: int, dim: int, sample: np.ndarray,
                  target_recall: Optional[float] = None,
-                 seed: int = 0) -> BuildAdvice:
+                 seed: int = 0,
+                 stats: Optional[DataStats] = None) -> BuildAdvice:
     """Tree-AH build knobs from data statistics.
 
     - partition count targets the chip profile's measured density
@@ -124,7 +125,8 @@ def advise_build(n: int, dim: int, sample: np.ndarray,
     from scann_tpu.utils.chip_profile import load_profile
 
     prof = load_profile()
-    stats = dataset_stats(sample, seed=seed)
+    if stats is None:
+        stats = dataset_stats(sample, seed=seed)
     dens = max(int(prof.partition_density), 1)
     parts = int(min(max(256, round(n / dens / 256) * 256), 65536))
     if n < 256 * dens:
@@ -158,8 +160,34 @@ def advise_config(n: int, dim: int, sample: np.ndarray,
     ``auto_config``'s architecture assembly (shared, not duplicated) with
     the data-dependent knobs overridden from the sample statistics."""
     from scann_tpu.models.scann import auto_config
+    from scann_tpu.types import align_up
+    from scann_tpu.utils.chip_profile import load_profile
 
+    stats = dataset_stats(sample, seed=seed)
     cfg = auto_config(n, dim, measure)
+    skew_sweep = False
+    if cfg.brute_force is None and stats.skewed:
+        # The skewed regime BETWEEN sweep_max_n and the sweep's HBM
+        # ceiling: tree-AH's >=0.99 point under Zipf skew measured
+        # 4.1k QPS at 10M (p must probe 1.5% of 16k partitions,
+        # BENCH_NOTES round-5 "Adversarial 10M SOAR") while the sweep's
+        # stream cost is distribution-independent (27.7 ms -> 37k QPS at
+        # 10M) and its recall is measured skew-immune (0.9984 adversarial
+        # at 1.18M). Route skewed data to the sweep with compact copies
+        # (int8 stream + bf16 rerank rows — 3 bytes per lane-padded dim)
+        # until ~half of HBM is copies; only past that does the tree
+        # become the capacity-mandated choice.
+        prof = load_profile()
+        hbm = 3 * prof.f32_rerank_max_bytes
+        ceil_n = int(0.5 * hbm / (align_up(dim, 128) * 3))
+        if n <= ceil_n:
+            from scann_tpu.config import ScannConfig
+
+            cfg = ScannConfig(distance_measure=measure)
+            cfg.with_brute_force()
+            cfg.brute_force.block_sweep = True
+            cfg.brute_force.block_sweep_dtype = "int8"
+            skew_sweep = True
     if cfg.brute_force is not None:
         # the sweep is skew-immune (it streams everything): the knobs that
         # matter are the rerank depth and — for >=0.99 targets on
@@ -169,8 +197,12 @@ def advise_config(n: int, dim: int, sample: np.ndarray,
         cfg.with_reordering()
         cfg.exact_reordering.num_candidates = (
             100 if (target_recall or 0) >= 0.99 else 64)
+        if skew_sweep:
+            # the two-copy HBM budget above assumed bf16 rerank rows
+            cfg.exact_reordering.rerank_dtype = "bfloat16"
         return cfg
-    adv = advise_build(n, dim, sample, target_recall, seed=seed)
+    adv = advise_build(n, dim, sample, target_recall, seed=seed,
+                       stats=stats)
     cfg.partitioning.num_partitions = adv.num_partitions
     cfg.partitioning.num_partitions_to_search = adv.partitions_to_search
     cfg.partitioning.spilling = adv.spilling

@@ -210,6 +210,32 @@ def test_scann_auto_meets_target_on_adversarial(monkeypatch):
     assert rec >= 0.99 - 0.01
 
 
+def test_advise_config_skew_routes_to_sweep(monkeypatch, tmp_path):
+    """Skewed data between sweep_max_n and the sweep's HBM ceiling routes
+    to the skew-immune sweep with compact copies (measured 9x the tree's
+    >=0.99 SOAR QPS at 10M — BENCH_NOTES round-5 'Adversarial 10M
+    SOAR')."""
+    from scann_tpu.harness.ann_benchmark import generate_adversarial_dataset
+    from scann_tpu.utils.advisor import advise_config
+    from scann_tpu.utils.chip_profile import ChipProfile, save_profile
+
+    path = str(tmp_path / "chip.json")
+    save_profile(ChipProfile(sweep_max_n=1000, source="test"), path)
+    monkeypatch.setenv("SCANN_TPU_CHIP_PROFILE", path)
+    data = generate_adversarial_dataset(6000, 8, 24, 10, seed=5)
+    cfg = advise_config(6000, 24, data.train, target_recall=0.99)
+    assert cfg.brute_force is not None and cfg.brute_force.block_sweep
+    assert cfg.brute_force.block_sweep_dtype == "int8"
+    assert cfg.exact_reordering.rerank_dtype == "bfloat16"
+    # friendly data past the crossover still takes the tree
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(32, 24)).astype(np.float32) * 3.0
+    friendly = (centers[rng.integers(0, 32, 6000)]
+                + rng.normal(size=(6000, 24)) * 0.4).astype(np.float32)
+    cfg2 = advise_config(6000, 24, friendly, target_recall=0.9)
+    assert cfg2.brute_force is None and cfg2.partitioning is not None
+
+
 def test_scann_auto_tree_regime_uses_advisor(monkeypatch, tmp_path):
     """With the chip profile's crossover forced below N, Scann.auto with a
     target routes through the advisor -> SOAR tree-AH on skewed data."""
@@ -218,7 +244,12 @@ def test_scann_auto_tree_regime_uses_advisor(monkeypatch, tmp_path):
     from scann_tpu.utils.chip_profile import ChipProfile, save_profile
 
     path = str(tmp_path / "chip.json")
+    # f32_rerank_max_bytes tiny too: skewed data below the sweep's HBM
+    # ceiling now (correctly) routes back to the skew-immune sweep, so
+    # exercising the advisor's TREE path requires the capacity-mandated
+    # regime (ceiling = 0.5*hbm/(128*3) rows must sit below N)
     save_profile(ChipProfile(sweep_max_n=1000, partition_density=300,
+                             f32_rerank_max_bytes=500_000,
                              source="test"), path)
     monkeypatch.setenv("SCANN_TPU_CHIP_PROFILE", path)
     data = generate_adversarial_dataset(6000, 32, 24, 10, seed=5)
