@@ -642,10 +642,11 @@ class TreeXHybridSearcher(Searcher):
         self._csr_perm_np = None
         self._lp_cache = None
         self._csr_store_cache = None
-        if self.config.rerank_dtype not in ("float32", "bfloat16", "int8"):
+        if self.config.rerank_dtype not in ("float32", "bfloat16", "int8",
+                                            "int16"):
             raise ScannError.invalid_argument(
-                f"rerank_dtype must be float32, bfloat16 or int8, got "
-                f"{self.config.rerank_dtype!r}")
+                f"rerank_dtype must be float32, bfloat16, int16 or int8, "
+                f"got {self.config.rerank_dtype!r}")
         if self.config.rerank_layout not in (None, "id", "csr"):
             raise ScannError.invalid_argument(
                 f"rerank_layout must be None, 'id' or 'csr', got "
@@ -815,17 +816,23 @@ class TreeXHybridSearcher(Searcher):
 
             n = self._dataset.size
             if self._lp_cache is None or self._lp_cache[2] != n:
-                if (self.config.rerank_dtype == "int8"
+                if (self.config.rerank_dtype in ("int8", "int16")
                         and self.partitioner is not None):
-                    # residual-anchored int8: quantize row - center[token]
-                    # so the 256 levels resolve within-cluster noise, not
-                    # the cluster spread (the measured 3.5pp-at-20M codec
-                    # failure, BENCH_NOTES round 4); anchors are the
-                    # tree's own centroids
+                    # residual-anchored int8/int16: quantize
+                    # row - center[token] so the levels resolve
+                    # within-cluster noise, not the cluster spread (the
+                    # measured 3.5pp-at-20M codec failure, BENCH_NOTES
+                    # round 4); anchors are the tree's own centroids.
+                    # int16 = bf16's bytes with a ~256x finer step on the
+                    # residual scale: re-ranks essentially exactly where
+                    # bf16 measures -0.55pp in-pool at 20M (round-5
+                    # fidelity study)
                     db_repr, norms = build_residual_rerank_store(
                         self._dataset.numpy(), n,
                         self.partitioner.tokenization.tokens,
-                        self.partitioner.centers, SUBLANE_F32)
+                        self.partitioner.centers, SUBLANE_F32,
+                        levels=65535 if self.config.rerank_dtype == "int16"
+                        else 255)
                 else:
                     db_repr, norms = build_rerank_store(
                         self._dataset.numpy(), n, self.config.rerank_dtype,
@@ -920,8 +927,8 @@ class TreeXHybridSearcher(Searcher):
         if rl is not None:
             return rl
         mult = self.partitioner.tokenization.max_multiplicity
-        return "csr" if (mult == 1 and self.config.rerank_dtype != "int8") \
-            else "id"
+        return "csr" if (mult == 1 and self.config.rerank_dtype
+                         not in ("int8", "int16")) else "id"
 
     def _csr_store_state(self):
         """Id-embedded CSR-ordered rerank store (+ valid count): the

@@ -105,7 +105,8 @@ def rerank_codec(data: np.ndarray, n: int, dtype: str):
 
 
 def residual_rerank_codec(data: np.ndarray, n: int, tokens: np.ndarray,
-                          centers: np.ndarray, clip_sigmas: float = 4.0):
+                          centers: np.ndarray, clip_sigmas: float = 4.0,
+                          levels: int = 255):
     """Anchored int8 codec for partitioned searchers: quantize the RESIDUAL
     ``row - centers[token]`` per-dimension and add the centroid back after
     the candidate gather.
@@ -151,27 +152,35 @@ def residual_rerank_codec(data: np.ndarray, n: int, tokens: np.ndarray,
         hi_c = np.minimum(resid_mx, mean + clip_sigmas * std)
     else:
         lo_c, hi_c = resid_mn, resid_mx
-    scale = np.maximum((hi_c - lo_c) / 255.0, 1e-30).astype(np.float32)
+    scale = np.maximum((hi_c - lo_c) / float(levels), 1e-30).astype(np.float32)
     mn = lo_c.astype(np.float32)
+    store_dt = np.uint8 if levels <= 255 else np.uint16
 
     def encode(rows, row_tokens):
         r = rows - centers[row_tokens]
-        return np.clip(np.rint((r - mn) / scale), 0, 255).astype(np.uint8)
+        return np.clip(np.rint((r - mn) / scale), 0, levels).astype(store_dt)
 
     return encode, (scale, mn)
 
 
 def build_residual_rerank_store(data: np.ndarray, n: int, tokens: np.ndarray,
-                                centers: np.ndarray, row_align: int):
-    """Residual-anchored int8 rerank store (see residual_rerank_codec):
-    returns ``((codes, scale, mn, tok, centers), norms)`` — the 5-tuple
-    db_repr :func:`gather_rerank_rows` dequantizes after the gather.
-    Norms come from the SAME dequantized rows the gathers produce."""
+                                centers: np.ndarray, row_align: int,
+                                levels: int = 255):
+    """Residual-anchored int8/int16 rerank store (see
+    residual_rerank_codec): returns ``((codes, scale, mn, tok, centers),
+    norms)`` — the 5-tuple db_repr :func:`gather_rerank_rows` dequantizes
+    after the gather. Norms come from the SAME dequantized rows the
+    gathers produce. ``levels=65535`` gives the int16 store: bf16's byte
+    cost with a ~256x finer step on the RESIDUAL scale — measured
+    re-ranking essentially exactly where bf16 loses 0.55pp in-pool at 20M
+    (BENCH_NOTES round-5 fidelity study)."""
     from scann_tpu.types import align_up
 
-    encode, (scale, mn) = residual_rerank_codec(data, n, tokens, centers)
+    encode, (scale, mn) = residual_rerank_codec(data, n, tokens, centers,
+                                                levels=levels)
     n_pad = align_up(max(n, 1), row_align)
-    host = np.zeros((n_pad, data.shape[1]), np.uint8)
+    host = np.zeros((n_pad, data.shape[1]),
+                    np.uint8 if levels <= 255 else np.uint16)
     cs = max(1, (1 << 22) // max(data.shape[1], 1))
     for lo in range(0, n, cs):
         hi = min(lo + cs, n)
@@ -282,11 +291,11 @@ def build_csr_rerank_store(data: np.ndarray, perm: np.ndarray,
     where "gather" is a pointer chase; this layout exists because TPU
     scalar gathers are the one operation the hardware prices per element.
     """
-    if dtype == "int8":
+    if dtype in ("int8", "int16"):
         raise ValueError(
             "rerank_layout='csr' supports float32/bfloat16 stores; the "
-            "residual-anchored int8 codec needs its per-row anchor token, "
-            "which the id-embedded layout does not carry")
+            "residual-anchored int8/int16 codecs need their per-row "
+            "anchor token, which the id-embedded layout does not carry")
     d = data.shape[1]
     n_csr = len(perm)
     dt, encode, _ = rerank_codec(data, len(data), dtype)

@@ -817,3 +817,46 @@ def test_csr_rerank_layout_with_restricts(hybrid_setup):
         q, 10, SearchParameters(pre_reordering_num_neighbors=120),
         allow_mask=mask)
     np.testing.assert_array_equal(idx, idx2)
+
+
+def test_int16_rerank_matches_f32(hybrid_setup):
+    """rerank_dtype='int16': bf16's byte cost, residual-anchored 65536
+    levels — distances must track exact f32 TIGHTER than bf16 (the
+    round-5 fidelity study's motivation: bf16 loses 0.55pp in-pool at
+    20M, int16's residual step is ~256x finer)."""
+    db, q, ds, gt, _ = hybrid_setup
+    s16 = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="int16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))).build(ds)
+    assert s16._rerank_layout() == "id"
+    db_repr, norms, n = s16._device_state()
+    assert isinstance(db_repr, tuple) and len(db_repr) == 5
+    assert str(db_repr[0].dtype) == "uint16"
+    idx, dist = s16.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    assert _recall(idx, gt) >= 0.9
+    d_at = ((q[:, None, :] - db[np.maximum(idx, 0)]) ** 2).sum(-1)
+    m = idx >= 0
+    # tighter than the bf16 test's 2e-2 tolerance by an order of magnitude
+    np.testing.assert_allclose(dist[m], d_at[m], rtol=2e-3, atol=2e-3)
+
+
+def test_int16_rerank_io_roundtrip(hybrid_setup, tmp_path):
+    from scann_tpu.io import load_index, save_index
+
+    db, q, ds, gt, _ = hybrid_setup
+    s = TreeXHybridSearcher(TreeXHybridConfig(
+        num_partitions=32, partitions_to_search=8, rerank_dtype="int16",
+        hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
+                                           seed=42))).build(ds)
+    path = str(tmp_path / "tree_i16.npz")
+    save_index(path, s)
+    s2 = load_index(path)
+    assert s2.config.rerank_dtype == "int16"
+    i1, d1 = s.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    i2, d2 = s2.search_batched_arrays(
+        q, 10, SearchParameters(pre_reordering_num_neighbors=120))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
