@@ -134,6 +134,10 @@ class TreeXHybridConfig:
     # centroid back after the gather) — this implements the reference's
     # declared-but-unimplemented quantized reordering (config.rs:290-318)
     # at cluster-noise resolution instead of cluster-spread resolution.
+    # "int16" is the same residual codec at 65536 levels — bf16's byte
+    # cost with a ~256x finer step, re-ranking essentially exactly where
+    # bf16 measures -0.55pp in-pool at 20M (BENCH_NOTES round-5 fidelity
+    # study): prefer it over bf16 whenever the data is partitioned.
     # Norms are recomputed from the rounded rows so the ||d||² term is
     # exactly consistent with the gathered vectors.
     rerank_dtype: str = "float32"
