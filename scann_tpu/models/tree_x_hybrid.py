@@ -436,7 +436,7 @@ def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
     at SOAR width) entirely. Spilled copies dedup AFTER the exact scores
     (their rows were gathered anyway; the perm gather they existed to
     amortize is gone)."""
-    parts, csr_offsets, num_rows = row_ctx
+    parts, csr_offsets, num_rows = row_ctx[:3]
     if not reorder:
         kp = min(k * max(int(multiplicity), 1), flat_scores.shape[-1])
         vals, pos = top_k_smallest(flat_scores, kp)
@@ -470,6 +470,19 @@ def _finalize(db, db_sq_norms, queries, flat_scores, row_ctx, perm,
 
         rows, pre_cand = gather_csr_rerank_rows(db, pre_rows,
                                                 queries.shape[-1])
+        if isinstance(db, tuple):
+            # anchored (int8/int16 residual) csr store: rows are
+            # RESIDUALS; the anchor centroid is reconstructed from the
+            # selection position itself — slot j belongs to partition
+            # parts[b, j % p] (leaf-major layout) — via a one-hot MXU
+            # contraction over the tiny per-query [p, D] centroid tile.
+            # No anchor-token table, no [B, sel] anchor gather.
+            centers = row_ctx[3]
+            sel = pre_pos.shape[-1]
+            ti = pre_pos % p
+            onehot = jax.nn.one_hot(ti, p, dtype=jnp.float32)
+            c_sel = jnp.take(centers, parts, axis=0)         # [B, p, D]
+            rows = rows + jnp.einsum("bsp,bpd->bsd", onehot, c_sel)
         norms = jnp.sum(rows * rows, axis=-1)
         exact = gathered_distances(measure, queries, rows, norms)
         exact = jnp.where(pre_valid, exact, MASKED_DISTANCE)
@@ -548,7 +561,7 @@ def tree_ah_search(
         allowed = jnp.take(allow_csr, rows_il, axis=0)
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
     return _finalize(db, db_sq_norms, queries, flat_scores,
-                     (parts, csr_offsets, codes_rows.shape[0]), perm,
+                     (parts, csr_offsets, codes_rows.shape[0], centers), perm,
                      pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
                      measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
@@ -613,7 +626,7 @@ def tree_ah_search_grouped(
         flat_scores = jnp.where(allowed, flat_scores, MASKED_DISTANCE)
     num_rows = codes_csr.shape[1]
     return _finalize(db, db_sq_norms, queries, flat_scores,
-                     (parts, csr_offsets, num_rows), perm,
+                     (parts, csr_offsets, num_rows, centers), perm,
                      pre_eps, post_eps, pre_k=pre_k, k=k, p=p,
                      measure=measure,
                      reorder=reorder, multiplicity=multiplicity,
@@ -644,6 +657,7 @@ class TreeXHybridSearcher(Searcher):
         self._norms_cache = None
         self._csr_cache = None
         self._csr_perm_np = None
+        self._csr_parts_np = None
         self._lp_cache = None
         self._csr_store_cache = None
         if self.config.rerank_dtype not in ("float32", "bfloat16", "int8",
@@ -891,8 +905,14 @@ class TreeXHybridSearcher(Searcher):
                 codes_aligned[lo : lo + sz, :s] = \
                     self.codes[csr_off[t] : csr_off[t] + sz]
                 perm_aligned[lo : lo + sz] = tk.partition_indices(t)
-            # host copy kept for the id-embedded CSR rerank store builder
+            # host copies kept for the id-embedded CSR rerank store
+            # builder (row -> id, row -> partition)
             self._csr_perm_np = perm_aligned
+            parts_aligned = np.zeros(total, dtype=np.int32)
+            for t in range(k):
+                lo, sz = int(aligned[t]), int(sizes[t])
+                parts_aligned[lo : lo + sz] = t
+            self._csr_parts_np = parts_aligned
             if self._use_grouped_pallas():
                 # TPU serves only through the transposed slab — skip the
                 # row-major device copy entirely (1.3 GB saved at 20M,
@@ -931,8 +951,7 @@ class TreeXHybridSearcher(Searcher):
         if rl is not None:
             return rl
         mult = self.partitioner.tokenization.max_multiplicity
-        return "csr" if (mult == 1 and self.config.rerank_dtype
-                         not in ("int8", "int16")) else "id"
+        return "csr" if mult == 1 else "id"
 
     def _csr_store_state(self):
         """Id-embedded CSR-ordered rerank store (+ valid count): the
@@ -945,11 +964,17 @@ class TreeXHybridSearcher(Searcher):
         if self._csr_store_cache is None or self._csr_store_cache[1] != n:
             from scann_tpu.utils.reordering import build_csr_rerank_store
 
-            self._csr_state()  # ensures _csr_perm_np
+            self._csr_state()  # ensures _csr_perm_np/_csr_parts_np
             dt = self.config.rerank_dtype
-            store = build_csr_rerank_store(
-                self._dataset.numpy(), self._csr_perm_np,
-                "float32" if dt == "float32" else dt)
+            if dt in ("int8", "int16"):
+                store = build_csr_rerank_store(
+                    self._dataset.numpy(), self._csr_perm_np, dt,
+                    row_parts=self._csr_parts_np,
+                    tokens=self.partitioner.tokenization.tokens,
+                    centers=self.partitioner.centers)
+            else:
+                store = build_csr_rerank_store(
+                    self._dataset.numpy(), self._csr_perm_np, dt)
             self._csr_store_cache = (store, n)
         return self._csr_store_cache
 

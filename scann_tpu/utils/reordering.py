@@ -266,7 +266,9 @@ ID_LANES = 4  # base-256 digits: ids to 2^32, exact in bf16/f32/u8 lanes
 
 
 def build_csr_rerank_store(data: np.ndarray, perm: np.ndarray,
-                           dtype: str):
+                           dtype: str, row_parts: np.ndarray = None,
+                           tokens: np.ndarray = None,
+                           centers: np.ndarray = None):
     """Rerank store in CSR (partition-sorted, aligned) row order with the
     original point id embedded as ``ID_LANES`` base-256 digit lanes.
 
@@ -291,32 +293,62 @@ def build_csr_rerank_store(data: np.ndarray, perm: np.ndarray,
     where "gather" is a pointer chase; this layout exists because TPU
     scalar gathers are the one operation the hardware prices per element.
     """
-    if dtype in ("int8", "int16"):
-        raise ValueError(
-            "rerank_layout='csr' supports float32/bfloat16 stores; the "
-            "residual-anchored int8/int16 codecs need their per-row "
-            "anchor token, which the id-embedded layout does not carry")
     d = data.shape[1]
     n_csr = len(perm)
-    dt, encode, _ = rerank_codec(data, len(data), dtype)
+    anchored = dtype in ("int8", "int16")
+    if anchored:
+        if row_parts is None or tokens is None or centers is None:
+            raise ValueError(
+                "rerank_layout='csr' with an anchored codec needs "
+                "row_parts (per-CSR-row partition), tokens and centers")
+        levels = 255 if dtype == "int8" else 65535
+        # calibration stats over primary-token residuals (identical to
+        # the id layout's at one assignment per point); encode each CSR
+        # row against ITS OWN partition's centroid so reconstruction
+        # r + c[part(row)] is exact under spilling too
+        enc_tok, (scale, mn) = residual_rerank_codec(
+            data, len(data), tokens, centers, levels=levels)
+        dt = np.uint8 if levels <= 255 else np.uint16
+
+        def encode_rows(rows, parts_blk):
+            r = rows - centers[parts_blk]
+            return np.clip(np.rint((r - mn) / scale), 0,
+                           levels).astype(dt)
+    else:
+        dt, encode, _ = rerank_codec(data, len(data), dtype)
     host = np.zeros((n_csr, d + ID_LANES), dtype=dt)
     ids = perm.astype(np.int64)
     cs = max(1, (1 << 22) // max(d, 1))
     for lo in range(0, n_csr, cs):
         hi = min(lo + cs, n_csr)
-        host[lo:hi, :d] = encode(data[perm[lo:hi]])
+        if anchored:
+            host[lo:hi, :d] = encode_rows(data[perm[lo:hi]],
+                                          row_parts[lo:hi])
+        else:
+            host[lo:hi, :d] = encode(data[perm[lo:hi]])
         block = ids[lo:hi]
         for j in range(ID_LANES):
             host[lo:hi, d + j] = ((block >> (8 * j)) & 0xFF).astype(dt)
-    return jnp.asarray(host)
+    store = jnp.asarray(host)
+    if anchored:
+        return (store, jnp.asarray(scale, jnp.float32),
+                jnp.asarray(mn, jnp.float32))
+    return store
 
 
-def gather_csr_rerank_rows(store, csr_rows, d: int):
+def gather_csr_rerank_rows(store_repr, csr_rows, d: int):
     """Gather ``[B, sel]`` CSR rows from an id-embedded store: returns
     (f32 data rows [B, sel, d], decoded int32 ids [B, sel]) — one row
-    gather, no perm translation."""
+    gather, no perm translation. An anchored ``(codes, scale, mn)`` store
+    returns the dequantized RESIDUAL rows; the caller adds the per-slot
+    partition centroid back (reconstructed arithmetically from the
+    selection position — no anchor-token gather exists in this layout)."""
+    anchored = isinstance(store_repr, tuple)
+    store = store_repr[0] if anchored else store_repr
     raw = jnp.take(store, csr_rows, axis=0)
     rows = raw[..., :d].astype(jnp.float32)
+    if anchored:
+        rows = rows * store_repr[1] + store_repr[2]
     digits = raw[..., d : d + ID_LANES].astype(jnp.int32)
     ids = (digits[..., 0] | (digits[..., 1] << 8) | (digits[..., 2] << 16)
            | (digits[..., 3] << 24))

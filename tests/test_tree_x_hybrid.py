@@ -703,7 +703,7 @@ def test_csr_rerank_layout_matches_id_layout(hybrid_setup):
     IDENTICAL results to the id layout at mult=1 — same codec, same
     candidate sequence, only the gather addressing changes."""
     db, q, ds, gt, _ = hybrid_setup
-    for dtype in ("float32", "bfloat16"):
+    for dtype in ("float32", "bfloat16", "int8", "int16"):
         res = {}
         for layout in ("id", "csr"):
             s = TreeXHybridSearcher(TreeXHybridConfig(
@@ -722,17 +722,18 @@ def test_csr_rerank_layout_matches_id_layout(hybrid_setup):
 
 def test_csr_rerank_layout_auto_policy(hybrid_setup):
     db, q, ds, gt, s = hybrid_setup
-    # mult=1, f32 store: auto takes the csr layout (pure win)
+    # mult=1: auto takes the csr layout for every dtype (pure win; the
+    # anchored codecs reconstruct their centroid from the selection
+    # position, no anchor-token gather)
     assert s._rerank_layout() == "csr"
-    # int8 keeps the id layout (residual anchor needs the token table)
     s8 = TreeXHybridSearcher(TreeXHybridConfig(
         num_partitions=32, partitions_to_search=8, rerank_dtype="int8",
         hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
                                            seed=42))).build(ds)
-    assert s8._rerank_layout() == "id"
+    assert s8._rerank_layout() == "csr"
     with pytest.raises(ScannError):
         TreeXHybridSearcher(TreeXHybridConfig(rerank_layout="banana"))
-    # csr + int8 is rejected by the store builder
+    # anchored csr store demands its anchor context
     from scann_tpu.utils.reordering import build_csr_rerank_store
 
     with pytest.raises(ValueError):
@@ -827,9 +828,9 @@ def test_int16_rerank_matches_f32(hybrid_setup):
     db, q, ds, gt, _ = hybrid_setup
     s16 = TreeXHybridSearcher(TreeXHybridConfig(
         num_partitions=32, partitions_to_search=8, rerank_dtype="int16",
+        rerank_layout="id",
         hash_config=AsymmetricHasherConfig(num_codes=16, num_subspaces=8,
                                            seed=42))).build(ds)
-    assert s16._rerank_layout() == "id"
     db_repr, norms, n = s16._device_state()
     assert isinstance(db_repr, tuple) and len(db_repr) == 5
     assert str(db_repr[0].dtype) == "uint16"
